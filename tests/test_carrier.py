@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from thrifty_tpu.dsp import carrier
+
+
+def synth_tone(n, bin_f, ampl=1.0, length=None, noise=0.0, seed=0):
+    """Complex tone at (fractional) bin bin_f over `length` samples.
+
+    The tone spans only part of the block: the reference noise formula
+    subtracts *twice* the peak power (assuming an OOK signal whose carrier
+    line holds about half the energy), so a full-length pure tone would
+    drive the noise estimate negative -- by design, such blocks are
+    rejected (NaN threshold).
+    """
+    if length is None:
+        length = n // 4
+    rng = np.random.default_rng(seed)
+    x = np.zeros(n, dtype=np.complex128)
+    t = np.arange(length)
+    x[:length] = ampl * np.exp(2j * np.pi * bin_f * t / n)
+    x += noise * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    return x
+
+
+class TestWindowIndices:
+    @pytest.mark.parametrize("start,stop,length,expected", [
+        (50, 100, 1024, list(range(50, 101))),
+        (0, -1, 1024, list(range(0, 1024))),
+        (-10, 10, 1024, list(range(1014, 1024)) + list(range(0, 11))),
+        (-1, 0, 1024, [1023, 0]),
+        (-20, -10, 1024, list(range(1004, 1015))),
+    ])
+    def test_ranges(self, start, stop, length, expected):
+        idx = carrier.fft_window_indices(start, stop, length)
+        assert sorted(idx.tolist()) == sorted(expected)
+
+    def test_out_of_range(self):
+        with pytest.raises(ValueError):
+            carrier.fft_window_indices(0, 1024, 1024)
+
+    def test_mask(self):
+        mask = carrier.window_mask((7, 110), 1024)
+        assert mask.sum() == 104
+        assert mask[7] and mask[110] and not mask[6] and not mask[111]
+        full = carrier.window_mask(None, 64)
+        assert full.all()
+
+
+class TestDetect:
+    @pytest.mark.parametrize("bin_f", [20, 100, 511, -20 % 1024])
+    def test_peak_found(self, bin_f):
+        n = 1024
+        x = synth_tone(n, bin_f, ampl=1.0, noise=0.01)
+        mag = np.abs(np.fft.fft(x))[None, :]
+        mask = carrier.window_mask(None, n)
+        det, idx, peak, noise = carrier.detect(mag, mask, (0.0, 15.0, 0.0))
+        assert bool(det[0])
+        assert int(idx[0]) == bin_f
+        assert float(peak[0]) == pytest.approx(n // 4, rel=1e-2)
+
+    def test_windowed_excludes_peak(self):
+        n = 1024
+        x = synth_tone(n, 200, ampl=1.0, noise=0.01)
+        mag = np.abs(np.fft.fft(x))[None, :]
+        mask = carrier.window_mask((7, 110), n)
+        det, idx, peak, noise = carrier.detect(mag, mask, (0.0, 15.0, 0.0))
+        assert 7 <= int(idx[0]) <= 110
+        assert not bool(det[0])
+
+    def test_negative_window_wrap(self):
+        n = 1024
+        x = synth_tone(n, n - 5, ampl=1.0, noise=0.01)  # bin -5
+        mag = np.abs(np.fft.fft(x))[None, :]
+        mask = carrier.window_mask((-10, 10), n)
+        det, idx, _, _ = carrier.detect(mag, mask, (0.0, 15.0, 0.0))
+        assert bool(det[0])
+        assert int(idx[0]) == n - 5
+
+    def test_noise_formula(self):
+        n = 256
+        rng = np.random.default_rng(3)
+        mag = np.abs(rng.normal(size=(1, n)))
+        mask = carrier.window_mask(None, n)
+        _, _, peak, noise = carrier.detect(mag, mask, (0.0, 15.0, 0.0))
+        expected = np.sqrt(
+            (np.sum(mag[0] ** 2) - 2 * np.max(mag[0]) ** 2) / (n - 1))
+        assert float(noise[0]) == pytest.approx(expected, rel=1e-5)
+
+    def test_threshold_with_stddev_term(self):
+        n = 256
+        x = synth_tone(n, 30, ampl=0.05, noise=0.02)
+        mag = np.abs(np.fft.fft(x))[None, :]
+        mask = carrier.window_mask(None, n)
+        # Impossibly high stddev coefficient suppresses detection.
+        det, _, _, _ = carrier.detect(mag, mask, (0.0, 0.0, 1e9))
+        assert not bool(det[0])
+
+    def test_batched(self):
+        n = 512
+        blocks = np.stack([
+            synth_tone(n, 10, 1.0, noise=0.01),
+            synth_tone(n, 20, 1.0, noise=0.01),
+            synth_tone(n, 30, 0.0, noise=1.0, seed=7),  # pure noise
+        ])
+        mag = np.abs(np.fft.fft(blocks, axis=-1))
+        mask = carrier.window_mask(None, n)
+        det, idx, _, _ = carrier.detect(mag, mask, (0.0, 15.0, 0.0))
+        assert det.tolist() == [True, True, False]
+        assert idx.tolist()[:2] == [10, 20]

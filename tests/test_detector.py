@@ -1,0 +1,136 @@
+"""End-to-end batched detector vs the float64 oracle on synthetic captures."""
+
+import numpy as np
+import pytest
+
+from thrifty_tpu import sim
+from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+
+@pytest.fixture(scope="module")
+def capture():
+    tpl = sim.make_template()
+    return sim.synth_capture(
+        num_blocks=20, bursts_every=4, template=tpl,
+        carrier_bin=40.25, amplitude=0.5, noise_std=0.05, seed=42)
+
+
+@pytest.fixture(scope="module")
+def detector(capture):
+    return BatchDetector(
+        capture.template,
+        DetectorConfig(carrier_window=(7, 110)),
+    )
+
+
+@pytest.fixture(scope="module")
+def output(detector, capture):
+    return {k: np.asarray(v) for k, v in detector(capture.blocks).items()}
+
+
+@pytest.fixture(scope="module")
+def oracle_results(capture):
+    from thrifty_tpu.oracle.numpy_ref import OracleDetector
+    oracle = OracleDetector(
+        capture.template, carrier_window=(7, 110))
+    return [oracle.detect_block(b) for b in capture.blocks]
+
+
+def test_all_bursts_detected(capture, detector, output):
+    soa = detector.soa(
+        capture.indices, output["corr_sample"], output["corr_offset"])
+    for burst in capture.bursts:
+        i = burst.block_idx
+        assert output["detected"][i], "burst in block {} missed".format(i)
+        assert abs(soa[i] - burst.expected_soa) < 0.05, (
+            "SoA error too large in block {}: {}".format(
+                i, soa[i] - burst.expected_soa))
+
+
+def test_carrier_frequency_recovered(capture, output):
+    for burst in capture.bursts:
+        i = burst.block_idx
+        est = output["carrier_bin"][i] + output["carrier_offset"][i]
+        assert est == pytest.approx(burst.carrier_bin, abs=0.02)
+
+
+def test_quiet_blocks_not_detected(capture, output):
+    burst_blocks = {b.block_idx for b in capture.bursts}
+    # Blocks adjacent to a burst may legitimately fire (duplicate
+    # detections on the shared history -- removed later by identify).
+    allowed = burst_blocks | {b + 1 for b in burst_blocks} \
+        | {b - 1 for b in burst_blocks}
+    fired = set(np.nonzero(output["detected"])[0].tolist())
+    assert fired <= allowed
+    assert burst_blocks <= fired
+
+
+def test_matches_oracle(capture, detector, output, oracle_results):
+    """The f32 TPU path must agree with the float64 reference math."""
+    for i, ref in enumerate(oracle_results):
+        assert bool(output["carrier_detect"][i]) == ref.carrier_detect
+        if not ref.carrier_detect:
+            continue
+        assert int(output["carrier_bin"][i]) == ref.carrier_bin
+        assert float(output["carrier_offset"][i]) == pytest.approx(
+            ref.carrier_offset, abs=5e-3)
+        assert float(output["carrier_energy"][i]) == pytest.approx(
+            ref.carrier_energy, rel=1e-3)
+        assert float(output["carrier_noise"][i]) == pytest.approx(
+            ref.carrier_noise, rel=1e-2)
+        assert bool(output["detected"][i]) == ref.detected
+        if not ref.detected:
+            continue
+        assert int(output["corr_sample"][i]) == ref.corr_sample
+        assert float(output["corr_offset"][i]) == pytest.approx(
+            ref.corr_offset, abs=2e-2)
+        assert float(output["corr_energy"][i]) == pytest.approx(
+            ref.corr_energy, rel=1e-3)
+        assert float(output["corr_noise"][i]) == pytest.approx(
+            ref.corr_noise, rel=1e-2)
+
+
+def test_soa_rms_error_vs_oracle(capture, detector, output, oracle_results):
+    """Driver acceptance metric: SoA RMS error vs the reference math."""
+    errs = []
+    for i, ref in enumerate(oracle_results):
+        if not (ref.detected and output["detected"][i]):
+            continue
+        ours = output["corr_sample"][i] + output["corr_offset"][i]
+        theirs = ref.corr_sample + ref.corr_offset
+        errs.append(ours - theirs)
+    assert errs, "no common detections"
+    rms = float(np.sqrt(np.mean(np.square(errs))))
+    assert rms < 0.01, "SoA RMS error vs oracle: {}".format(rms)
+
+
+def test_integer_sync_mode(capture):
+    """fastdet-style integer-bin sync detects the same bursts."""
+    det = BatchDetector(
+        capture.template,
+        DetectorConfig(carrier_window=(7, 110), sync_mode="integer"))
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    for burst in capture.bursts:
+        assert out["detected"][burst.block_idx]
+
+
+def test_template_bank(capture):
+    """Bank mode identifies the transmitted code among decoys."""
+    from thrifty_tpu.dsp import template as template_mod
+    sps = 2.4e6 / 0.999707e6
+    bank = template_mod.generate_bank(11, [0, 1, 2], sps)
+    # The capture used code index 0.
+    det = BatchDetector(
+        bank, DetectorConfig(carrier_window=(7, 110)))
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    for burst in capture.bursts:
+        i = burst.block_idx
+        assert out["detected"][i]
+        assert int(out["template_idx"][i]) == 0
+
+
+def test_soa_float64_precision(capture, detector):
+    """SoA keeps sub-sample precision at large block indices."""
+    soa = detector.soa(
+        np.array([10_000_000]), np.array([1234]), np.array([0.125]))
+    assert soa[0] == 10_000_000 * 11464 + 1234 + 0.125

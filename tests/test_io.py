@@ -1,0 +1,154 @@
+import io
+
+import numpy as np
+import pytest
+
+from thrifty_tpu.dsp import iq
+from thrifty_tpu.io import blocks as blocks_io
+from thrifty_tpu.io import card, toad
+
+
+class TestCard:
+    def make_capture(self, b=4, n=64, seed=0):
+        rng = np.random.default_rng(seed)
+        ts = 1.5e9 + np.arange(b) * 0.1
+        idx = np.arange(b, dtype=np.int64) + 7
+        raw = rng.integers(0, 256, size=(b, 2 * n), dtype=np.uint8)
+        return ts, idx, raw
+
+    def test_round_trip(self):
+        ts, idx, raw = self.make_capture()
+        buf = io.StringIO()
+        card.write_card(buf, ts, idx, raw, header="test capture")
+        buf.seek(0)
+        ts2, idx2, raw2 = card.read_card(
+            io.BytesIO(buf.getvalue().encode()))
+        np.testing.assert_allclose(ts2, ts, atol=1e-6)
+        np.testing.assert_array_equal(idx2, idx)
+        np.testing.assert_array_equal(raw2, raw)
+
+    def test_comments_and_junk_skipped(self):
+        ts, idx, raw = self.make_capture(b=1)
+        buf = io.StringIO()
+        buf.write("# header\n\nUsing Volk machine: foo\nlinux; bar\n")
+        card.write_card(buf, ts, idx, raw)
+        buf.seek(0)
+        ts2, _, _ = card.read_card(io.BytesIO(buf.getvalue().encode()))
+        assert len(ts2) == 1
+
+    def test_blocks_reader(self):
+        ts, idx, raw = self.make_capture()
+        buf = io.StringIO()
+        card.write_card(buf, ts, idx, raw)
+        _, _, blocks = card.read_card_blocks(
+            io.BytesIO(buf.getvalue().encode()))
+        np.testing.assert_array_equal(blocks, iq.raw_to_iq(raw))
+
+    def test_batched_iteration(self):
+        ts, idx, raw = self.make_capture(b=10)
+        buf = io.StringIO()
+        card.write_card(buf, ts, idx, raw)
+        buf.seek(0)
+        batches = list(card.iter_card_batches(
+            io.BytesIO(buf.getvalue().encode()), batch_size=4))
+        assert [len(b[0]) for b in batches] == [4, 4, 2]
+        np.testing.assert_array_equal(
+            np.concatenate([b[2] for b in batches]), raw)
+
+    def test_empty(self):
+        ts, idx, raw = card.read_card(io.BytesIO(b"# nothing\n"))
+        assert len(ts) == 0
+
+
+class TestToad:
+    def make_detections(self, n=3):
+        det = toad.empty(n)
+        det["rxid"] = [0, 1, 2][:n]
+        det["txid"] = [5, 6, 7][:n]
+        det["timestamp"] = 1.5e9 + np.arange(n)
+        det["block"] = np.arange(n) * 100
+        det["soa"] = np.arange(n) * 11464.0 + 0.12345678
+        det["sample"] = [10, 20, 30][:n]
+        det["offset"] = [0.1, -0.2, 0.3][:n]
+        det["energy"] = [100.0, 200.0, 300.0][:n]
+        det["noise"] = [1.0, 2.0, 3.0][:n]
+        det["carrier_bin"] = [40, 41, 42][:n]
+        det["carrier_offset"] = [0.25, -0.25, 0.0][:n]
+        det["carrier_energy"] = [50.0, 60.0, 70.0][:n]
+        det["carrier_noise"] = [0.5, 0.6, 0.7][:n]
+        return det
+
+    def test_toad_round_trip(self):
+        det = self.make_detections()
+        buf = io.StringIO()
+        toad.save(buf, det, with_rxid=True, with_txid=False)
+        buf.seek(0)
+        back = toad.load_toad(buf)
+        for field in det.dtype.names:
+            if field == "txid":
+                continue  # not serialized in .toad
+            np.testing.assert_allclose(
+                back[field].astype(float), det[field].astype(float),
+                atol=1e-6, err_msg=field)
+
+    def test_toads_round_trip_with_txid(self):
+        det = self.make_detections()
+        buf = io.StringIO()
+        toad.save(buf, det, with_rxid=True, with_txid=True)
+        buf.seek(0)
+        back = toad.load_toads(buf)
+        np.testing.assert_array_equal(back["txid"], det["txid"])
+        np.testing.assert_array_equal(back["rxid"], det["rxid"])
+
+    def test_field_order_matches_reference_format(self):
+        # rxid ts block soa sample offset energy noise cbin coff cen cnoise
+        det = self.make_detections(1)
+        line = toad.format_line(det[0], with_rxid=True)
+        parts = line.split()
+        assert len(parts) == 12
+        assert parts[0] == "0"
+        assert float(parts[1]) == det[0]["timestamp"]
+        assert int(parts[2]) == det[0]["block"]
+        assert float(parts[3]) == pytest.approx(det[0]["soa"])
+        assert int(parts[4]) == 10
+        assert int(parts[8]) == 40
+
+    def test_from_detector_output(self):
+        out = {
+            "detected": np.array([True, False, True]),
+            "corr_sample": np.array([5, 6, 7]),
+            "corr_offset": np.array([0.1, 0.2, 0.3], np.float32),
+            "corr_energy": np.array([10.0, 11.0, 12.0], np.float32),
+            "corr_noise": np.array([1.0, 1.1, 1.2], np.float32),
+            "carrier_bin": np.array([40, 41, 42]),
+            "carrier_offset": np.array([0.0, 0.1, 0.2], np.float32),
+            "carrier_energy": np.array([9.0, 9.1, 9.2], np.float32),
+            "carrier_noise": np.array([0.9, 0.8, 0.7], np.float32),
+        }
+        ts = np.array([1.0, 2.0, 3.0])
+        idx = np.array([0, 1, 2])
+        soa = np.array([100.0, 200.0, 300.0])
+        det = toad.from_detector_output(ts, idx, soa, out, rxid=9)
+        assert len(det) == 2
+        assert det["rxid"].tolist() == [9, 9]
+        assert det["block"].tolist() == [0, 2]
+        assert det["soa"].tolist() == [100.0, 300.0]
+
+
+class TestRawBlocks:
+    def test_overlap_save(self):
+        size, history, new = 8, 3, 5
+        samples = np.arange(1, 21, dtype=np.uint8)  # 10 complex samples
+        stream = io.BytesIO(samples.tobytes())
+        batches = list(blocks_io.raw_batches(
+            stream, size, history, batch_size=10,
+            timestamper=lambda: 0.0))
+        assert len(batches) == 1
+        _, idx, raw = batches[0]
+        assert idx.tolist() == [0, 1]
+        # First block: zero-signal prefix (128s) + 10 bytes of new data.
+        assert raw[0, :2 * history].tolist() == [128] * (2 * history)
+        np.testing.assert_array_equal(raw[0, 2 * history:], samples[:2 * new])
+        # Second block overlaps the last `history` samples of the first.
+        np.testing.assert_array_equal(
+            raw[1, :2 * history], raw[0, -2 * history:])

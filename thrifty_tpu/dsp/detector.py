@@ -1,0 +1,185 @@
+"""The fused, batched, jit-compiled detector.
+
+Where the reference processes one 16384-sample block at a time through a
+Python loop (thrifty/detect.py:60-78) or a C++ loop (fastdet/fastdet.cpp:
+163-208), this detector processes a whole batch of blocks [B, N] in one
+compiled XLA program: two batched FFTs + one batched IFFT plus fused
+element-wise/reduction stages.  All decisions (thresholds, peak picks,
+interpolations) are computed unconditionally as arrays and masked --
+there is no data-dependent control flow, so XLA can tile everything onto
+the TPU's vector units and overlap HBM traffic with compute.
+
+Detection semantics match the reference exactly (same formulas, same
+windows, same clipping); see the per-stage modules for file:line cites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thrifty_tpu.dsp import carrier, dirichlet, shift, xcorr
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Static configuration of the batched detector."""
+
+    block_len: int = 16384
+    history_len: int = 4920
+    carrier_thresh: tuple = (0.0, 15.0, 0.0)
+    carrier_window: Optional[tuple] = None  # (start, stop) signed bins
+    corr_thresh: tuple = (0.0, 15.0, 0.0)
+    # 'fractional' = python-reference semantics (phase-ramp shift);
+    # 'integer' = fastdet semantics (FFT roll, no second FFT).
+    sync_mode: str = "fractional"
+    interp_width: int = 6
+    gn_iters: int = 12
+
+
+class BatchDetector:
+    """Batched detect: blocks [B, N] complex64 -> per-block detection arrays.
+
+    Output dict fields (all [B], or [B, T] reduced over templates):
+      detected       bool  -- carrier AND correlation detection
+      carrier_detect bool
+      carrier_bin    int32 -- FFT array index of carrier peak
+      carrier_offset f32   -- sub-bin offset (Dirichlet fit)
+      carrier_energy f32   -- carrier peak magnitude
+      carrier_noise  f32
+      corr_sample    int32 -- correlation peak lag within block
+      corr_offset    f32   -- sub-sample offset (Gaussian interp)
+      corr_energy    f32   -- correlation peak magnitude
+      corr_noise     f32
+      template_idx   int32 -- best-matching template (bank mode)
+    """
+
+    def __init__(self, template: np.ndarray, config: DetectorConfig):
+        self.config = config
+        template = np.asarray(template, dtype=np.float64)
+        self.bank = template.ndim == 2
+        tmpl2d = np.atleast_2d(template)
+        self.num_templates, self.template_len = tmpl2d.shape
+        if config.history_len < self.template_len - 1:
+            raise ValueError("history_len must be >= template_len - 1")
+
+        n = config.block_len
+        self.corr_len = n - self.template_len + 1
+        self.window = xcorr.corr_window(
+            n, config.history_len, self.template_len
+        )
+        self.new_len = n - config.history_len
+
+        # Precomputed device constants.
+        tconj = np.conj(np.fft.fft(
+            np.pad(tmpl2d, ((0, 0), (0, n - self.template_len)))
+        )).astype(np.complex64)
+        tenergy = np.sum(tmpl2d**2, axis=-1).astype(np.float32)
+        if not self.bank:
+            tconj, tenergy = tconj[0], tenergy[0]
+        self._tmpl_fft_conj = jnp.asarray(tconj)
+        self._tmpl_energy = jnp.asarray(tenergy)
+        self._carrier_mask = jnp.asarray(
+            carrier.window_mask(config.carrier_window, n)
+        )
+        self._interp = dirichlet.make_dirichlet_interpolator(
+            block_len=n,
+            carrier_len=self.template_len,
+            width=config.interp_width,
+            iters=config.gn_iters,
+        )
+        self._detect_jit = jax.jit(self._detect_batch)
+
+    # -- the compiled program ------------------------------------------------
+
+    def _detect_batch(self, blocks):
+        cfg = self.config
+        n = cfg.block_len
+
+        # Stage 1: carrier detection on |FFT|.
+        fft = jnp.fft.fft(blocks)
+        mag = jnp.abs(fft)
+        c_det, c_idx, c_mag, c_noise = carrier.detect(
+            mag, self._carrier_mask, cfg.carrier_thresh
+        )
+
+        # Stage 2: sub-bin interpolation (only reported when detected).
+        c_off = self._interp(mag, c_idx)
+        c_off = jnp.where(c_det, c_off, 0.0)
+
+        # Stage 3: carrier removal.
+        if cfg.sync_mode == "fractional":
+            shift_bins = -(c_idx.astype(jnp.float32) + c_off)
+            shifted = shift.fractional_shift_fft(blocks, shift_bins)
+        elif cfg.sync_mode == "integer":
+            shifted = shift.integer_roll_fft(fft, -c_idx)
+        else:
+            raise ValueError("unknown sync_mode: " + cfg.sync_mode)
+
+        # Stage 4: despread against the template (bank) and find the peak.
+        corr = xcorr.despread(shifted, self._tmpl_fft_conj, self.corr_len)
+        corr_mag = jnp.abs(corr)
+        p_idx, p_mag = xcorr.window_peak(corr_mag, self.window)
+
+        # Stage 5: noise, threshold, sub-sample offset.
+        signal_energy = jnp.sum(
+            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1
+        )
+        if self.bank:
+            signal_energy = signal_energy[:, None]
+        noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
+        thresh = xcorr.threshold(corr_mag, noise, cfg.corr_thresh)
+        p_det = p_mag > thresh
+        p_off = xcorr.gaussian_interpolate(corr_mag, p_idx)
+        p_off = jnp.where(p_det, p_off, 0.0)
+
+        if self.bank:
+            # Pick the best template per block by peak magnitude.
+            best = jnp.argmax(p_mag, axis=-1)
+            take = lambda a: jnp.take_along_axis(
+                a, best[:, None], axis=-1)[:, 0]
+            p_idx, p_mag = take(p_idx), take(p_mag)
+            noise, p_det = take(noise), take(p_det)
+            p_off = take(p_off)
+            template_idx = best.astype(jnp.int32)
+        else:
+            template_idx = jnp.zeros_like(c_idx)
+
+        return {
+            "detected": c_det & p_det,
+            "carrier_detect": c_det,
+            "carrier_bin": c_idx,
+            "carrier_offset": c_off,
+            "carrier_energy": c_mag,
+            "carrier_noise": c_noise,
+            "corr_sample": p_idx,
+            "corr_offset": p_off,
+            "corr_energy": p_mag,
+            "corr_noise": noise,
+            "template_idx": template_idx,
+        }
+
+    # -- host API ------------------------------------------------------------
+
+    def __call__(self, blocks):
+        """Run detection on a [B, N] complex64 batch (device or host array)."""
+        return self._detect_jit(jnp.asarray(blocks))
+
+    def soa(self, block_idx, corr_sample, corr_offset):
+        """Absolute sample-of-arrival since receiver start (host, float64).
+
+        soa = (block_len - history_len)*block_idx + peak + offset
+        (reference thrifty/detect.py:67-69, fastdet/fastdet.cpp:185-186).
+        Computed on host in float64: block_idx can be large enough that
+        float32 would lose sub-sample precision.
+        """
+        return (
+            np.asarray(block_idx, dtype=np.float64) * self.new_len
+            + np.asarray(corr_sample, dtype=np.float64)
+            + np.asarray(corr_offset, dtype=np.float64)
+        )

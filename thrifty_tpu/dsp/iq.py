@@ -1,0 +1,47 @@
+"""RTL-SDR 8-bit interleaved I/Q <-> complex conversion.
+
+The RTL-SDR emits unsigned 8-bit interleaved I/Q at a DC offset of 127.4;
+conversion is ``(x - 127.4)/128`` (reference thrifty/block_data.py:38-67,
+fastcard/rawconv.c:10-11).  Both a numpy host version and a JAX device
+version (batched, fused by XLA into the FFT input) are provided.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DC_OFFSET = 127.4
+SCALE = 1.0 / 128.0
+
+
+def raw_to_iq(raw: np.ndarray) -> np.ndarray:
+    """uint8 interleaved I/Q [..., 2N] -> complex64 [..., N] (host numpy)."""
+    raw = np.asarray(raw, dtype=np.uint8)
+    f = raw.astype(np.float32)
+    i = (f[..., 0::2] - DC_OFFSET) * SCALE
+    q = (f[..., 1::2] - DC_OFFSET) * SCALE
+    return (i + 1j * q).astype(np.complex64)
+
+
+def iq_to_raw(iq: np.ndarray) -> np.ndarray:
+    """complex64 [..., N] -> uint8 interleaved I/Q [..., 2N] (host numpy)."""
+    iq = np.asarray(iq, dtype=np.complex64)
+    out = np.empty(iq.shape[:-1] + (2 * iq.shape[-1],), dtype=np.float32)
+    out[..., 0::2] = iq.real
+    out[..., 1::2] = iq.imag
+    return (out * 128.0 + DC_OFFSET).astype(np.uint8)
+
+
+def raw_to_iq_jax(raw):
+    """Device-side uint8 [..., 2N] -> complex64 [..., N].
+
+    Kept as pure jnp elementwise ops so XLA fuses the conversion into the
+    consumer (typically the first FFT's input handling).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = raw.astype(jnp.float32)
+    i = (f[..., 0::2] - DC_OFFSET) * SCALE
+    q = (f[..., 1::2] - DC_OFFSET) * SCALE
+    return jax.lax.complex(i, q)

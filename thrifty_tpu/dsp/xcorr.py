@@ -1,0 +1,133 @@
+"""Batched matched filtering (despreading) and sub-sample SoA estimation.
+
+The core of the detector: frequency-domain cross-correlation of each
+block against the Gold-code template (optionally a bank of templates),
+windowed peak search, noise/threshold tests, and Gaussian sub-sample
+interpolation.  Re-design of the reference's per-block SoA estimator
+(thrifty/soa_estimator.py:42-170, fastdet/corr_detector.cpp:103-165) as
+batched array ops:
+
+  corr      = IFFT(FFT(block_shifted) * conj(FFT(template)))[:corr_len]
+  noise_rms = sqrt((E_signal * E_template - peak^2) / N)
+  threshold = sqrt(c + s*noise^2 + d*std(|corr|)^2)
+  offset    = gaussian 3-point log interpolation, clipped to +-0.6
+  SoA       = (block_len - history_len)*block_idx + peak + offset
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def corr_window(block_len: int, history_len: int, template_len: int):
+    """Half-open [start, stop) interval of correlation lags unique to a block.
+
+    With overlap-save blocking, a correlation peak within this window
+    appears in exactly one block; peaks in the padding are detected by the
+    neighbouring block (cf. reference thrifty/soa_estimator.py:20-39).
+    """
+    assert history_len >= template_len - 1, (
+        "history must cover the template: history_len >= template_len - 1"
+    )
+    corr_len = block_len - template_len + 1
+    padding = history_len - template_len + 1
+    left = padding // 2
+    right = padding - left
+    return left, corr_len - right
+
+
+def template_fft_conj(template: np.ndarray, block_len: int) -> np.ndarray:
+    """conj(FFT(zero-padded template)) for one template or a [T, L] bank."""
+    template = np.atleast_2d(np.asarray(template, dtype=np.float64))
+    t, length = template.shape
+    padded = np.zeros((t, block_len), dtype=np.float64)
+    padded[:, :length] = template
+    out = np.conj(np.fft.fft(padded)).astype(np.complex64)
+    return out[0] if out.shape[0] == 1 else out
+
+
+def template_energy(template: np.ndarray) -> np.ndarray:
+    """Sum of squared template samples (per template in a bank)."""
+    template = np.asarray(template, dtype=np.float64)
+    return np.sum(template**2, axis=-1).astype(np.float32)
+
+
+def despread(shifted_fft, tmpl_fft_conj, corr_len: int):
+    """Batched frequency-domain correlation.
+
+    shifted_fft: [B, N]; tmpl_fft_conj: [N] or [T, N].
+    Returns corr [B, corr_len] or [B, T, corr_len].
+    """
+    if tmpl_fft_conj.ndim == 2:
+        prod = shifted_fft[:, None, :] * tmpl_fft_conj[None, :, :]
+    else:
+        prod = shifted_fft * tmpl_fft_conj
+    corr_full = jnp.fft.ifft(prod)
+    return corr_full[..., :corr_len]
+
+
+def window_peak(corr_mag, window):
+    """Batched argmax restricted to the unique-lag window [start, stop)."""
+    start, stop = window
+    peak_rel = jnp.argmax(corr_mag[..., start:stop], axis=-1)
+    peak_idx = (peak_rel + start).astype(jnp.int32)
+    peak_mag = jnp.take_along_axis(corr_mag, peak_idx[..., None], axis=-1)
+    return peak_idx, peak_mag[..., 0]
+
+
+def noise_rms(peak_mag, signal_energy, tmpl_energy, block_len: int):
+    """Correlation-domain noise estimate.
+
+    ``signal_energy`` is the block's time-domain energy sum(|x|^2)
+    (invariant under the unit-modulus carrier shift), multiplied by the
+    template energy to get total correlation energy; the peak's power is
+    subtracted (cf. reference thrifty/soa_estimator.py:108-120).
+    """
+    corr_energy = signal_energy * tmpl_energy
+    power = (corr_energy - jnp.square(peak_mag)) / block_len
+    return jnp.sqrt(jnp.maximum(power, 0.0))
+
+
+def threshold(corr_mag, noise, thresh_coeffs):
+    """sqrt(c + s*noise^2 + d*std(|corr|)^2), batched."""
+    c, s, d = thresh_coeffs
+    t_sq = c + s * jnp.square(noise)
+    if d:
+        t_sq = t_sq + d * jnp.var(corr_mag, axis=-1)
+    return jnp.sqrt(t_sq)
+
+
+def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6):
+    """Batched Gaussian (log-parabolic) sub-sample peak interpolation.
+
+    offset = 0.5*(ln c - ln a)/(2 ln b - ln a - ln c), clipped to +-clip
+    (reference thrifty/soa_estimator.py:159-170 with clip 0.6;
+    fastdet clips to 0.5).  Out-of-bounds peaks return offset 0.
+    """
+    n = corr_mag.shape[-1]
+    safe_idx = jnp.clip(peak_idx, 1, n - 2)
+    idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
+    y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    y = jnp.maximum(y, 1e-30)  # guard log of zero magnitudes
+    la, lb, lc = jnp.log(y[..., 0]), jnp.log(y[..., 1]), jnp.log(y[..., 2])
+    den = 2.0 * lb - la - lc
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    offset = 0.5 * (lc - la) / den
+    offset = jnp.clip(offset, -clip, clip)
+    in_bounds = (peak_idx > 0) & (peak_idx < n - 1)
+    return jnp.where(in_bounds, offset, 0.0)
+
+
+def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6):
+    """Batched parabolic sub-sample peak interpolation (alternative)."""
+    n = corr_mag.shape[-1]
+    safe_idx = jnp.clip(peak_idx, 1, n - 2)
+    idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
+    y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    a, b, c = y[..., 0], y[..., 1], y[..., 2]
+    den = 2.0 * b - a - c
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    offset = jnp.clip(0.5 * (c - a) / den, -clip, clip)
+    in_bounds = (peak_idx > 0) & (peak_idx < n - 1)
+    return jnp.where(in_bounds, offset, 0.0)

@@ -1,0 +1,49 @@
+"""Overlap-save blocking of raw IQ sample streams (host side).
+
+Splits a raw 8-bit interleaved I/Q stream into fixed-size blocks of
+``size`` samples where the last ``history`` samples of each block are
+repeated at the start of the next (reference thrifty/block_data.py:70-98,
+fastcard/raw_reader.c:22-30).  Batches of blocks are materialized as
+[B, 2*size] uint8 arrays ready for device upload.
+"""
+
+from __future__ import annotations
+
+import time as time_mod
+
+import numpy as np
+
+
+def raw_batches(stream, size, history, batch_size, timestamper=None):
+    """Yield (timestamps [b], indices [b], raw [b, 2*size]) batches.
+
+    ``stream`` is a binary file-like object of interleaved uint8 I/Q.
+    The first block is zero-padded at the front (history of zeros), like
+    the reference reader.
+    """
+    if timestamper is None:
+        timestamper = time_mod.time
+    new_bytes = 2 * (size - history)
+    hist_bytes = 2 * history
+    tail = np.zeros(hist_bytes, dtype=np.uint8) + 128  # zero-signal bias
+
+    ts_buf, idx_buf, raw_buf = [], [], []
+    block_idx = 0
+    while True:
+        chunk = stream.read(new_bytes)
+        if len(chunk) < new_bytes:
+            break
+        new = np.frombuffer(chunk, dtype=np.uint8)
+        block = np.concatenate([tail, new])
+        tail = block[-hist_bytes:]
+        ts_buf.append(timestamper())
+        idx_buf.append(block_idx)
+        raw_buf.append(block)
+        block_idx += 1
+        if len(raw_buf) == batch_size:
+            yield (np.asarray(ts_buf), np.asarray(idx_buf, dtype=np.int64),
+                   np.stack(raw_buf))
+            ts_buf, idx_buf, raw_buf = [], [], []
+    if raw_buf:
+        yield (np.asarray(ts_buf), np.asarray(idx_buf, dtype=np.int64),
+               np.stack(raw_buf))

@@ -1,0 +1,146 @@
+""".card file reading/writing (carrier-detection block captures).
+
+Format (reference fastcard/fastcard_cli.c:183-193, thrifty/block_data.py:
+101-131): text lines ``<timestamp> <block_index> <base64(raw block)>``
+where the raw block is the full block's 8-bit interleaved I/Q samples;
+``#`` lines are comments.
+
+The default implementation parses whole files into batched arrays
+(timestamps [B], indices [B], raw [B, 2N]) -- feeding the TPU detector
+batch-at-a-time rather than block-at-a-time.  A C++ fast path
+(thrifty_tpu.native) accelerates base64 decode when built.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+
+import numpy as np
+
+from thrifty_tpu.dsp import iq
+
+_SKIP_PREFIXES = ("Using Volk machine:", "linux;")
+
+
+def _parse_lines(lines):
+    for line in lines:
+        if isinstance(line, bytes):
+            line = line.decode("ascii", errors="replace")
+        if not line or line[0] in "#\n":
+            continue
+        if line.startswith(_SKIP_PREFIXES):
+            continue
+        parts = line.split()
+        if len(parts) != 3:
+            continue
+        # Real .card files can contain stray tool output (the format
+        # explicitly tolerates junk lines); skip anything unparseable.
+        try:
+            yield float(parts[0]), int(parts[1]), parts[2]
+        except ValueError:
+            continue
+
+
+def read_card(stream_or_path, native=True):
+    """Read a .card file into (timestamps [B], indices [B], raw [B, 2N]).
+
+    Blocks of differing length raise ValueError (fixed block size is a
+    format invariant).
+    """
+    if isinstance(stream_or_path, str):
+        with open(stream_or_path, "rb") as f:
+            return read_card(f, native=native)
+
+    if native:
+        try:
+            from thrifty_tpu.native import b64decode_batch
+        except ImportError:
+            native = False
+
+    timestamps, indices, encoded = [], [], []
+    for ts, idx, enc in _parse_lines(stream_or_path):
+        timestamps.append(ts)
+        indices.append(idx)
+        encoded.append(enc)
+
+    if not timestamps:
+        n = 0
+        return (np.zeros(0), np.zeros(0, np.int64), np.zeros((0, n), np.uint8))
+
+    if native:
+        raw = b64decode_batch(encoded)
+    else:
+        decoded = [
+            np.frombuffer(base64.b64decode(e), dtype=np.uint8)
+            for e in encoded
+        ]
+        lengths = {len(d) for d in decoded}
+        if len(lengths) != 1:
+            raise ValueError("inconsistent block sizes in .card file")
+        raw = np.stack(decoded)
+
+    return (
+        np.asarray(timestamps, dtype=np.float64),
+        np.asarray(indices, dtype=np.int64),
+        raw,
+    )
+
+
+def read_card_blocks(stream_or_path):
+    """Read a .card file into (timestamps, indices, complex64 blocks)."""
+    ts, idx, raw = read_card(stream_or_path)
+    return ts, idx, iq.raw_to_iq(raw)
+
+
+def iter_card_batches(stream, batch_size):
+    """Yield (timestamps, indices, raw [b, 2N]) batches from a stream.
+
+    Streaming variant for unbounded captures: accumulates lines into
+    fixed-size batches so device work stays statically shaped.
+    """
+    ts_buf, idx_buf, enc_buf = [], [], []
+    for ts, idx, enc in _parse_lines(stream):
+        ts_buf.append(ts)
+        idx_buf.append(idx)
+        enc_buf.append(enc)
+        if len(ts_buf) == batch_size:
+            yield _decode_batch(ts_buf, idx_buf, enc_buf)
+            ts_buf, idx_buf, enc_buf = [], [], []
+    if ts_buf:
+        yield _decode_batch(ts_buf, idx_buf, enc_buf)
+
+
+def _decode_batch(ts_buf, idx_buf, enc_buf):
+    try:
+        from thrifty_tpu.native import b64decode_batch
+        raw = b64decode_batch(enc_buf)
+    except ImportError:
+        raw = np.stack([
+            np.frombuffer(base64.b64decode(e), dtype=np.uint8)
+            for e in enc_buf
+        ])
+    return (
+        np.asarray(ts_buf, dtype=np.float64),
+        np.asarray(idx_buf, dtype=np.int64),
+        raw,
+    )
+
+
+def write_card(stream_or_path, timestamps, indices, raw, header=None):
+    """Write blocks to a .card file.
+
+    ``raw`` is [B, 2N] uint8; complex blocks should be converted with
+    :func:`thrifty_tpu.dsp.iq.iq_to_raw` first.
+    """
+    if isinstance(stream_or_path, str):
+        with open(stream_or_path, "w") as f:
+            return write_card(f, timestamps, indices, raw, header)
+
+    f = stream_or_path
+    if header:
+        for line in header.splitlines():
+            f.write("# " + line + "\n")
+    for ts, idx, row in zip(timestamps, indices, raw):
+        enc = base64.b64encode(np.ascontiguousarray(row).tobytes())
+        f.write("{:.6f} {} {}\n".format(float(ts), int(idx), enc.decode()))

@@ -1,0 +1,182 @@
+"""Synthetic capture generation for tests and benchmarks.
+
+The reference repo ships no capture data (example/Makefile expects
+user-supplied .card files), so correctness and performance are measured
+on synthesized captures: OOK-modulated Gold-code bursts on a carrier at a
+chosen FFT bin, embedded in AWGN, streamed through the same overlap-save
+blocking as a real receiver (block 16384 / history 4920).
+
+Signal model (per the reference's design, README.rst:27-35): the
+transmitter emits a carrier OOK-modulated by a Gold code; the unmodulated
+"half" of the OOK signal produces the carrier line that the carrier
+detector locks onto, and the code produces the correlation peak.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from thrifty_tpu.dsp import gold as gold_mod
+from thrifty_tpu.dsp import template as template_mod
+from thrifty_tpu.dsp import iq
+
+
+@dataclasses.dataclass
+class Burst:
+    """Ground truth for one transmitted burst."""
+
+    position: int          # start of code in absolute stream samples
+    carrier_bin: float     # carrier frequency in (fractional) FFT bins
+    amplitude: float
+    phase: float
+    expected_soa: float    # position + history (the detector's SoA basis)
+    block_idx: int         # block whose unique window contains the peak
+
+
+@dataclasses.dataclass
+class Capture:
+    timestamps: np.ndarray  # [B] float64
+    indices: np.ndarray     # [B] int64
+    blocks: np.ndarray      # [B, N] complex64
+    bursts: list            # list[Burst]
+    template: np.ndarray    # [L] float64 bipolar template
+
+
+def ook_from_template(template: np.ndarray) -> np.ndarray:
+    """Map a bipolar +-1 template to the transmitted OOK envelope {0, 1}."""
+    return (np.asarray(template) > 0).astype(np.float64)
+
+
+def make_template(bits=11, index=0, sample_rate=2.4e6, chip_rate=0.999707e6):
+    """Default example-config template: 11-bit Gold code @ 2.4/0.999707."""
+    return template_mod.generate(bits, index, sample_rate / chip_rate)
+
+
+def synth_stream(
+    length: int,
+    bursts,
+    template: np.ndarray,
+    block_len: int = 16384,
+    noise_std: float = 0.05,
+    seed: int = 0,
+):
+    """Build a continuous complex sample stream with OOK code bursts.
+
+    ``bursts`` is a list of dicts/tuples (position, carrier_bin, amplitude,
+    phase).  The carrier frequency is ``carrier_bin`` cycles per
+    ``block_len`` samples, phase-continuous from the burst start.
+    """
+    rng = np.random.default_rng(seed)
+    stream = (
+        rng.normal(0.0, noise_std, length)
+        + 1j * rng.normal(0.0, noise_std, length)
+    ).astype(np.complex128) / np.sqrt(2)
+
+    ook = ook_from_template(template)
+    tlen = len(ook)
+    for b in bursts:
+        pos, bin_f, ampl, phase = (
+            b["position"], b["carrier_bin"], b["amplitude"], b["phase"])
+        if pos < 0 or pos + tlen > length:
+            raise ValueError("burst does not fit in stream")
+        n = np.arange(tlen)
+        carrier = np.exp(2j * np.pi * bin_f * n / block_len + 1j * phase)
+        stream[pos:pos + tlen] += ampl * ook * carrier
+    return stream
+
+
+def stream_to_blocks(stream, block_len=16384, history_len=4920):
+    """Overlap-save unfold: continuous stream -> [B, N] blocks with halos.
+
+    Block b holds stream[b*new - history : b*new - history + block_len],
+    zero-padded before the stream start -- the same decomposition the
+    reference's readers produce (thrifty/block_data.py:70-98,
+    fastcard/raw_reader.c:22-30).
+    """
+    new_len = block_len - history_len
+    padded = np.concatenate(
+        [np.zeros(history_len, dtype=stream.dtype), stream])
+    num_blocks = (len(padded) - block_len) // new_len + 1
+    idx = (
+        np.arange(num_blocks)[:, None] * new_len + np.arange(block_len)
+    )
+    return padded[idx]
+
+
+def synth_capture(
+    num_blocks: int = 64,
+    bursts_every: int = 4,
+    template: np.ndarray = None,
+    block_len: int = 16384,
+    history_len: int = 4920,
+    carrier_bin: float = 40.25,
+    amplitude: float = 0.5,
+    noise_std: float = 0.05,
+    seed: int = 0,
+    quantize: bool = True,
+    t0: float = 1.5e9,
+    sample_rate: float = 2.4e6,
+) -> Capture:
+    """Generate a full synthetic capture with periodic bursts.
+
+    Bursts are placed so each lands inside a block's unique correlation
+    window.  With ``quantize`` the stream round-trips through 8-bit
+    interleaved I/Q like a real RTL-SDR capture.
+    """
+    if template is None:
+        template = make_template()
+    template = np.asarray(template, dtype=np.float64)
+    tlen = len(template)
+    new_len = block_len - history_len
+
+    rng = np.random.default_rng(seed + 1)
+    length = num_blocks * new_len
+    burst_list = []
+    truth = []
+    for b in range(1, num_blocks, bursts_every):
+        # Place the code so its correlation lag falls mid-window of block b:
+        # lag ~ history + (block_len - tlen - history)//2 keeps the whole
+        # burst inside the block and well inside the unique window.
+        lag = history_len + (block_len - tlen - history_len) // 2
+        pos = b * new_len - history_len + lag
+        if pos < 0 or pos + tlen > length:
+            continue
+        jitter = int(rng.integers(-200, 200))
+        pos += jitter
+        phase = float(rng.uniform(0, 2 * np.pi))
+        bin_jitter = float(rng.uniform(-0.4, 0.4))
+        burst_list.append({
+            "position": pos,
+            "carrier_bin": carrier_bin + bin_jitter,
+            "amplitude": amplitude,
+            "phase": phase,
+        })
+        truth.append(Burst(
+            position=pos,
+            carrier_bin=carrier_bin + bin_jitter,
+            amplitude=amplitude,
+            phase=phase,
+            expected_soa=float(pos + history_len),
+            block_idx=b,
+        ))
+
+    stream = synth_stream(
+        length, burst_list, template, block_len, noise_std, seed)
+
+    if quantize:
+        raw = iq.iq_to_raw(stream)
+        stream = iq.raw_to_iq(raw).astype(np.complex128)
+
+    blocks = stream_to_blocks(stream, block_len, history_len)
+    blocks = blocks.astype(np.complex64)
+    indices = np.arange(len(blocks), dtype=np.int64)
+    timestamps = t0 + indices * (new_len / sample_rate)
+    return Capture(
+        timestamps=timestamps,
+        indices=indices,
+        blocks=blocks,
+        bursts=truth,
+        template=template,
+    )
