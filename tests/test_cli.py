@@ -1,0 +1,162 @@
+"""CLI end-to-end: drive the real commands on files in a temp dir."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from thrifty_tpu import sim
+from thrifty_tpu.dsp import iq
+from thrifty_tpu.io import card
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RX_POS = {
+    0: np.array([0.0, 0.0]),
+    1: np.array([9000.0, 500.0]),
+    2: np.array([4000.0, 8000.0]),
+}
+BEACON_POS = {9: np.array([4500.0, 3000.0])}
+MOBILE_POS = {3: np.array([6000.0, 2500.0])}
+
+
+def run_cli(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    # The ambient sitecustomize prepends an accelerator platform; a
+    # wrapper forces CPU before the CLI module runs.
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; from thrifty_tpu.cli import main; "
+        "sys.exit(main({!r}))".format(list(args))
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=540)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_e2e")
+    tpl = sim.make_template()
+    np.save(str(d / "template.npy"), tpl)
+
+    schedule = [(9, t) for t in np.arange(0.02, 0.36, 0.05)]
+    schedule += [(3, t) for t in (0.085, 0.185, 0.285)]
+    caps = sim.synth_rx_captures(
+        RX_POS, {**BEACON_POS, **MOBILE_POS}, {9: 30, 3: 70}, schedule,
+        template=tpl, num_blocks=80, amplitude=0.6, noise_std=0.04,
+        clock_offsets={1: 777.25, 2: -123.5},
+        clock_drifts={1: 3e-6, 2: -2e-6}, seed=11)
+    for rxid, cap in caps.items():
+        card.write_card(str(d / "rx{}.card".format(rxid)),
+                        cap.timestamps, cap.indices,
+                        iq.iq_to_raw(cap.blocks))
+
+    (d / "detector.cfg").write_text(
+        "sample_rate: 2.4M\nchip_rate: 0.999707M\n"
+        "block_size: 16384\nblock_history: 4920\n"
+        "carrier_window: 7 - 110\ncarrier_threshold: 15*snr\n"
+        "corr_threshold: 15*snr\ntemplate: template.npy\n"
+        "batch_size: 16\n")
+    (d / "freq-map.cfg").write_text(
+        "9: 25 - 35\n3: 65 - 75\n@0: 0\n@1: 0\n@2: 0\n")
+    (d / "pos-rx.cfg").write_text("".join(
+        "{}: {} {}\n".format(r, p[0], p[1]) for r, p in RX_POS.items()))
+    (d / "pos-beacon.cfg").write_text("".join(
+        "{}: {} {}\n".format(t, p[0], p[1]) for t, p in BEACON_POS.items()))
+    return d
+
+
+@pytest.fixture(scope="module")
+def detected(workdir):
+    for rxid in RX_POS:
+        res = run_cli(["detect", "rx{}.card".format(rxid),
+                       "-o", "rx{}.toad".format(rxid),
+                       "--rxid", str(rxid), "--quiet"], cwd=str(workdir))
+        assert res.returncode == 0, res.stderr
+        toadfile = workdir / "rx{}.toad".format(rxid)
+        assert toadfile.exists()
+    return workdir
+
+
+def test_detect_produces_toads(detected):
+    for rxid in RX_POS:
+        lines = (detected / "rx{}.toad".format(rxid)).read_text().splitlines()
+        assert len(lines) >= 10  # 10 transmissions (+ maybe dups)
+        assert lines[0].split()[0] == str(rxid)
+
+
+def test_detect_summary_lines(workdir):
+    res = run_cli(["detect", "rx0.card"], cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    assert "carrier: yes" in res.stdout
+    assert "corr: yes" in res.stdout
+    assert "SNR" in res.stdout
+
+
+def test_full_cli_pipeline(detected):
+    d = detected
+    res = run_cli(["identify", "rx0.toad", "rx1.toad", "rx2.toad",
+                   "-o", "data.toads", "-m", "freq-map.cfg"], cwd=str(d))
+    assert res.returncode == 0, res.stderr
+    assert (d / "data.toads").exists()
+
+    res = run_cli(["match", "data.toads", "-o", "data.match",
+                   "-w", "0.02"], cwd=str(d))
+    assert res.returncode == 0, res.stderr
+    assert "Number of matches: 10" in res.stdout
+
+    res = run_cli(["tdoa", "data.toads", "data.match", "-o", "data.tdoa",
+                   "-r", "pos-rx.cfg", "-b", "pos-beacon.cfg"], cwd=str(d))
+    assert res.returncode == 0, res.stderr
+    assert "Number of TDOA estimations: 3" in res.stdout
+
+    res = run_cli(["pos", "data.tdoa", "-o", "data.pos",
+                   "-r", "pos-rx.cfg"], cwd=str(d))
+    assert res.returncode == 0, res.stderr
+
+    rows = (d / "data.pos").read_text().splitlines()
+    assert len(rows) == 3
+    for row in rows:
+        fields = row.split()
+        est = np.array([float(fields[5]), float(fields[6])])
+        assert np.linalg.norm(est - MOBILE_POS[3]) < 60.0
+
+
+def test_template_generate_cli(workdir):
+    res = run_cli(["template_generate", "11", "0", "-o", "tpl_gen.npy"],
+                  cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    tpl = np.load(str(workdir / "tpl_gen.npy"))
+    assert len(tpl) == 4914
+
+
+def test_gold_cli(workdir):
+    res = run_cli(["gold", "5", "2", "--stats"], cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    assert "Peak amplitude: 31" in res.stdout
+
+
+def test_help(workdir):
+    res = run_cli(["help"], cwd=str(workdir))
+    assert res.returncode == 0
+    assert "detect" in res.stdout
+    res = run_cli(["bogus_command"], cwd=str(workdir))
+    assert res.returncode == 1
+
+
+def test_template_extract_cli(workdir):
+    res = run_cli(["template_extract", "rx0.card", "-o", "extracted.npy"],
+                  cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    extracted = np.load(str(workdir / "extracted.npy"))
+    base = np.load(str(workdir / "template.npy"))
+    assert len(extracted) == len(base)
+    # The extracted template must correlate strongly with the ideal one.
+    corr = np.dot(extracted, base) / (
+        np.linalg.norm(extracted) * np.linalg.norm(base))
+    assert corr > 0.9

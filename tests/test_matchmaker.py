@@ -1,0 +1,101 @@
+import io
+
+import numpy as np
+
+from thrifty_tpu.io import toad
+from thrifty_tpu.pipeline import matchmaker
+
+
+def make(rows):
+    """rows: (rxid, txid, timestamp, energy)."""
+    det = toad.empty(len(rows))
+    for i, (rxid, txid, ts, energy) in enumerate(rows):
+        det[i]["rxid"], det[i]["txid"] = rxid, txid
+        det[i]["timestamp"], det[i]["energy"] = ts, energy
+    return det
+
+
+class TestMatch:
+    def test_basic_two_rx_match(self):
+        det = make([
+            (0, 1, 10.00, 5.0),
+            (1, 1, 10.05, 5.0),   # same tx, within window
+            (0, 1, 20.00, 5.0),   # lone detection -> miss
+        ])
+        matches, misses, collisions = matchmaker.match_detections(det)
+        assert matches == [[0, 1]]
+        assert misses == [2]
+        assert collisions == []
+
+    def test_window_excludes_far_detections(self):
+        det = make([
+            (0, 1, 10.0, 5.0),
+            (1, 1, 10.5, 5.0),   # outside 0.2 s window
+        ])
+        matches, misses, _ = matchmaker.match_detections(det, window=0.2)
+        assert matches == []
+        assert sorted(misses) == [0, 1]
+
+    def test_different_tx_not_matched(self):
+        det = make([
+            (0, 1, 10.0, 5.0),
+            (1, 2, 10.01, 5.0),
+        ])
+        matches, misses, _ = matchmaker.match_detections(det)
+        assert matches == []
+
+    def test_collision_resolved_by_energy(self):
+        det = make([
+            (0, 1, 10.00, 5.0),
+            (1, 1, 10.01, 3.0),   # rx1 weak
+            (1, 1, 10.02, 9.0),   # rx1 strong -> wins
+        ])
+        matches, _, collisions = matchmaker.match_detections(det)
+        assert len(matches) == 1
+        assert sorted(matches[0]) == [0, 2]
+        assert collisions == [(1, 2)]
+
+    def test_collision_keeps_earlier_stronger(self):
+        det = make([
+            (0, 1, 10.00, 5.0),
+            (1, 1, 10.01, 9.0),
+            (1, 1, 10.02, 3.0),
+        ])
+        matches, _, collisions = matchmaker.match_detections(det)
+        assert sorted(matches[0]) == [0, 1]
+
+    def test_min_match_three(self):
+        det = make([
+            (0, 1, 10.00, 5.0),
+            (1, 1, 10.01, 5.0),
+            (2, 1, 10.02, 5.0),
+        ])
+        m3, _, _ = matchmaker.match_detections(det, min_match=3)
+        assert len(m3) == 1 and sorted(m3[0]) == [0, 1, 2]
+        det2 = make([(0, 1, 10.00, 5.0), (1, 1, 10.01, 5.0)])
+        m3b, misses, _ = matchmaker.match_detections(det2, min_match=3)
+        assert m3b == [] and misses == [0]
+
+
+class TestIO:
+    def test_round_trip(self):
+        matches = [[0, 1], [2, 3, 4]]
+        buf = io.StringIO()
+        matchmaker.save_matches(buf, matches)
+        buf.seek(0)
+        assert matchmaker.load_matches(buf) == matches
+
+
+class TestMatrix:
+    def test_extracts_full_coverage_rows(self):
+        det = make([
+            (0, 1, 10.00, 5.0), (1, 1, 10.01, 5.0),
+            (0, 1, 20.00, 5.0),  # only rx0
+            (0, 2, 30.00, 5.0), (1, 2, 30.01, 5.0),
+        ])
+        matches = [[0, 1], [2], [3, 4]]
+        rows = matchmaker.match_matrix(det, matches, rxids=[0, 1])
+        assert rows == [[0, 1], [3, 4]]
+        rows_tx = matchmaker.match_matrix(det, matches, rxids=[0, 1],
+                                          txids=[2])
+        assert rows_tx == [[3, 4]]

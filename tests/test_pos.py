@@ -1,0 +1,127 @@
+"""Multilateration: forward-model TDOAs from known geometry -> solver."""
+
+import numpy as np
+import pytest
+
+from thrifty_tpu.pipeline import pos, tdoa
+
+C = pos.SPEED_OF_LIGHT
+
+
+def forward_tdoas(tx, rx_pos, pairs, snr=100.0):
+    rows = []
+    for rx0, rx1 in pairs:
+        t = (np.linalg.norm(tx - rx_pos[rx0])
+             - np.linalg.norm(tx - rx_pos[rx1])) / C
+        rows.append((rx0, rx1, t, snr, 1.0, 0, 0))
+    return np.array(rows, dtype=tdoa.TDOA_DTYPE)
+
+
+RX4 = {
+    0: np.array([0.0, 0.0]),
+    1: np.array([9000.0, 500.0]),
+    2: np.array([4000.0, 8000.0]),
+    3: np.array([-2000.0, 6000.0]),
+}
+PAIRS4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+class TestSolve2D:
+    @pytest.mark.parametrize("tx", [
+        [3000.0, 3000.0], [7500.0, 2500.0], [-500.0, 4000.0],
+        [4810.5, 5213.25],
+    ])
+    def test_recovers_position(self, tx):
+        tx = np.array(tx)
+        tdoas = forward_tdoas(tx, RX4, PAIRS4)
+        est, snr = pos.solve_group(tdoas, RX4)
+        np.testing.assert_allclose(est, tx, atol=1e-3)
+        assert snr == pytest.approx(100.0)
+
+    def test_underdetermined_raises(self):
+        tdoas = forward_tdoas(np.array([1.0, 2.0]), RX4, [(0, 1)])
+        with pytest.raises(pos.EstimationError):
+            pos.solve_group(tdoas, RX4)
+
+
+class TestSolve1D:
+    def test_between_two_receivers(self):
+        rx = {0: np.array([0.0]), 1: np.array([10000.0])}
+        tx = np.array([3000.0])
+        tdoas = forward_tdoas(tx, rx, [(0, 1)])
+        est, _ = pos.solve_1d(tdoas, rx)
+        assert est[0] == pytest.approx(3000.0, abs=1e-6)
+
+
+class TestDop:
+    def test_surrounded_better_than_outside(self):
+        inside = pos.dop([4000.0, 4000.0], RX4, PAIRS4)
+        outside = pos.dop([40000.0, 40000.0], RX4, PAIRS4)
+        assert 0 < inside < outside
+
+    def test_1d_exact(self):
+        rx = {0: np.array([0.0]), 1: np.array([1000.0])}
+        # G = [-x/d0 - (x-1000)/d1 ...] at midpoint: (-1) - (1) = -2
+        d = pos.dop([500.0], rx, [(0, 1)])
+        assert d == pytest.approx(0.5)
+
+
+class TestSolveGroups:
+    def test_end_to_end_group_solve(self):
+        tx = np.array([6000.0, 3500.0])
+        groups = [tdoa.TdoaGroup(
+            group_id=5, timestamp=123.0, tx=3,
+            tdoas=forward_tdoas(tx, RX4, PAIRS4))]
+        results = pos.solve(groups, RX4)
+        assert len(results) == 1
+        assert results[0]["group_id"] == 5
+        assert results[0]["tx"] == 3
+        np.testing.assert_allclose(
+            [results[0]["x"], results[0]["y"]], tx, atol=1e-3)
+        assert results[0]["dop"] > 0
+
+
+class TestBatchedSolver:
+    def test_matches_scipy_solver(self):
+        rng = np.random.default_rng(0)
+        txs = rng.uniform(0, 8000, size=(16, 2))
+        groups = [forward_tdoas(t, RX4, PAIRS4) for t in txs]
+        tdoa_pad = np.stack([g["tdoa"] for g in groups])
+        mask = np.ones_like(tdoa_pad, dtype=bool)
+        rx0 = np.stack([[RX4[int(a)] for a in g["rx0"]] for g in groups])
+        rx1 = np.stack([[RX4[int(b)] for b in g["rx1"]] for g in groups])
+        coords = np.array(list(RX4.values()))
+        bounds = (coords.min(0) - pos.MAX_DIST, coords.max(0) + pos.MAX_DIST)
+        est = np.asarray(pos.solve_groups_batched(
+            tdoa_pad, mask, rx0, rx1, bounds))
+        np.testing.assert_allclose(est, txs, atol=0.5)
+
+    def test_masked_pairs_ignored(self):
+        tx = np.array([3000.0, 3000.0])
+        g = forward_tdoas(tx, RX4, PAIRS4)
+        tdoa_pad = np.concatenate([g["tdoa"], [999.0]])[None, :]
+        mask = np.array([[True] * len(PAIRS4) + [False]])
+        rx0 = np.stack(
+            [[RX4[int(a)] for a in g["rx0"]] + [RX4[0]]])
+        rx1 = np.stack(
+            [[RX4[int(b)] for b in g["rx1"]] + [RX4[1]]])
+        coords = np.array(list(RX4.values()))
+        bounds = (coords.min(0) - pos.MAX_DIST, coords.max(0) + pos.MAX_DIST)
+        est = np.asarray(pos.solve_groups_batched(
+            tdoa_pad, mask, rx0, rx1, bounds))
+        np.testing.assert_allclose(est[0], tx, atol=0.5)
+
+
+class TestIO:
+    def test_round_trip(self, tmp_path):
+        tx = np.array([6000.0, 3500.0])
+        groups = [tdoa.TdoaGroup(
+            group_id=1, timestamp=123.456789, tx=3,
+            tdoas=forward_tdoas(tx, RX4, PAIRS4))]
+        results = pos.solve(groups, RX4)
+        path = str(tmp_path / "data.pos")
+        pos.save_positions(path, results)
+        back = pos.load_positions(path)
+        assert back[0]["group_id"] == 1
+        assert back[0]["x"] == pytest.approx(results[0]["x"])
+        assert back[0]["timestamp"] == pytest.approx(123.456789)

@@ -1,0 +1,118 @@
+"""Sharded detection on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from thrifty_tpu import sim
+from thrifty_tpu.dsp import gold, template
+from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+from thrifty_tpu.parallel import mesh as mesh_mod
+from thrifty_tpu.parallel import sharded
+
+
+# Small geometry so CPU tests stay fast: 5-bit gold code, 2 sps.
+BLOCK, HISTORY = 1024, 160
+TPL = template.generate(5, 0, 2.0)  # 62 samples
+
+
+def small_capture(num_blocks, seed=0, bursts_every=3):
+    return sim.synth_capture(
+        num_blocks=num_blocks, bursts_every=bursts_every, template=TPL,
+        block_len=BLOCK, history_len=HISTORY, carrier_bin=40.25,
+        amplitude=0.8, noise_std=0.05, seed=seed, quantize=False)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return BatchDetector(TPL, DetectorConfig(
+        block_len=BLOCK, history_len=HISTORY, carrier_window=(7, 110)))
+
+
+def test_mesh_construction():
+    m = mesh_mod.make_mesh(num_rx=2)
+    assert m.shape == {"rx": 2, "time": 4}
+    m2 = mesh_mod.make_mesh(num_rx=1, num_time=8)
+    assert m2.shape == {"rx": 1, "time": 8}
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(num_rx=3)
+
+
+def test_batch_sharded_matches_single_device(detector):
+    cap = small_capture(16)
+    m = mesh_mod.make_mesh(num_rx=2, num_time=4)
+    fn = sharded.batch_detect_sharded(detector, m)
+    ref = {k: np.asarray(v) for k, v in detector(cap.blocks).items()}
+    got = {k: np.asarray(v) for k, v in fn(cap.blocks).items()}
+    for k in ref:
+        np.testing.assert_allclose(
+            got[k], ref[k], rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_stream_halo_exchange_matches_host_unfold(detector):
+    """Device-side ppermute halo + unfold == host overlap-save blocks."""
+    num_rx, num_time, s_loc = 2, 4, 4
+    total_blocks = num_time * s_loc
+    new_len = BLOCK - HISTORY
+    m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)
+
+    caps = [small_capture(total_blocks, seed=i) for i in range(num_rx)]
+    # Rebuild the contiguous new-sample streams the devices will unfold.
+    streams = np.stack([
+        np.concatenate([c.blocks[b, HISTORY:] for b in range(total_blocks)])
+        for c in caps])
+    assert streams.shape == (num_rx, total_blocks * new_len)
+
+    fn = sharded.make_stream_detector(detector, num_rx, s_loc, m)
+    out = {k: np.asarray(v)
+           for k, v in fn(sharded.shard_stream(streams, m)).items()}
+
+    for r, cap in enumerate(caps):
+        ref = {k: np.asarray(v) for k, v in detector(cap.blocks).items()}
+        np.testing.assert_array_equal(out["block_idx"][r],
+                                      np.arange(total_blocks))
+        np.testing.assert_array_equal(
+            out["detected"][r], ref["detected"])
+        np.testing.assert_array_equal(
+            out["corr_sample"][r], ref["corr_sample"])
+        np.testing.assert_allclose(
+            out["corr_offset"][r], ref["corr_offset"], atol=2e-4)
+        np.testing.assert_allclose(
+            out["carrier_offset"][r], ref["carrier_offset"], atol=2e-4)
+
+
+def test_stream_detects_bursts(detector):
+    num_rx, num_time, s_loc = 1, 8, 3
+    total_blocks = num_time * s_loc
+    m = mesh_mod.make_mesh(num_rx=1, num_time=8)
+    cap = small_capture(total_blocks, seed=5)
+    new_len = BLOCK - HISTORY
+    stream = np.concatenate(
+        [cap.blocks[b, HISTORY:] for b in range(total_blocks)])[None, :]
+
+    fn = sharded.make_stream_detector(detector, num_rx, s_loc, m)
+    out = {k: np.asarray(v)
+           for k, v in fn(sharded.shard_stream(stream, m)).items()}
+    soa = detector.soa(out["block_idx"][0],
+                       out["corr_sample"][0], out["corr_offset"][0])
+    for burst in cap.bursts:
+        i = burst.block_idx
+        assert out["detected"][0][i]
+        assert abs(soa[i] - burst.expected_soa) < 0.05
+
+
+def test_stream_gather_replicates(detector):
+    num_rx, num_time, s_loc = 2, 4, 4
+    m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)
+    cap = small_capture(num_time * s_loc)
+    new_len = BLOCK - HISTORY
+    stream = np.concatenate(
+        [cap.blocks[b, HISTORY:] for b in range(num_time * s_loc)])
+    streams = np.stack([stream, stream])
+    fn = sharded.make_stream_detector(detector, num_rx, s_loc, m,
+                                      gather=True)
+    out = fn(sharded.shard_stream(streams, m))
+    detected = np.asarray(out["detected"])
+    assert detected.shape == (num_rx, num_time * s_loc)
+    # Both receivers saw the same stream.
+    np.testing.assert_array_equal(detected[0], detected[1])

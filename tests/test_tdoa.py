@@ -1,0 +1,129 @@
+"""TDOA estimation against a simulated receiver network with drifting
+clocks and beacon transmitters."""
+
+import io
+
+import numpy as np
+import pytest
+
+from thrifty_tpu import sim
+from thrifty_tpu.pipeline import matchmaker, tdoa
+
+C = tdoa.SPEED_OF_LIGHT
+FS = 2.4e6
+
+RX_POS = {0: np.array([0.0, 0.0]), 1: np.array([10000.0, 0.0])}
+BEACON_POS = {9: np.array([5000.0, 2000.0])}
+MOBILE_POS = {3: np.array([7000.0, 1000.0])}
+
+
+def build_scenario(drift1=2e-6, offset1=12345.0, soa_noise=0.0,
+                   mobile_times=(4.0, 9.0, 14.0), beacon_every=1.0,
+                   duration=20.0):
+    schedule = [(9, t) for t in np.arange(0.5, duration, beacon_every)]
+    schedule += [(3, t) for t in mobile_times]
+    det = sim.synth_network(
+        RX_POS, {**BEACON_POS, **MOBILE_POS}, schedule, FS,
+        clock_offsets={1: offset1},
+        clock_drifts={1: drift1},
+        soa_noise=soa_noise)
+    matches, _, _ = matchmaker.match_detections(det)
+    return det, matches
+
+
+def expected_tdoa(txpos):
+    return (np.linalg.norm(txpos - RX_POS[0])
+            - np.linalg.norm(txpos - RX_POS[1])) / C
+
+
+class TestEstimate:
+    def test_recovers_geometry_tdoa_despite_clock_error(self):
+        det, matches = build_scenario()
+        groups, failures = tdoa.estimate_tdoas(
+            det, matches, window_size=8, beacon_pos=BEACON_POS,
+            rx_pos=RX_POS, sample_rate=FS)
+        assert len(groups) == 3
+        assert not failures
+        want = expected_tdoa(MOBILE_POS[3])
+        for g in groups:
+            assert g.tx == 3
+            got = g.tdoas["tdoa"][0]
+            # sub-nanosecond agreement on noiseless SoAs
+            assert got == pytest.approx(want, abs=1e-9)
+
+    def test_large_clock_drift_still_recovered(self):
+        det, matches = build_scenario(drift1=5e-5, offset1=1e9)
+        groups, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS)
+        want = expected_tdoa(MOBILE_POS[3])
+        for g in groups:
+            assert g.tdoas["tdoa"][0] == pytest.approx(want, abs=5e-9)
+
+    def test_insufficient_beacons_fails(self):
+        det, matches = build_scenario(beacon_every=50.0)  # ~0 beacons/window
+        groups, failures = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS)
+        assert groups == []
+        assert len(failures) == 3
+
+    def test_noise_propagates_to_tdoa(self):
+        det, matches = build_scenario(soa_noise=0.05,
+                                      mobile_times=tuple(
+                                          np.arange(4.0, 16.0, 0.5)))
+        groups, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS)
+        want = expected_tdoa(MOBILE_POS[3])
+        errs = np.array([g.tdoas["tdoa"][0] - want for g in groups])
+        # 0.05-sample SoA noise -> tens of ns TDOA error scale
+        assert np.sqrt(np.mean(errs**2)) < 200e-9
+        assert np.max(np.abs(errs)) > 0  # noise actually present
+
+
+class TestModels:
+    def make_pairs(self, n=6):
+        det, matches = build_scenario()
+        beacons = tdoa.BeaconPairs(
+            det, [m for m in matches if det[m[0]]["txid"] == 9])
+        return beacons.extract(0, 1, 0.0, 20.0)
+
+    def test_weighted_poly_close_to_poly(self):
+        det, matches = build_scenario()
+        g1, _ = tdoa.estimate_tdoas(det, matches, 8, BEACON_POS, RX_POS, FS,
+                                    model_builder=tdoa.build_model_poly)
+        g2, _ = tdoa.estimate_tdoas(det, matches, 8, BEACON_POS, RX_POS, FS,
+                                    model_builder=tdoa.build_model_weighted_poly)
+        for a, b in zip(g1, g2):
+            assert a.tdoas["tdoa"][0] == pytest.approx(
+                b.tdoas["tdoa"][0], abs=2e-9)
+
+    def test_nearest_model(self):
+        det, matches = build_scenario(drift1=0.0)  # nearest can't fit drift
+        groups, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=tdoa.build_model_nearest)
+        want = expected_tdoa(MOBILE_POS[3])
+        for g in groups:
+            assert g.tdoas["tdoa"][0] == pytest.approx(want, abs=1e-9)
+
+
+class TestIO:
+    def test_round_trip(self):
+        det, matches = build_scenario()
+        groups, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS)
+        buf = io.StringIO()
+        tdoa.save_tdoa_groups(buf, groups)
+        buf.seek(0)
+        back = tdoa.load_tdoa_groups(buf)
+        assert len(back) == len(groups)
+        for a, b in zip(groups, back):
+            assert a.group_id == b.group_id
+            assert a.tx == b.tx
+            np.testing.assert_allclose(
+                a.tdoas["tdoa"], b.tdoas["tdoa"], atol=1e-15)
+
+    def test_pos_config(self):
+        cfg = io.StringIO("0: 100.0 200.0\n1: -5 7 9\n")
+        pos = tdoa.load_pos_config(cfg)
+        np.testing.assert_array_equal(pos[0], [100.0, 200.0])
+        np.testing.assert_array_equal(pos[1], [-5, 7, 9])

@@ -75,18 +75,18 @@ class BatchDetector:
         )
         self.new_len = n - config.history_len
 
-        # Precomputed device constants.
+        # Precomputed constants, kept as numpy so they are embedded at
+        # trace time (host->device transfer happens once per compile;
+        # also avoids backend-specific device->host constant round-trips).
         tconj = np.conj(np.fft.fft(
             np.pad(tmpl2d, ((0, 0), (0, n - self.template_len)))
         )).astype(np.complex64)
         tenergy = np.sum(tmpl2d**2, axis=-1).astype(np.float32)
         if not self.bank:
             tconj, tenergy = tconj[0], tenergy[0]
-        self._tmpl_fft_conj = jnp.asarray(tconj)
-        self._tmpl_energy = jnp.asarray(tenergy)
-        self._carrier_mask = jnp.asarray(
-            carrier.window_mask(config.carrier_window, n)
-        )
+        self._tmpl_fft_conj = tconj
+        self._tmpl_energy = tenergy
+        self._carrier_mask = carrier.window_mask(config.carrier_window, n)
         self._interp = dirichlet.make_dirichlet_interpolator(
             block_len=n,
             carrier_len=self.template_len,

@@ -1,0 +1,176 @@
+"""Streaming detect driver + CLI: .card / raw IQ -> .toad.
+
+The host-side pump around the batched device detector: read fixed-size
+batches of blocks, upload, detect, and serialize detections.  JAX's
+async dispatch overlaps host IO/decode of batch k+1 with device compute
+of batch k (the TPU-era replacement for fastcard's producer/consumer
+ring buffer, fastcard/circbuf.c); batches are padded to a static shape
+so the program compiles exactly once.
+
+CLI mirrors the reference's ``thrifty detect`` (thrifty/detect.py:
+161-223): same config keys, same .toad output, same per-block summary
+lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from thrifty_tpu.config import settings as settings_mod
+from thrifty_tpu.config.parsers import normalize_freq_range
+from thrifty_tpu.dsp import iq, util
+from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+from thrifty_tpu.io import blocks as blocks_io
+from thrifty_tpu.io import card, toad
+
+
+class SummaryFormatter:
+    """One-line per-block summary (reference thrifty/detect.py:103-158)."""
+
+    def __init__(self, sample_rate, block_len):
+        self.sample_rate = sample_rate
+        self.block_len = block_len
+
+    def __call__(self, block_idx, out, i):
+        bin_idx = int(out["carrier_bin"][i])
+        offset = float(out["carrier_offset"][i])
+        freq = (util.fft_bin(bin_idx, self.block_len) + offset) \
+            * self.sample_rate / self.block_len
+        carrier_det = bool(out["carrier_detect"][i])
+        snr = util.snr_db(float(out["carrier_energy"][i]),
+                          float(out["carrier_noise"][i]))
+        line = ("blk={blk}; carrier: {det} @ {freq:.3f} kHz"
+                " / {idx:>3.0f}:{off:+.2f}, "
+                "SNR = {ampl:>4.0f} / {noise:>2.0f} = {snr:>5.2f} dB"
+                .format(blk=block_idx, det="yes" if carrier_det else "no ",
+                        freq=freq / 1e3, idx=bin_idx, off=offset,
+                        ampl=float(out["carrier_energy"][i]),
+                        noise=float(out["carrier_noise"][i]), snr=snr))
+        if carrier_det:
+            det = bool(out["detected"][i])
+            snr = util.snr_db(float(out["corr_energy"][i]),
+                              float(out["corr_noise"][i]))
+            line += ("; corr: {det} @ {idx:>4}{off:+.3f}"
+                     ", SNR = {ampl:>4.0f}/{noise:>2.0f} = {snr:>5.2f} dB"
+                     .format(det="yes" if det else "no ",
+                             idx=int(out["corr_sample"][i]),
+                             off=float(out["corr_offset"][i]),
+                             ampl=float(out["corr_energy"][i]),
+                             noise=float(out["corr_noise"][i]), snr=snr))
+        return line
+
+
+def detect_batches(detector, batches, batch_size, rxid=-1,
+                   summary=None, summary_out=None):
+    """Run the detector over an iterator of (ts, idx, raw) batches.
+
+    Yields detection record arrays (toad.DETECTION_DTYPE) per batch.
+    Batches shorter than ``batch_size`` are padded (and the padding
+    masked out), keeping the compiled program's shape static.
+    """
+    pending = []  # [(ts, idx, n_valid, device_out)]
+
+    def drain(entry):
+        ts, idx, n, dev_out = entry
+        out = {k: np.asarray(v)[:n] for k, v in dev_out.items()}
+        soa = detector.soa(idx, out["corr_sample"], out["corr_offset"])
+        if summary is not None and summary_out is not None:
+            for i in range(n):
+                print(summary(int(idx[i]), out, i), file=summary_out)
+        return toad.from_detector_output(ts, idx, soa, out, rxid=rxid)
+
+    for ts, idx, raw in batches:
+        n = len(ts)
+        if n < batch_size:
+            pad = batch_size - n
+            raw = np.concatenate(
+                [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
+        blocks = iq.raw_to_iq(raw)
+        dev_out = detector(blocks)  # async dispatch
+        pending.append((ts, idx, n, dev_out))
+        # Keep one batch in flight: overlap host decode with device work.
+        if len(pending) > 1:
+            yield drain(pending.pop(0))
+    while pending:
+        yield drain(pending.pop(0))
+
+
+def _main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("input", type=str,
+                        help="input .card file ('-' streams from stdin)")
+    parser.add_argument("--raw", action="store_true",
+                        help="input is raw interleaved uint8 I/Q")
+    parser.add_argument("--quiet", action="store_true",
+                        help="do not print per-block summary lines")
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument("-o", "--output", type=str,
+                       help="output .toad file ('-' for stdout)")
+    group.add_argument("-a", "--append", type=str,
+                       help="output .toad file to append to")
+
+    keys = ["sample_rate", "block_size", "block_history", "carrier_window",
+            "carrier_threshold", "corr_threshold", "template", "rxid",
+            "batch_size", "sync_mode"]
+    config, args = settings_mod.load_args(parser, keys, argv=argv)
+
+    template = np.load(config.template)
+    bin_freq = config.sample_rate / config.block_size
+    window = normalize_freq_range(config.carrier_window, bin_freq)
+
+    detector = BatchDetector(template, DetectorConfig(
+        block_len=config.block_size,
+        history_len=config.block_history,
+        carrier_thresh=config.carrier_threshold,
+        carrier_window=window,
+        corr_thresh=config.corr_threshold,
+        sync_mode=config.sync_mode,
+    ))
+
+    in_stream = sys.stdin.buffer if args.input == "-" \
+        else open(args.input, "rb")
+    if args.raw:
+        batches = blocks_io.raw_batches(
+            in_stream, config.block_size, config.block_history,
+            config.batch_size)
+    else:
+        batches = card.iter_card_batches(in_stream, config.batch_size)
+
+    if args.output == "-":
+        out_stream, close_out = sys.stdout, False
+    elif args.output:
+        out_stream, close_out = open(args.output, "w"), True
+    elif args.append:
+        out_stream, close_out = open(args.append, "a"), True
+    else:
+        out_stream, close_out = None, False
+    info_out = sys.stderr if out_stream is sys.stdout else sys.stdout
+
+    summary = None if args.quiet else SummaryFormatter(
+        config.sample_rate, config.block_size)
+
+    num = 0
+    try:
+        for records in detect_batches(
+                detector, batches, config.batch_size, rxid=config.rxid,
+                summary=summary, summary_out=info_out):
+            num += len(records)
+            if out_stream is not None:
+                toad.save(out_stream, records)
+                out_stream.flush()
+    finally:
+        if close_out:
+            out_stream.close()
+        if in_stream is not sys.stdin.buffer:
+            in_stream.close()
+    if not args.quiet:
+        print("{} detections".format(num), file=info_out)
+
+
+if __name__ == "__main__":
+    _main()

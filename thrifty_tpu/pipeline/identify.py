@@ -1,0 +1,193 @@
+"""Merge receiver detections, identify transmitter IDs, remove duplicates.
+
+Vectorized re-design of the reference's integrate stage
+(thrifty/identify.py): transmitter classification and duplicate removal
+operate on the whole structured detection array at once.
+
+TX identification is by carrier frequency: either a frequency-map config
+(``txid: start - stop`` bin ranges plus per-RX ``@rxid: offset`` lines,
+reference thrifty/identify.py:189-214) or automatic window discovery
+from the carrier-bin histogram (reference thrifty/identify.py:26-76).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as glob_mod
+import sys
+
+import numpy as np
+
+from thrifty_tpu.config.settings import parse_kv_config
+from thrifty_tpu.io import toad
+
+UNIDENTIFIED = -1
+
+
+def detect_transmitter_windows(freq_bins, verbose=False):
+    """Discover TX frequency windows from a carrier-bin histogram.
+
+    Runs of histogram counts above ``1.25*std`` (ended when counts drop
+    below ``0.4*std``) are peaks; window edges are midpoints between
+    adjacent peaks.  Returns the array of window edges (len = #tx + 1).
+    """
+    freq_bins = np.asarray(freq_bins)
+    first = int(np.min(freq_bins))
+    counts = np.bincount(freq_bins - first)
+    low = np.std(counts) * 0.4
+    high = np.std(counts) * 1.25
+
+    peaks = []
+    in_peak = False
+    start = 0
+    for i, cnt in enumerate(counts):
+        if in_peak and cnt < low:
+            peaks.append((start, i))
+            in_peak = False
+        elif not in_peak and cnt > high:
+            start = i
+            in_peak = True
+    if in_peak:
+        peaks.append((start, len(counts) - 1))
+
+    edges = [(peaks[i][1] + peaks[i + 1][0]) // 2
+             for i in range(len(peaks) - 1)]
+    edges = np.concatenate(
+        [[first], np.asarray(edges, dtype=np.int64) + first,
+         [first + len(counts)]])
+    if verbose:
+        print("window thresholds: low={:.2f} high={:.2f}; {} transmitter(s)"
+              .format(low, high, len(edges) - 1))
+    return edges
+
+
+def auto_classify(detections):
+    """Assign txids from per-receiver carrier-bin histograms."""
+    txids = np.full(len(detections), UNIDENTIFIED, dtype=np.int32)
+    for rxid in np.unique(detections["rxid"]):
+        sel = detections["rxid"] == rxid
+        edges = detect_transmitter_windows(detections["carrier_bin"][sel])
+        txids[sel] = np.digitize(
+            detections["carrier_bin"][sel], edges[:-1]) - 1
+    return txids
+
+
+def classify_by_freqmap(detections, freqmap):
+    """Assign txids from a frequency-map {rxid: {txid: (start, stop)}}."""
+    freq = detections["carrier_bin"] + detections["carrier_offset"]
+    txids = np.full(len(detections), UNIDENTIFIED, dtype=np.int32)
+    for rxid, ranges in freqmap.items():
+        rx_sel = detections["rxid"] == rxid
+        for txid, (start, stop) in ranges.items():
+            hit = rx_sel & (freq >= start) & (freq <= stop)
+            txids[hit] = txid
+    return txids
+
+
+def identify_transmitters(detections, freqmap=None):
+    """Set the txid field in-place; returns the array for chaining."""
+    if freqmap is None:
+        detections["txid"] = auto_classify(detections)
+    else:
+        detections["txid"] = classify_by_freqmap(detections, freqmap)
+    return detections
+
+
+def duplicate_mask(detections):
+    """Boolean keep-mask removing adjacent-block duplicate detections.
+
+    A burst straddling a block boundary fires in both blocks (the shared
+    history); the weaker detection of any (rxid, txid, block+-1) neighbor
+    pair is dropped, as are unidentified detections
+    (reference thrifty/identify.py:134-164).
+    """
+    order = np.argsort(
+        detections[["rxid", "txid", "block", "timestamp"]],
+        order=("rxid", "txid", "block", "timestamp"))
+    cur = detections[order]
+    prev = np.roll(cur, 1)
+    nxt = np.roll(cur, -1)
+
+    same_prev = (cur["rxid"] == prev["rxid"]) & (cur["txid"] == prev["txid"])
+    same_next = (cur["rxid"] == nxt["rxid"]) & (cur["txid"] == nxt["txid"])
+    dup_prev = same_prev & (cur["block"] == prev["block"] + 1) \
+        & (cur["energy"] < prev["energy"])
+    dup_next = same_next & (cur["block"] == nxt["block"] - 1) \
+        & (cur["energy"] < nxt["energy"])
+    unidentified = cur["txid"] == UNIDENTIFIED
+    keep_sorted = ~(dup_prev | dup_next | unidentified)
+
+    keep = np.empty(len(detections), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def integrate(detections, freqmap=None):
+    """Identify transmitters, drop duplicates, sort by timestamp."""
+    identify_transmitters(detections, freqmap)
+    filtered = detections[duplicate_mask(detections)]
+    return filtered[np.argsort(filtered["timestamp"], kind="stable")]
+
+
+def load_freqmap(stream):
+    """Parse a freq-map config: ``txid: start - stop`` + ``@rxid: offset``."""
+    if stream is None:
+        return None
+    strings = parse_kv_config(stream)
+    tx_ranges, rx_offsets = {}, {}
+    for key, value in strings.items():
+        if key.startswith("@"):
+            rx_offsets[int(key[1:])] = float(value)
+        else:
+            start, stop = (float(x.strip()) for x in value.split("-"))
+            tx_ranges[int(key)] = (start, stop)
+    return {
+        rxid: {
+            txid: (start + off, stop + off)
+            for txid, (start, stop) in tx_ranges.items()
+        }
+        for rxid, off in rx_offsets.items()
+    }
+
+
+def load_toad_globs(patterns):
+    filenames = []
+    for pattern in patterns:
+        filenames.extend(sorted(glob_mod.glob(pattern)))
+    parts = [toad.load_toad(f) for f in filenames]
+    if not parts:
+        return toad.empty(0), filenames
+    return np.concatenate(parts), filenames
+
+
+def _main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("toad_file", type=str, nargs="*", default=["*.toad"],
+                        help="toad file(s) from receivers [default: *.toad]")
+    parser.add_argument("-o", "--output", type=str, default="data.toads",
+                        help="output .toads file ('-' for stdout)")
+    parser.add_argument("-m", "--map", type=argparse.FileType("r"),
+                        help="frequency map config for txid assignment "
+                             "[default: auto-detect]")
+    args = parser.parse_args(argv)
+
+    detections, filenames = load_toad_globs(args.toad_file)
+    freqmap = load_freqmap(args.map)
+    filtered = integrate(detections, freqmap)
+    print("Removed {} duplicates / unidentified transmissions from {} "
+          "detections.".format(len(detections) - len(filtered),
+                               len(detections)))
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        out.write("# source_files: [{}]\n".format(" ".join(filenames)))
+        toad.save(out, filtered, with_rxid=True, with_txid=True)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,84 @@
+"""In-process full pipeline: detect everything, then identify -> match ->
+tdoa -> pos (reference thrifty/kitchen_sink.py:42-87).
+
+Every stage is injectable for experimentation; defaults are the standard
+implementations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from thrifty_tpu.dsp.detector import BatchDetector
+from thrifty_tpu.io import card, toad
+from thrifty_tpu.pipeline import identify as identify_mod
+from thrifty_tpu.pipeline import matchmaker as matchmaker_mod
+from thrifty_tpu.pipeline import pos as pos_mod
+from thrifty_tpu.pipeline import tdoa as tdoa_mod
+
+
+@dataclasses.dataclass
+class PostdetectSettings:
+    freqmap: Optional[dict]
+    match_window: float
+    tdoa_est_window: float
+    rx_pos: dict
+    beacon_pos: dict
+    sample_rate: float
+
+
+@dataclasses.dataclass
+class PostdetectResult:
+    toads: np.ndarray
+    matches: list
+    tdoas: list
+    pos: np.ndarray
+
+
+def detect_all(cards, detector: BatchDetector, batch_size: int = 256):
+    """Detect on multiple receivers' captures.
+
+    ``cards``: {rxid: .card path | (timestamps, indices, blocks)}.
+    Returns a merged detection array (unidentified txids).
+    """
+    from thrifty_tpu.pipeline.detect import detect_batches
+    from thrifty_tpu.dsp import iq
+
+    parts = []
+    for rxid, capture in cards.items():
+        if isinstance(capture, str):
+            ts, idx, blocks = card.read_card_blocks(capture)
+        else:
+            ts, idx, blocks = capture
+        batches = (
+            (ts[i:i + batch_size], idx[i:i + batch_size],
+             iq.iq_to_raw(blocks[i:i + batch_size]))
+            for i in range(0, len(ts), batch_size))
+        for records in detect_batches(detector, batches, batch_size,
+                                      rxid=rxid):
+            parts.append(records)
+    if not parts:
+        return toad.empty(0)
+    return np.concatenate(parts)
+
+
+def postdetect(
+    detections,
+    settings: PostdetectSettings,
+    integrator: Callable = identify_mod.integrate,
+    matcher: Callable = matchmaker_mod.match_detections,
+    tdoa_estimator: Callable = tdoa_mod.estimate_tdoas,
+    pos_estimator: Callable = pos_mod.solve,
+):
+    """Identify, match, estimate TDOAs, estimate positions."""
+    toads = integrator(detections, settings.freqmap)
+    matches, _, _ = matcher(toads, settings.match_window)
+    tdoas, _ = tdoa_estimator(
+        toads, matches, settings.tdoa_est_window,
+        settings.beacon_pos, settings.rx_pos, settings.sample_rate)
+    positions = pos_estimator(tdoas, settings.rx_pos)
+    return PostdetectResult(
+        toads=toads, matches=matches, tdoas=tdoas, pos=positions)

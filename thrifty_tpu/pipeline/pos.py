@@ -1,0 +1,227 @@
+"""Position estimation from TDOA values (hyperbolic multilateration).
+
+Each TDOA constrains the transmitter to a hyperbola; position is the
+bounded nonlinear least-squares solution over all receiver pairs, with
+DOP (dilution of precision) from the geometry matrix (reference
+thrifty/pos_est.py:31-125).
+
+Two solver paths:
+- :func:`solve_group` -- scipy trust-region solver per group (host).
+- :func:`solve_groups_batched` -- fixed-iteration damped Gauss-Newton
+  vmapped over many groups at once in JAX, for high-rate positioning
+  streams (groups padded to a common pair count and masked).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import scipy.optimize
+
+from thrifty_tpu.pipeline import tdoa as tdoa_mod
+
+SPEED_OF_LIGHT = tdoa_mod.SPEED_OF_LIGHT
+MAX_DIST = 10e3  # search bounds beyond the receiver extent
+
+POSITION_FIELDS = ("group_id", "timestamp", "tx", "dop", "snr", "x", "y", "z")
+
+
+class EstimationError(Exception):
+    pass
+
+
+def solve_1d(tdoas, rx_pos):
+    """Closed-form 1-D position for exactly two receivers."""
+    rxids = sorted(rx_pos)
+    r0, r1 = rx_pos[rxids[0]][0], rx_pos[rxids[1]][0]
+    tdoa_m = float(tdoas["tdoa"][0]) * SPEED_OF_LIGHT
+    if r0 > r1:
+        position = (r0 + r1 - tdoa_m) / 2
+    else:
+        position = (r0 + r1 + tdoa_m) / 2
+    return np.array([position]), float(tdoas["snr"][0])
+
+
+def _geometry(tdoas, rx_pos):
+    rx0 = np.array([rx_pos[int(r)] for r in tdoas["rx0"]], dtype=np.float64)
+    rx1 = np.array([rx_pos[int(r)] for r in tdoas["rx1"]], dtype=np.float64)
+    return rx0, rx1
+
+
+def solve_group(tdoas, rx_pos):
+    """Bounded nonlinear least squares with the analytic Jacobian."""
+    dims = len(next(iter(rx_pos.values())))
+    uniq = np.unique(np.concatenate([tdoas["rx0"], tdoas["rx1"]]))
+    if len(uniq) < dims + 1:
+        raise EstimationError("underdetermined")
+
+    rx0, rx1 = _geometry(tdoas, rx_pos)
+    coords = np.array(list(rx_pos.values()), dtype=np.float64)
+    lo = coords.min(axis=0) - MAX_DIST
+    hi = coords.max(axis=0) + MAX_DIST
+    measured = tdoas["tdoa"] * SPEED_OF_LIGHT
+
+    def residuals(pos):
+        d0 = np.linalg.norm(rx0 - pos, axis=1)
+        d1 = np.linalg.norm(rx1 - pos, axis=1)
+        return measured - (d0 - d1)
+
+    def jac(pos):
+        p0, p1 = rx0 - pos, rx1 - pos
+        d0 = np.linalg.norm(p0, axis=1)
+        d1 = np.linalg.norm(p1, axis=1)
+        return p0 / d0[:, None] - p1 / d1[:, None]
+
+    res = scipy.optimize.least_squares(
+        residuals, np.full(dims, 0.1), jac=jac, bounds=(lo, hi))
+    return res.x, float(np.mean(tdoas["snr"]))
+
+
+def dop_matrix(pos, rx_pos, rx_pairs):
+    """Covariance-shape matrix inv(G^T G) of the linearized geometry."""
+    pos = np.asarray(pos, dtype=np.float64)
+    rx0 = np.array([rx_pos[int(a)] for a, _ in rx_pairs], dtype=np.float64)
+    rx1 = np.array([rx_pos[int(b)] for _, b in rx_pairs], dtype=np.float64)
+    p0, p1 = rx0 - pos, rx1 - pos
+    d0 = np.linalg.norm(p0, axis=1)
+    d1 = np.linalg.norm(p1, axis=1)
+    g = p0 / d0[:, None] - p1 / d1[:, None]
+    try:
+        return np.linalg.inv(g.T @ g)
+    except np.linalg.LinAlgError:
+        return None
+
+
+def dop(pos, rx_pos, rx_pairs):
+    """Dilution of precision: sqrt(trace(inv(G^T G))); -1 if singular."""
+    m = dop_matrix(pos, rx_pos, rx_pairs)
+    if m is None:
+        return -1.0
+    return float(np.sqrt(np.trace(m)))
+
+
+def solve(tdoa_groups, rx_pos):
+    """Solve every TDOA group; returns a structured array of positions."""
+    num_rx = len(rx_pos)
+    dims = len(next(iter(rx_pos.values())))
+    results = []
+    for group in tdoa_groups:
+        try:
+            if num_rx == 2 and dims == 1:
+                coords, snr = solve_1d(group.tdoas, rx_pos)
+            else:
+                coords, snr = solve_group(group.tdoas, rx_pos)
+            pairs = list(zip(group.tdoas["rx0"], group.tdoas["rx1"]))
+            dop_est = dop(coords, rx_pos, pairs)
+            results.append(
+                (group.group_id, group.timestamp, group.tx, dop_est, snr)
+                + tuple(coords))
+        except EstimationError as e:
+            print("Failed to estimate group #{}: {}".format(
+                group.group_id, e), file=sys.stderr)
+    dtype = np.dtype(
+        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
+         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    return np.array(results, dtype=dtype)
+
+
+def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
+                         iters=25, damping=1e-2):
+    """Batched damped Gauss-Newton multilateration in JAX.
+
+    All arrays are padded to [G, Pmax]: ``tdoa_padded`` in seconds,
+    ``mask`` marks valid pairs, ``rx0_pos``/``rx1_pos`` are [G, Pmax, D]
+    receiver coordinates, ``bounds`` = (lo [D], hi [D]).  Returns
+    positions [G, D].  Fixed iteration count, no data-dependent control
+    flow -- runs as one fused XLA program for thousands of groups.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lo, hi = bounds
+    measured = jnp.asarray(tdoa_padded) * SPEED_OF_LIGHT
+    mask_f = jnp.asarray(mask, dtype=jnp.float64) \
+        if measured.dtype == jnp.float64 else jnp.asarray(
+            mask, dtype=jnp.float32)
+    r0 = jnp.asarray(rx0_pos)
+    r1 = jnp.asarray(rx1_pos)
+    dims = r0.shape[-1]
+
+    def step(pos, _):
+        p0 = r0 - pos[:, None, :]
+        p1 = r1 - pos[:, None, :]
+        d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
+        d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
+        resid = (measured - (d0 - d1)) * mask_f
+        jacmat = (p0 / d0[..., None] - p1 / d1[..., None]) \
+            * mask_f[..., None]
+        jtj = jnp.einsum("gpi,gpj->gij", jacmat, jacmat)
+        # Levenberg-Marquardt diagonal damping keeps steps in-basin.
+        diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
+        jtj = jtj + damping * (diag + 1e-9)[..., None] * jnp.eye(dims)
+        jtr = jnp.einsum("gpi,gp->gi", jacmat, resid)
+        # jacmat is d(residual)/d(pos), so the Gauss-Newton step is
+        # pos - (J^T J)^-1 J^T r.
+        delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
+        new_pos = jnp.clip(pos - delta, jnp.asarray(lo), jnp.asarray(hi))
+        return new_pos, None
+
+    # Initialize at the centroid of the involved receivers -- well inside
+    # the solution basin for any surrounded transmitter.
+    denom = jnp.maximum(jnp.sum(mask_f, axis=-1), 1.0)[..., None]
+    init = jnp.sum(
+        0.5 * (r0 + r1) * mask_f[..., None], axis=1) / denom
+    init = init.astype(measured.dtype)
+    pos, _ = jax.lax.scan(step, init, None, length=iters)
+    return pos
+
+
+def save_positions(stream_or_path, results):
+    """Write .pos lines: group_id timestamp tx dop snr x y [z]."""
+    if isinstance(stream_or_path, str):
+        with open(stream_or_path, "w") as f:
+            return save_positions(f, results)
+    for row in results:
+        fields = list(row)
+        fields[1] = "{:.6f}".format(fields[1])
+        stream_or_path.write(" ".join(str(x) for x in fields) + "\n")
+
+
+def load_positions(stream_or_path):
+    data = np.genfromtxt(stream_or_path, dtype=np.float64)
+    data = np.atleast_2d(data)
+    dims = data.shape[1] - 5
+    dtype = np.dtype(
+        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
+         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    out = np.zeros(len(data), dtype=dtype)
+    for i, name in enumerate(out.dtype.names):
+        out[name] = data[:, i]
+    return out
+
+
+def _main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("tdoa", nargs="?", type=str, default="data.tdoa")
+    parser.add_argument("-o", "--output", type=str, default="data.pos")
+    parser.add_argument("-r", "--rx-coordinates", dest="rx_pos",
+                        type=str, default="pos-rx.cfg")
+    args = parser.parse_args(argv)
+
+    groups = tdoa_mod.load_tdoa_groups(
+        sys.stdin if args.tdoa == "-" else args.tdoa)
+    rx_pos = tdoa_mod.load_pos_config(args.rx_pos)
+    results = solve(groups, rx_pos)
+    print("Estimated {} position(s)".format(len(results)))
+    if args.output == "-":
+        save_positions(sys.stdout, results)
+    else:
+        save_positions(args.output, results)
+
+
+if __name__ == "__main__":
+    _main()

@@ -44,6 +44,157 @@ class Capture:
     template: np.ndarray    # [L] float64 bipolar template
 
 
+SPEED_OF_LIGHT = 2.997e8
+
+
+def synth_network(
+    rx_pos: dict,
+    tx_pos: dict,
+    tx_schedule,
+    sample_rate: float = 2.4e6,
+    clock_offsets: dict = None,
+    clock_drifts: dict = None,
+    soa_noise: float = 0.0,
+    seed: int = 0,
+):
+    """Simulate detection records for a receiver network (no DSP).
+
+    Models the *geometry and clocks* only: each transmission (txid, t)
+    arrives at receiver r after the propagation delay and is stamped
+    with that receiver's free-running sample counter
+    ``soa = (t + dist/c) * fs_r + offset_r`` where
+    ``fs_r = sample_rate * (1 + drift_r)``.  Used to test the
+    identify/match/tdoa/pos stages against known ground truth.
+
+    ``tx_schedule`` is a list of (txid, t_seconds).  Returns a detection
+    array (toad.DETECTION_DTYPE) sorted by timestamp.
+    """
+    from thrifty_tpu.io import toad
+
+    rng = np.random.default_rng(seed)
+    clock_offsets = clock_offsets or {}
+    clock_drifts = clock_drifts or {}
+    rows = []
+    for txid, t in tx_schedule:
+        for rxid, rpos in rx_pos.items():
+            dist = float(np.linalg.norm(
+                np.asarray(tx_pos[txid], dtype=np.float64)
+                - np.asarray(rpos, dtype=np.float64)))
+            toa = t + dist / SPEED_OF_LIGHT
+            fs = sample_rate * (1.0 + clock_drifts.get(rxid, 0.0))
+            soa = toa * fs + clock_offsets.get(rxid, 0.0)
+            if soa_noise:
+                soa += rng.normal(0.0, soa_noise)
+            rows.append((rxid, txid, toa, int(soa // 11464), soa))
+    rows.sort(key=lambda r: r[2])
+
+    det = toad.empty(len(rows))
+    for i, (rxid, txid, ts, block, soa) in enumerate(rows):
+        det[i]["rxid"] = rxid
+        det[i]["txid"] = txid
+        det[i]["timestamp"] = ts
+        det[i]["block"] = block
+        det[i]["soa"] = soa
+        det[i]["sample"] = int(soa % 11464)
+        det[i]["energy"] = 1000.0
+        det[i]["noise"] = 10.0
+        det[i]["carrier_bin"] = 10 + 15 * txid
+        det[i]["carrier_energy"] = 500.0
+        det[i]["carrier_noise"] = 10.0
+    return det
+
+
+def synth_rx_captures(
+    rx_pos: dict,
+    tx_pos: dict,
+    tx_bins: dict,
+    tx_schedule,
+    template: np.ndarray = None,
+    num_blocks: int = 64,
+    block_len: int = 16384,
+    history_len: int = 4920,
+    sample_rate: float = 2.4e6,
+    amplitude: float = 0.5,
+    noise_std: float = 0.05,
+    clock_offsets: dict = None,
+    clock_drifts: dict = None,
+    seed: int = 0,
+    t0: float = 1.5e9,
+):
+    """Signal-level simulation of a receiver network.
+
+    Every transmission (txid, t_seconds) is synthesized into each
+    receiver's IQ stream at the geometrically correct sample position
+    ``(t + dist/c) * fs_rx + clock_offset`` with the transmitter's
+    carrier bin.  Returns {rxid: Capture}; each Burst's ``expected_soa``
+    carries the receiver-local ground truth.
+
+    Transmitters share one Gold template and are distinguished by
+    carrier frequency (tx_bins), exactly like the reference deployment
+    (rpi/freq-map.cfg).
+    """
+    if template is None:
+        template = make_template()
+    from thrifty_tpu.dsp.xcorr import corr_window
+
+    template = np.asarray(template, dtype=np.float64)
+    tlen = len(template)
+    new_len = block_len - history_len
+    length = num_blocks * new_len
+    rng = np.random.default_rng(seed)
+    clock_offsets = clock_offsets or {}
+    clock_drifts = clock_drifts or {}
+    wstart, wstop = corr_window(block_len, history_len, tlen)
+
+    captures = {}
+    for rxid, rpos in rx_pos.items():
+        fs = sample_rate * (1.0 + clock_drifts.get(rxid, 0.0))
+        bursts, truth = [], []
+        for txid, t in tx_schedule:
+            dist = float(np.linalg.norm(
+                np.asarray(tx_pos[txid], dtype=np.float64)
+                - np.asarray(rpos, dtype=np.float64)))
+            pos = (t + dist / SPEED_OF_LIGHT) * fs \
+                + clock_offsets.get(rxid, 0.0)
+            if pos < 0 or int(pos) + tlen + 1 > length:
+                continue
+            phase = float(rng.uniform(0, 2 * np.pi))
+            bursts.append({
+                "position": pos,
+                "carrier_bin": tx_bins[txid],
+                "amplitude": amplitude,
+                "phase": phase,
+            })
+            soa = pos + history_len
+            block_idx = None
+            # The block whose unique window contains this burst.
+            b = int((soa - wstart) // new_len)
+            for cand in (b, b + 1, b - 1):
+                lag = soa - cand * new_len
+                if wstart <= lag < wstop and 0 <= cand < num_blocks:
+                    block_idx = int(cand)
+                    break
+            truth.append(Burst(
+                position=pos, carrier_bin=tx_bins[txid],
+                amplitude=amplitude, phase=phase,
+                expected_soa=float(soa),
+                block_idx=block_idx if block_idx is not None else -1))
+        stream = synth_stream(length, bursts, template, block_len,
+                              noise_std, seed + rxid)
+        raw = iq.iq_to_raw(stream)
+        stream = iq.raw_to_iq(raw).astype(np.complex128)
+        blocks = stream_to_blocks(stream, block_len, history_len)
+        indices = np.arange(len(blocks), dtype=np.int64)
+        captures[rxid] = Capture(
+            timestamps=t0 + indices * (new_len / sample_rate),
+            indices=indices,
+            blocks=blocks.astype(np.complex64),
+            bursts=truth,
+            template=template,
+        )
+    return captures
+
+
 def ook_from_template(template: np.ndarray) -> np.ndarray:
     """Map a bipolar +-1 template to the transmitted OOK envelope {0, 1}."""
     return (np.asarray(template) > 0).astype(np.float64)
@@ -52,6 +203,30 @@ def ook_from_template(template: np.ndarray) -> np.ndarray:
 def make_template(bits=11, index=0, sample_rate=2.4e6, chip_rate=0.999707e6):
     """Default example-config template: 11-bit Gold code @ 2.4/0.999707."""
     return template_mod.generate(bits, index, sample_rate / chip_rate)
+
+
+_BURST_PAD = 128  # guard samples absorbing fractional-delay ringing
+
+
+def _burst_samples(ook, bin_f, phase, frac, block_len):
+    """Burst waveform delayed by ``frac`` in [0, 1) samples.
+
+    The fractional delay is applied in the frequency domain (band-limited
+    interpolation), modelling what a real receiver samples when a signal
+    arrives between sample instants.  Returns (samples, lead) where
+    ``lead`` is the number of guard samples before the nominal start.
+    """
+    tlen = len(ook)
+    nb = tlen + 2 * _BURST_PAD
+    buf = np.zeros(nb, dtype=np.complex128)
+    n = np.arange(tlen)
+    buf[_BURST_PAD:_BURST_PAD + tlen] = ook * np.exp(
+        2j * np.pi * bin_f * n / block_len + 1j * phase)
+    if frac:
+        k = np.fft.fftfreq(nb) * nb
+        buf = np.fft.ifft(np.fft.fft(buf)
+                          * np.exp(-2j * np.pi * k * frac / nb))
+    return buf, _BURST_PAD
 
 
 def synth_stream(
@@ -64,9 +239,11 @@ def synth_stream(
 ):
     """Build a continuous complex sample stream with OOK code bursts.
 
-    ``bursts`` is a list of dicts/tuples (position, carrier_bin, amplitude,
-    phase).  The carrier frequency is ``carrier_bin`` cycles per
-    ``block_len`` samples, phase-continuous from the burst start.
+    ``bursts`` is a list of dicts (position, carrier_bin, amplitude,
+    phase).  ``position`` may be fractional: the burst is placed with a
+    band-limited fractional delay, so sub-sample SoA/TDOA ground truth
+    is exact.  The carrier frequency is ``carrier_bin`` cycles per
+    ``block_len`` samples.
     """
     rng = np.random.default_rng(seed)
     stream = (
@@ -79,11 +256,15 @@ def synth_stream(
     for b in bursts:
         pos, bin_f, ampl, phase = (
             b["position"], b["carrier_bin"], b["amplitude"], b["phase"])
-        if pos < 0 or pos + tlen > length:
+        base = int(np.floor(pos))
+        frac = float(pos) - base
+        if base < 0 or base + tlen > length:
             raise ValueError("burst does not fit in stream")
-        n = np.arange(tlen)
-        carrier = np.exp(2j * np.pi * bin_f * n / block_len + 1j * phase)
-        stream[pos:pos + tlen] += ampl * ook * carrier
+        buf, lead = _burst_samples(ook, bin_f, phase, frac, block_len)
+        start = base - lead
+        lo = max(start, 0)
+        hi = min(start + len(buf), length)
+        stream[lo:hi] += ampl * buf[lo - start:hi - start]
     return stream
 
 
