@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Detector throughput benchmark.
+
+Measures IQ samples/s through the full batched detect program (carrier
+detect + Dirichlet sync + matched filter + SoA interpolation) on the
+default JAX device, against the float64 numpy reference implementation
+(the stand-in for the reference's Python-2 hot loop, measured on this
+host) as baseline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def time_tpu(detector, blocks_list, iters):
+    """Steady-state seconds per batch (timed with block_until_ready)."""
+    import jax
+
+    dev_blocks = [jax.device_put(b) for b in blocks_list]
+    # Warmup / compile.
+    jax.block_until_ready(detector(dev_blocks[0]))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = detector(dev_blocks[i % len(dev_blocks)])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def time_oracle(oracle, blocks):
+    t0 = time.perf_counter()
+    for b in blocks:
+        oracle.detect_block(b)
+    return (time.perf_counter() - t0) / len(blocks)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--batch", type=int, default=256,
+                        help="blocks per device batch [default: 256]")
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--oracle-blocks", type=int, default=8,
+                        help="blocks timed on the numpy baseline (8 blocks "
+                             "= two burst periods, so the baseline sees the "
+                             "same detect/no-detect cost mix as the device)")
+    parser.add_argument("--sync-mode", type=str, default="fractional",
+                        choices=["fractional", "integer"])
+    parser.add_argument("--skip-baseline", action="store_true",
+                        help="use the cached baseline rate instead of "
+                             "re-measuring numpy")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+    template = sim.make_template()
+    cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode)
+    detector = BatchDetector(template, cfg)
+    new_len = detector.new_len  # stream samples consumed per block
+
+    # Two distinct batches so results cannot be cached between iters.
+    caps = [
+        sim.synth_capture(num_blocks=args.batch, bursts_every=4,
+                          template=template, seed=s, quantize=False)
+        for s in (0, 1)
+    ]
+    blocks_list = [c.blocks for c in caps]
+
+    sec_per_batch = time_tpu(detector, blocks_list, args.iters)
+    samples_per_s = args.batch * new_len / sec_per_batch
+
+    # Baseline: float64 numpy implementation of the reference equations.
+    # ~42 ms/block on typical hosts; measured over a few blocks.
+    if args.skip_baseline:
+        baseline_samples_per_s = 265_000.0  # measured previously, see repo
+    else:
+        from thrifty_tpu.oracle.numpy_ref import OracleDetector
+        oracle = OracleDetector(
+            template, carrier_window=(7, 110))
+        sec_per_block = time_oracle(
+            oracle, blocks_list[0][:args.oracle_blocks].astype(np.complex128))
+        baseline_samples_per_s = new_len / sec_per_block
+
+    if args.verbose:
+        print("batch={} iters={} sec/batch={:.5f}".format(
+            args.batch, args.iters, sec_per_batch), file=sys.stderr)
+        print("device: {:.4g} samples/s; baseline: {:.4g} samples/s".format(
+            samples_per_s, baseline_samples_per_s), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "detect_throughput",
+        "value": round(samples_per_s, 1),
+        "unit": "IQ_samples/s/chip",
+        "vs_baseline": round(samples_per_s / baseline_samples_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

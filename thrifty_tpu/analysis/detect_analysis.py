@@ -1,0 +1,219 @@
+"""CLI: per-stage detection diagnostics for a capture.
+
+Offline equivalent of the reference's interactive analyzer
+(thrifty/detect_analysis.py): for chosen blocks of a .card capture it
+recomputes every detection stage with full intermediates (float64 host
+path) and renders per-stage views -- sample histogram, IQ, FFT
+magnitude/PSD, carrier peak neighborhood with the fitted Dirichlet
+curve, correlation magnitude, correlation peak zoom with interpolation,
+and template overlay -- exported to pdf/png or .npz (no GUI).
+
+Thresholds can be zeroed with --force to analyze blocks that would not
+normally trigger (the reference's ForcibleDetector).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from thrifty_tpu.config import settings as settings_mod
+from thrifty_tpu.config.parsers import normalize_freq_range
+from thrifty_tpu.io import card
+from thrifty_tpu.oracle.numpy_ref import OracleDetector, dirichlet_kernel
+
+PLOTS = ["hist", "iq", "fft", "carrier_interp", "corr", "corr_interp",
+         "template_overlay"]
+
+
+class BlockDiagnostics:
+    """All intermediates of one block's detection, float64."""
+
+    def __init__(self, oracle: OracleDetector, block, template):
+        self.oracle = oracle
+        self.block = np.asarray(block, dtype=np.complex128)
+        self.template = template
+        self.fft = np.fft.fft(self.block)
+        self.fft_mag = np.abs(self.fft)
+        (self.carrier_detected, self.carrier_bin, self.carrier_energy,
+         self.carrier_noise) = oracle.carrier_detect(self.fft_mag)
+        self.carrier_offset = 0.0
+        self.corr_mag = None
+        if self.carrier_detected:
+            self.carrier_offset = float(
+                oracle.carrier_interpolate(self.fft_mag, self.carrier_bin))
+            shifted = oracle.freq_shift_fft(
+                self.block, -(self.carrier_bin + self.carrier_offset))
+            energy = np.sum(np.abs(self.block) ** 2)
+            (self.detected, self.corr_sample, self.corr_offset,
+             self.corr_energy, self.corr_noise) = oracle.soa_estimate(
+                shifted, energy)
+            corr = np.fft.ifft(shifted * oracle.template_fft_conj)
+            self.corr_mag = np.abs(corr[:oracle.corr_len])
+        else:
+            self.detected = False
+
+    def summary(self):
+        line = "carrier: {} @ bin {}{:+.3f} (peak {:.1f}, noise {:.2f})" \
+            .format("yes" if self.carrier_detected else "no",
+                    self.carrier_bin, self.carrier_offset,
+                    self.carrier_energy, self.carrier_noise)
+        if self.carrier_detected:
+            line += "; corr: {} @ {}{:+.3f} (peak {:.1f}, noise {:.2f})" \
+                .format("yes" if self.detected else "no", self.corr_sample,
+                        self.corr_offset, self.corr_energy, self.corr_noise)
+        return line
+
+    def to_npz(self):
+        out = {
+            "block": self.block, "fft_mag": self.fft_mag,
+            "carrier_bin": self.carrier_bin,
+            "carrier_offset": self.carrier_offset,
+        }
+        if self.corr_mag is not None:
+            out["corr_mag"] = self.corr_mag
+            out["corr_sample"] = self.corr_sample
+            out["corr_offset"] = self.corr_offset
+        return out
+
+    # -- plotting ------------------------------------------------------------
+
+    def plot(self, name, ax):
+        getattr(self, "_plot_" + name)(ax)
+
+    def _plot_hist(self, ax):
+        ax.hist(self.block.real, 64, alpha=0.6, label="I")
+        ax.hist(self.block.imag, 64, alpha=0.6, label="Q")
+        ax.legend()
+        ax.set_title("sample histogram")
+
+    def _plot_iq(self, ax):
+        ax.plot(self.block.real, lw=0.3, label="I")
+        ax.plot(self.block.imag, lw=0.3, label="Q")
+        ax.legend()
+        ax.set_title("IQ samples")
+
+    def _plot_fft(self, ax):
+        ax.plot(np.fft.fftshift(self.fft_mag), lw=0.4)
+        ax.set_yscale("log")
+        ax.set_title("|FFT| (shifted)")
+
+    def _plot_carrier_interp(self, ax):
+        idx = self.carrier_bin
+        rel = np.arange(-8, 9)
+        ax.plot(rel, self.fft_mag[(idx + rel) % len(self.fft_mag)], "o",
+                label="FFT bins")
+        xs = np.linspace(-8, 8, 400)
+        model = self.carrier_energy * np.abs(dirichlet_kernel(
+            xs - self.carrier_offset, self.oracle.block_len,
+            self.oracle.carrier_len))
+        ax.plot(xs, model, "-", label="Dirichlet fit")
+        ax.axvline(self.carrier_offset, color="k", lw=0.5)
+        ax.legend()
+        ax.set_title("carrier sub-bin interpolation")
+
+    def _plot_corr(self, ax):
+        ax.plot(self.corr_mag, lw=0.4)
+        start, stop = self.oracle.window
+        ax.axvspan(0, start, color="r", alpha=0.1)
+        ax.axvspan(stop, len(self.corr_mag), color="r", alpha=0.1)
+        ax.set_title("correlation magnitude (red = non-unique window)")
+
+    def _plot_corr_interp(self, ax):
+        idx = self.corr_sample
+        rel = np.arange(-5, 6)
+        ax.plot(rel, self.corr_mag[idx + rel], "o-")
+        ax.axvline(self.corr_offset, color="k", lw=0.5)
+        ax.set_title("corr peak (offset {:+.3f})".format(self.corr_offset))
+
+    def _plot_template_overlay(self, ax):
+        start = self.corr_sample
+        tlen = len(self.template)
+        shifted = self.block * np.exp(
+            2j * np.pi * (-(self.carrier_bin + self.carrier_offset))
+            * (np.arange(len(self.block)) / len(self.block) - 0.5))
+        cut = np.abs(shifted[start:start + tlen])
+        cut = cut / np.max(cut)
+        ax.plot(cut, lw=0.3, label="|captured|")
+        ax.plot((self.template > 0) * np.max(cut), lw=0.3, alpha=0.7,
+                label="template (OOK)")
+        ax.legend()
+        ax.set_title("template overlay")
+
+
+def _main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("input", type=str, help="input .card file")
+    parser.add_argument("--blocks", type=str, default=None,
+                        help="comma-separated block indices to analyze "
+                             "[default: all detected]")
+    parser.add_argument("--force", action="store_true",
+                        help="zero the thresholds (analyze all blocks)")
+    parser.add_argument("--plots", type=str, default=",".join(PLOTS),
+                        help="comma-separated plot names [default: all]")
+    parser.add_argument("--export", type=str, default=None,
+                        help="write plots to this pdf")
+    parser.add_argument("--save-npz", type=str, default=None,
+                        help="dump intermediates to an .npz file")
+    keys = ["sample_rate", "block_size", "block_history", "carrier_window",
+            "carrier_threshold", "corr_threshold", "template"]
+    config, args = settings_mod.load_args(parser, keys, argv=argv)
+
+    template = np.load(config.template)
+    window = normalize_freq_range(
+        config.carrier_window, config.sample_rate / config.block_size)
+    thresh_c = (0.0, 0.0, 0.0) if args.force else config.carrier_threshold
+    thresh_u = (0.0, 0.0, 0.0) if args.force else config.corr_threshold
+    oracle = OracleDetector(
+        template, block_len=config.block_size,
+        history_len=config.block_history, carrier_thresh=thresh_c,
+        carrier_window=window, corr_thresh=thresh_u)
+
+    ts, idx, blocks = card.read_card_blocks(args.input)
+    if args.blocks:
+        wanted = {int(b) for b in args.blocks.split(",")}
+        sel = [i for i, b in enumerate(idx) if int(b) in wanted]
+    else:
+        sel = range(len(idx))
+
+    plot_names = args.plots.split(",")
+    diagnostics = []
+    for i in sel:
+        diag = BlockDiagnostics(oracle, blocks[i], template)
+        if not diag.carrier_detected and not args.blocks and not args.force:
+            continue
+        diagnostics.append((int(idx[i]), diag))
+        print("block {}: {}".format(int(idx[i]), diag.summary()))
+
+    if args.save_npz and diagnostics:
+        arrays = {}
+        for bidx, diag in diagnostics:
+            for k, v in diag.to_npz().items():
+                arrays["b{}_{}".format(bidx, k)] = v
+        np.savez_compressed(args.save_npz, **arrays)
+        print("saved intermediates to", args.save_npz)
+
+    if args.export and diagnostics:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.backends.backend_pdf import PdfPages
+        with PdfPages(args.export) as pdf:
+            for bidx, diag in diagnostics:
+                for name in plot_names:
+                    if name in ("corr", "corr_interp", "template_overlay") \
+                            and diag.corr_mag is None:
+                        continue
+                    fig, ax = plt.subplots(figsize=(9, 4))
+                    diag.plot(name, ax)
+                    fig.suptitle("block {}".format(bidx))
+                    pdf.savefig(fig)
+                    plt.close(fig)
+        print("saved plots to", args.export)
+
+
+if __name__ == "__main__":
+    _main()
