@@ -1,0 +1,118 @@
+"""Native I/O engine vs the pure-Python implementations."""
+
+import base64
+import io
+import threading
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("thrifty_tpu.native")
+
+from thrifty_tpu.dsp import iq  # noqa: E402
+from thrifty_tpu.io import card  # noqa: E402
+
+
+class TestBase64:
+    def test_decode_batch_matches_stdlib(self):
+        rng = np.random.default_rng(0)
+        raw = rng.integers(0, 256, size=(16, 999), dtype=np.uint8)
+        enc = [base64.b64encode(r.tobytes()).decode() for r in raw]
+        np.testing.assert_array_equal(native.b64decode_batch(enc), raw)
+
+    def test_encode_matches_stdlib(self):
+        rng = np.random.default_rng(1)
+        for n in [0, 1, 2, 3, 100, 3000]:
+            data = rng.integers(0, 256, size=n, dtype=np.uint8)
+            assert native.b64encode(data) == \
+                base64.b64encode(data.tobytes()).decode()
+
+    def test_invalid_base64_rejected(self):
+        with pytest.raises(ValueError):
+            native.b64decode_batch(["!!!!"])
+
+    def test_inconsistent_sizes_rejected(self):
+        a = base64.b64encode(bytes(30)).decode()
+        b = base64.b64encode(bytes(60)).decode()
+        with pytest.raises(ValueError):
+            native.b64decode_batch([a, b])
+
+
+class TestCardParse:
+    def test_parse_matches_python(self):
+        rng = np.random.default_rng(2)
+        raw = rng.integers(0, 256, size=(8, 256), dtype=np.uint8)
+        buf = io.StringIO()
+        card.write_card(buf, 1.5e9 + np.arange(8), np.arange(8) + 3, raw,
+                        header="hdr")
+        text = buf.getvalue().encode()
+        ts_n, idx_n, raw_n = native.parse_card_bytes(text)
+        ts_p, idx_p, raw_p = card.read_card(io.BytesIO(text), native=False)
+        np.testing.assert_allclose(ts_n, ts_p)
+        np.testing.assert_array_equal(idx_n, idx_p)
+        np.testing.assert_array_equal(raw_n, raw_p)
+
+    def test_junk_lines_skipped(self):
+        enc = base64.b64encode(bytes(range(16))).decode()
+        text = ("# comment\nUsing Volk machine: x\nlinux; y\n"
+                "1.5 7 {}\n".format(enc)).encode()
+        ts, idx, raw = native.parse_card_bytes(text)
+        assert len(ts) == 1 and idx[0] == 7
+
+    def test_empty(self):
+        ts, idx, raw = native.parse_card_bytes(b"# nothing\n")
+        assert len(ts) == 0
+
+
+class TestRawConversion:
+    def test_matches_python_lut(self):
+        rng = np.random.default_rng(3)
+        raw = rng.integers(0, 256, size=(4, 2048), dtype=np.uint8)
+        np.testing.assert_allclose(
+            native.raw_to_iq_f32(raw), iq.raw_to_iq(raw), atol=1e-7)
+
+
+class TestUnfold:
+    def test_overlap_save_semantics(self):
+        stream = np.arange(1, 41, dtype=np.uint8)
+        blocks = native.unfold(stream, block_bytes=16, history_bytes=6,
+                               num_blocks=3)
+        assert blocks.shape == (3, 16)
+        assert blocks[0, :6].tolist() == [128] * 6
+        np.testing.assert_array_equal(blocks[0, 6:], stream[:10])
+        np.testing.assert_array_equal(blocks[1, :6], blocks[0, -6:])
+        np.testing.assert_array_equal(blocks[2, :6], blocks[1, -6:])
+
+
+class TestRing:
+    def test_producer_consumer(self):
+        ring = native.RingBuffer(64)
+        payload = np.arange(320, dtype=np.uint64).astype(np.uint8)
+
+        def producer():
+            for i in range(0, 320, 32):
+                ring.write(payload[i:i + 32])
+            ring.close()
+
+        t = threading.Thread(target=producer)
+        t.start()
+        out = []
+        while True:
+            chunk = ring.read(50)
+            out.append(chunk)
+            if len(chunk) < 50:
+                break
+        t.join()
+        got = np.concatenate(out)
+        np.testing.assert_array_equal(got, payload)
+        # Writing 320 B through a 64 B ring must have stalled: the
+        # overflow counter (real-time margin profiler) sees it.
+        assert ring.overflows > 0
+        assert ring.histogram().sum() > 0
+
+    def test_read_after_close_returns_short(self):
+        ring = native.RingBuffer(16)
+        ring.write(np.ones(4, np.uint8))
+        ring.close()
+        assert len(ring.read(10)) == 4
+        assert len(ring.read(10)) == 0

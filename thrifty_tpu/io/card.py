@@ -14,7 +14,6 @@ batch-at-a-time rather than block-at-a-time.  A C++ fast path
 from __future__ import annotations
 
 import base64
-import binascii
 
 import numpy as np
 
@@ -45,8 +44,10 @@ def _parse_lines(lines):
 def read_card(stream_or_path, native=True):
     """Read a .card file into (timestamps [B], indices [B], raw [B, 2N]).
 
-    Blocks of differing length raise ValueError (fixed block size is a
-    format invariant).
+    Uses the native multi-threaded parser (thrifty_tpu.native) when the
+    library is available, falling back to pure Python.  Blocks of
+    differing length raise ValueError (fixed block size is a format
+    invariant).
     """
     if isinstance(stream_or_path, str):
         with open(stream_or_path, "rb") as f:
@@ -54,9 +55,10 @@ def read_card(stream_or_path, native=True):
 
     if native:
         try:
-            from thrifty_tpu.native import b64decode_batch
+            from thrifty_tpu.native import parse_card_bytes
+            return parse_card_bytes(stream_or_path.read())
         except ImportError:
-            native = False
+            pass
 
     timestamps, indices, encoded = [], [], []
     for ts, idx, enc in _parse_lines(stream_or_path):
@@ -68,17 +70,14 @@ def read_card(stream_or_path, native=True):
         n = 0
         return (np.zeros(0), np.zeros(0, np.int64), np.zeros((0, n), np.uint8))
 
-    if native:
-        raw = b64decode_batch(encoded)
-    else:
-        decoded = [
-            np.frombuffer(base64.b64decode(e), dtype=np.uint8)
-            for e in encoded
-        ]
-        lengths = {len(d) for d in decoded}
-        if len(lengths) != 1:
-            raise ValueError("inconsistent block sizes in .card file")
-        raw = np.stack(decoded)
+    decoded = [
+        np.frombuffer(base64.b64decode(e), dtype=np.uint8)
+        for e in encoded
+    ]
+    lengths = {len(d) for d in decoded}
+    if len(lengths) != 1:
+        raise ValueError("inconsistent block sizes in .card file")
+    raw = np.stack(decoded)
 
     return (
         np.asarray(timestamps, dtype=np.float64),
@@ -141,6 +140,10 @@ def write_card(stream_or_path, timestamps, indices, raw, header=None):
     if header:
         for line in header.splitlines():
             f.write("# " + line + "\n")
+    try:
+        from thrifty_tpu.native import b64encode as encode
+    except ImportError:
+        encode = lambda row: base64.b64encode(
+            np.ascontiguousarray(row).tobytes()).decode()
     for ts, idx, row in zip(timestamps, indices, raw):
-        enc = base64.b64encode(np.ascontiguousarray(row).tobytes())
-        f.write("{:.6f} {} {}\n".format(float(ts), int(idx), enc.decode()))
+        f.write("{:.6f} {} {}\n".format(float(ts), int(idx), encode(row)))

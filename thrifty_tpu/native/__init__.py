@@ -1,0 +1,207 @@
+"""ctypes bindings for the native host I/O engine (libthrifty_io.so).
+
+The library is built lazily with ``make`` on first import (g++ only, no
+external dependencies).  Every entry point has a pure-Python fallback in
+thrifty_tpu.io, so the package works without a toolchain; importing this
+module raises ImportError when the library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libthrifty_io.so")
+
+
+def _build():
+    subprocess.run(
+        ["make", "-C", _DIR, "lib"],
+        check=True, capture_output=True, timeout=120)
+
+
+def _load():
+    if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH)
+            < os.path.getmtime(os.path.join(_DIR, "thrifty_io.cpp"))):
+        try:
+            _build()
+        except Exception as e:  # noqa: BLE001 -- any build failure
+            raise ImportError(
+                "libthrifty_io.so unavailable and build failed: "
+                "{}".format(e)) from e
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    lib.ttpu_b64_decode.restype = ctypes.c_int
+    lib.ttpu_b64_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_b64_encode.restype = ctypes.c_int
+    lib.ttpu_b64_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    lib.ttpu_b64_decode_batch.restype = ctypes.c_int64
+    lib.ttpu_b64_decode_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.ttpu_card_scan.restype = ctypes.c_int64
+    lib.ttpu_card_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_raw_to_iq.restype = None
+    lib.ttpu_raw_to_iq.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.ttpu_unfold.restype = None
+    lib.ttpu_unfold.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8]
+    lib.ttpu_ring_new.restype = ctypes.c_void_p
+    lib.ttpu_ring_new.argtypes = [ctypes.c_int64]
+    lib.ttpu_ring_free.argtypes = [ctypes.c_void_p]
+    lib.ttpu_ring_close.argtypes = [ctypes.c_void_p]
+    lib.ttpu_ring_write.restype = ctypes.c_int64
+    lib.ttpu_ring_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_ring_read.restype = ctypes.c_int64
+    lib.ttpu_ring_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_ring_overflows.restype = ctypes.c_uint64
+    lib.ttpu_ring_overflows.argtypes = [ctypes.c_void_p]
+    lib.ttpu_ring_histogram.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    return lib
+
+
+_lib = _load()
+
+
+def num_threads():
+    return min(os.cpu_count() or 1, 16)
+
+
+def b64decode_batch(encoded_strings):
+    """Decode a list of equal-length base64 strings -> [n, k] uint8."""
+    n = len(encoded_strings)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    joined = "\n".join(encoded_strings).encode("ascii")
+    offsets = np.zeros(n, dtype=np.int64)
+    lens = np.asarray([len(s) for s in encoded_strings], dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=offsets[1:])
+    # Decoded size of the first payload determines the block size.
+    probe = np.zeros((lens[0] // 4 + 2) * 3, dtype=np.uint8)
+    got = _lib.ttpu_b64_decode(
+        encoded_strings[0].encode("ascii"), int(lens[0]),
+        probe.ctypes.data, probe.size)
+    if got < 0:
+        raise ValueError("invalid base64 payload")
+    out = np.empty((n, got), dtype=np.uint8)
+    bad = _lib.ttpu_b64_decode_batch(
+        joined, offsets.ctypes.data, lens.ctypes.data, n,
+        out.ctypes.data, got, num_threads())
+    if bad:
+        raise ValueError(
+            "inconsistent block sizes in .card file (row {})".format(
+                int(bad) - 1))
+    return out
+
+
+def b64encode(data: np.ndarray) -> str:
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = ctypes.create_string_buffer((data.size + 2) // 3 * 4 + 1)
+    got = _lib.ttpu_b64_encode(data.ctypes.data, data.size, out, len(out))
+    if got < 0:
+        raise ValueError("encode buffer too small")
+    return out.value.decode("ascii")
+
+
+def card_scan(text: bytes, max_blocks: int = None):
+    """Scan .card text -> (timestamps, indices, payload_offsets, lens)."""
+    if max_blocks is None:
+        max_blocks = text.count(b"\n") + 1
+    ts = np.empty(max_blocks, dtype=np.float64)
+    idx = np.empty(max_blocks, dtype=np.int64)
+    offs = np.empty(max_blocks, dtype=np.int64)
+    lens = np.empty(max_blocks, dtype=np.int64)
+    n = _lib.ttpu_card_scan(
+        text, len(text), ts.ctypes.data, idx.ctypes.data,
+        offs.ctypes.data, lens.ctypes.data, max_blocks)
+    return ts[:n], idx[:n], offs[:n], lens[:n]
+
+
+def parse_card_bytes(text: bytes):
+    """Full .card parse: text -> (timestamps, indices, raw [B, 2N])."""
+    ts, idx, offs, lens = card_scan(text)
+    n = len(ts)
+    if n == 0:
+        return ts, idx, np.zeros((0, 0), dtype=np.uint8)
+    if not np.all(lens == lens[0]):
+        raise ValueError("inconsistent block sizes in .card file")
+    probe = np.zeros((int(lens[0]) // 4 + 2) * 3, dtype=np.uint8)
+    got = _lib.ttpu_b64_decode(
+        text[offs[0]:offs[0] + lens[0]], int(lens[0]),
+        probe.ctypes.data, probe.size)
+    if got < 0:
+        raise ValueError("invalid base64 payload")
+    out = np.empty((n, got), dtype=np.uint8)
+    bad = _lib.ttpu_b64_decode_batch(
+        text, offs.ctypes.data, lens.ctypes.data, n,
+        out.ctypes.data, got, num_threads())
+    if bad:
+        raise ValueError("invalid base64 at row {}".format(int(bad) - 1))
+    return ts, idx, out
+
+
+def raw_to_iq_f32(raw: np.ndarray) -> np.ndarray:
+    """uint8 [..., 2N] -> complex64 [..., N] via the native LUT."""
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty(raw.shape, dtype=np.float32)
+    _lib.ttpu_raw_to_iq(raw.ctypes.data, out.ctypes.data, raw.size,
+                        num_threads())
+    return out.view(np.complex64)
+
+
+def unfold(stream: np.ndarray, block_bytes: int, history_bytes: int,
+           num_blocks: int, fill: int = 128) -> np.ndarray:
+    """Overlap-save unfold of a raw byte stream into blocks."""
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    out = np.empty((num_blocks, block_bytes), dtype=np.uint8)
+    _lib.ttpu_unfold(stream.ctypes.data, stream.size, out.ctypes.data,
+                     block_bytes, history_bytes, num_blocks,
+                     np.uint8(fill))
+    return out
+
+
+class RingBuffer:
+    """Blocking byte ring buffer with backpressure accounting."""
+
+    def __init__(self, capacity: int):
+        self._ring = _lib.ttpu_ring_new(capacity)
+
+    def write(self, data: np.ndarray) -> int:
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        return _lib.ttpu_ring_write(self._ring, data.ctypes.data, data.size)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.uint8)
+        got = _lib.ttpu_ring_read(self._ring, out.ctypes.data, n)
+        return out[:got]
+
+    def close(self):
+        _lib.ttpu_ring_close(self._ring)
+
+    @property
+    def overflows(self) -> int:
+        return int(_lib.ttpu_ring_overflows(self._ring))
+
+    def histogram(self) -> np.ndarray:
+        out = np.zeros(8, dtype=np.uint64)
+        _lib.ttpu_ring_histogram(self._ring, out.ctypes.data)
+        return out
+
+    def __del__(self):
+        try:
+            _lib.ttpu_ring_free(self._ring)
+        except Exception:  # noqa: BLE001 -- interpreter teardown
+            pass

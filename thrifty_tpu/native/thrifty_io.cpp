@@ -1,0 +1,318 @@
+// Native host I/O engine for thrifty-tpu.
+//
+// TPU-native replacement for the reference's C capture front-end
+// (fastcard/: base64.c, rawconv.c, raw_reader.c, card_reader.c,
+// circbuf.c): the DSP moved to the TPU, so the native layer's job is to
+// keep the host->device input pipeline fed -- parse .card captures into
+// batched arrays at memory bandwidth (multi-threaded base64), convert
+// raw 8-bit IQ to float via a LUT, unfold overlap-save blocks, and pump
+// unbounded streams through a lock-protected ring buffer with
+// occupancy/overflow accounting (the reference's backpressure profiler,
+// rtlsdr_reader.c:310-325).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Base64
+// ---------------------------------------------------------------------------
+
+static int8_t B64_REV[256];
+static bool b64_init_done = false;
+
+static void b64_init() {
+    if (b64_init_done) return;
+    const char* alphabet =
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+    for (int i = 0; i < 256; ++i) B64_REV[i] = -1;
+    for (int i = 0; i < 64; ++i) B64_REV[(uint8_t)alphabet[i]] = (int8_t)i;
+    B64_REV[(uint8_t)'='] = -2;
+    b64_init_done = true;
+}
+
+// Decode one base64 string; returns decoded byte count or -1 on error.
+int ttpu_b64_decode(const char* in, int64_t in_len, uint8_t* out,
+                    int64_t out_cap) {
+    b64_init();
+    int64_t o = 0;
+    uint32_t acc = 0;
+    int bits = 0;
+    for (int64_t i = 0; i < in_len; ++i) {
+        int8_t v = B64_REV[(uint8_t)in[i]];
+        if (v == -2) break;            // padding: done
+        if (v < 0) return -1;          // invalid character
+        acc = (acc << 6) | (uint32_t)v;
+        bits += 6;
+        if (bits >= 8) {
+            bits -= 8;
+            if (o >= out_cap) return -1;
+            out[o++] = (uint8_t)((acc >> bits) & 0xFF);
+        }
+    }
+    return (int)o;
+}
+
+int ttpu_b64_encode(const uint8_t* in, int64_t in_len, char* out,
+                    int64_t out_cap) {
+    static const char* alphabet =
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+    int64_t o = 0;
+    int64_t i = 0;
+    if (out_cap < ((in_len + 2) / 3) * 4 + 1) return -1;
+    for (; i + 2 < in_len; i += 3) {
+        uint32_t v = (uint32_t)(in[i] << 16 | in[i + 1] << 8 | in[i + 2]);
+        out[o++] = alphabet[(v >> 18) & 63];
+        out[o++] = alphabet[(v >> 12) & 63];
+        out[o++] = alphabet[(v >> 6) & 63];
+        out[o++] = alphabet[v & 63];
+    }
+    if (i < in_len) {
+        uint32_t v = (uint32_t)(in[i] << 16);
+        bool two = (i + 1 < in_len);
+        if (two) v |= (uint32_t)(in[i + 1] << 8);
+        out[o++] = alphabet[(v >> 18) & 63];
+        out[o++] = alphabet[(v >> 12) & 63];
+        out[o++] = two ? alphabet[(v >> 6) & 63] : '=';
+        out[o++] = '=';
+    }
+    out[o] = 0;
+    return (int)o;
+}
+
+// Decode n equal-length base64 payloads into a [n, block_bytes] array,
+// multi-threaded.  offsets[i]/lens[i] index into `text`.  Returns 0 on
+// success, or 1-based index of the first failing row.
+int64_t ttpu_b64_decode_batch(const char* text, const int64_t* offsets,
+                              const int64_t* lens, int64_t n,
+                              uint8_t* out, int64_t block_bytes,
+                              int num_threads) {
+    b64_init();
+    std::atomic<int64_t> bad(0);
+    if (num_threads < 1) num_threads = 1;
+    std::vector<std::thread> threads;
+    auto work = [&](int64_t t) {
+        for (int64_t i = t; i < n; i += num_threads) {
+            int got = ttpu_b64_decode(text + offsets[i], lens[i],
+                                      out + i * block_bytes, block_bytes);
+            if (got != block_bytes) {
+                int64_t expected = 0;
+                while (!bad.compare_exchange_weak(expected, i + 1) &&
+                       expected != 0) break;
+                return;
+            }
+        }
+    };
+    for (int t = 0; t < num_threads; ++t) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+    return bad.load();
+}
+
+// ---------------------------------------------------------------------------
+// .card parsing
+// ---------------------------------------------------------------------------
+
+// Scan a .card text buffer: find data lines "<ts> <idx> <b64>" and fill
+// timestamps/indices plus the base64 payload offsets/lengths.  Returns
+// the number of blocks found (<= max_blocks).
+int64_t ttpu_card_scan(const char* text, int64_t text_len,
+                       double* timestamps, int64_t* indices,
+                       int64_t* payload_offsets, int64_t* payload_lens,
+                       int64_t max_blocks) {
+    int64_t count = 0;
+    int64_t pos = 0;
+    while (pos < text_len && count < max_blocks) {
+        int64_t line_start = pos;
+        while (pos < text_len && text[pos] != '\n') ++pos;
+        int64_t line_end = pos;
+        ++pos;  // skip newline
+        if (line_end <= line_start) continue;
+        const char* line = text + line_start;
+        if (line[0] == '#' || line[0] == '\n' || line[0] == '\r') continue;
+        // Parse "<float> <int> <payload>".
+        char* endp = nullptr;
+        double ts = strtod(line, &endp);
+        if (endp == line || endp >= text + line_end || *endp != ' ')
+            continue;
+        char* endp2 = nullptr;
+        long long idx = strtoll(endp + 1, &endp2, 10);
+        if (endp2 == endp + 1 || endp2 >= text + line_end ||
+            *endp2 != ' ')
+            continue;
+        const char* payload = endp2 + 1;
+        int64_t plen = (text + line_end) - payload;
+        while (plen > 0 && (payload[plen - 1] == '\r')) --plen;
+        if (plen <= 0) continue;
+        // Payload must look like base64 (reject stray tool output).
+        b64_init();
+        if (B64_REV[(uint8_t)payload[0]] < 0) continue;
+        timestamps[count] = ts;
+        indices[count] = (int64_t)idx;
+        payload_offsets[count] = payload - text;
+        payload_lens[count] = plen;
+        ++count;
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// Raw 8-bit IQ -> float conversion (LUT, cf. fastcard/rawconv.c)
+// ---------------------------------------------------------------------------
+
+static float IQ_LUT[256];
+static bool lut_init_done = false;
+
+static void lut_init() {
+    if (lut_init_done) return;
+    for (int i = 0; i < 256; ++i)
+        IQ_LUT[i] = ((float)i - 127.4f) * (1.0f / 128.0f);
+    lut_init_done = true;
+}
+
+// Convert n_bytes of interleaved uint8 IQ to n_bytes floats (pairs of
+// which form complex64), multi-threaded for large batches.
+void ttpu_raw_to_iq(const uint8_t* raw, float* out, int64_t n_bytes,
+                    int num_threads) {
+    lut_init();
+    if (num_threads < 1) num_threads = 1;
+    if (num_threads == 1 || n_bytes < (1 << 20)) {
+        for (int64_t i = 0; i < n_bytes; ++i) out[i] = IQ_LUT[raw[i]];
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_bytes + num_threads - 1) / num_threads;
+    for (int t = 0; t < num_threads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n_bytes ? lo + chunk : n_bytes;
+        if (lo >= hi) break;
+        threads.emplace_back([=]() {
+            for (int64_t i = lo; i < hi; ++i) out[i] = IQ_LUT[raw[i]];
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Overlap-save unfold: contiguous stream bytes [total] -> blocks
+// [num_blocks, block_bytes] where each block repeats the previous
+// history_bytes (cf. fastcard/raw_reader.c:22-30).  The first block is
+// prefixed with `fill` (128 = zero signal).
+void ttpu_unfold(const uint8_t* stream, int64_t total_bytes,
+                 uint8_t* out, int64_t block_bytes, int64_t history_bytes,
+                 int64_t num_blocks, uint8_t fill) {
+    int64_t new_bytes = block_bytes - history_bytes;
+    for (int64_t b = 0; b < num_blocks; ++b) {
+        int64_t start = b * new_bytes - history_bytes;
+        uint8_t* dst = out + b * block_bytes;
+        for (int64_t j = 0; j < block_bytes; ++j) {
+            int64_t src = start + j;
+            dst[j] = (src < 0 || src >= total_bytes) ? fill : stream[src];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Ring buffer (cf. fastcard/circbuf.c): producer/consumer with
+// occupancy histogram and overflow counter.
+// ---------------------------------------------------------------------------
+
+struct ttpu_ring {
+    std::vector<uint8_t> buf;
+    size_t head = 0, tail = 0, size = 0;
+    std::mutex mu;
+    std::condition_variable can_read, can_write;
+    bool closed = false;
+    uint64_t overflows = 0;
+    uint64_t histogram[8] = {0};
+};
+
+void* ttpu_ring_new(int64_t capacity) {
+    auto* r = new ttpu_ring();
+    r->buf.resize((size_t)capacity);
+    return r;
+}
+
+void ttpu_ring_free(void* ring) { delete (ttpu_ring*)ring; }
+
+void ttpu_ring_close(void* ring) {
+    auto* r = (ttpu_ring*)ring;
+    std::lock_guard<std::mutex> lock(r->mu);
+    r->closed = true;
+    r->can_read.notify_all();
+    r->can_write.notify_all();
+}
+
+// Blocking write; returns bytes written (< len only if closed).
+int64_t ttpu_ring_write(void* ring, const uint8_t* data, int64_t len) {
+    auto* r = (ttpu_ring*)ring;
+    int64_t written = 0;
+    std::unique_lock<std::mutex> lock(r->mu);
+    while (written < len) {
+        if (r->size == r->buf.size()) {
+            ++r->overflows;  // producer stalls: real-time margin exceeded
+            r->can_write.wait(lock, [&] {
+                return r->size < r->buf.size() || r->closed;
+            });
+        }
+        if (r->closed) break;
+        size_t space = r->buf.size() - r->size;
+        size_t n = std::min((size_t)(len - written), space);
+        for (size_t i = 0; i < n; ++i) {
+            r->buf[r->head] = data[written + (int64_t)i];
+            r->head = (r->head + 1) % r->buf.size();
+        }
+        r->size += n;
+        written += (int64_t)n;
+        r->histogram[(r->size * 8 - 1) / r->buf.size() < 8
+                         ? (r->size * 8 - 1) / r->buf.size() : 7]++;
+        r->can_read.notify_all();
+    }
+    return written;
+}
+
+// Blocking read of exactly len bytes; returns bytes read (< len only at
+// end-of-stream after close).
+int64_t ttpu_ring_read(void* ring, uint8_t* out, int64_t len) {
+    auto* r = (ttpu_ring*)ring;
+    int64_t got = 0;
+    std::unique_lock<std::mutex> lock(r->mu);
+    while (got < len) {
+        if (r->size == 0) {
+            if (r->closed) break;
+            r->can_read.wait(lock,
+                             [&] { return r->size > 0 || r->closed; });
+            if (r->size == 0 && r->closed) break;
+        }
+        size_t n = std::min((size_t)(len - got), r->size);
+        for (size_t i = 0; i < n; ++i) {
+            out[got + (int64_t)i] = r->buf[r->tail];
+            r->tail = (r->tail + 1) % r->buf.size();
+        }
+        r->size -= n;
+        got += (int64_t)n;
+        r->can_write.notify_all();
+    }
+    return got;
+}
+
+uint64_t ttpu_ring_overflows(void* ring) {
+    auto* r = (ttpu_ring*)ring;
+    std::lock_guard<std::mutex> lock(r->mu);
+    return r->overflows;
+}
+
+void ttpu_ring_histogram(void* ring, uint64_t* out8) {
+    auto* r = (ttpu_ring*)ring;
+    std::lock_guard<std::mutex> lock(r->mu);
+    for (int i = 0; i < 8; ++i) out8[i] = r->histogram[i];
+}
+
+}  // extern "C"
