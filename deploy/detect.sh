@@ -1,0 +1,41 @@
+#!/bin/sh
+# Streaming detect supervisor for a receiver node / TPU host.
+#
+# Mirrors the reference's rpi/detect.sh: wait for NTP coarse time sync,
+# create a FIFO between the capture process and the detector so neither
+# blocks the other, and kill the whole job group if any stage dies.
+
+set -e
+
+CONFIG=${CONFIG:-/etc/thrifty-tpu/detector.cfg}
+OUTPUT=${OUTPUT:-/var/lib/thrifty-tpu/rx.toad}
+FIFO=${FIFO:-/tmp/thrifty-tpu-capture.fifo}
+CAPTURE_CMD=${CAPTURE_CMD:-"rtl_sdr -f 433.83M -s 2.4M -g 29 -"}
+
+# Wait for NTP synchronisation: the matchmaker needs wall clocks aligned
+# to well under its 0.2 s window.
+if command -v chronyc >/dev/null 2>&1; then
+    until chronyc waitsync 1 0.1 >/dev/null 2>&1; do
+        echo "waiting for NTP sync..." >&2
+        sleep 5
+    done
+elif command -v ntp-wait >/dev/null 2>&1; then
+    ntp-wait -v || true
+fi
+
+rm -f "$FIFO"
+mkfifo "$FIFO"
+
+cleanup() {
+    kill 0 2>/dev/null || true
+    rm -f "$FIFO"
+}
+trap cleanup EXIT INT TERM
+
+# capture -> FIFO -> detect (append mode: restartable mid-capture)
+$CAPTURE_CMD > "$FIFO" &
+python -m thrifty_tpu.cli detect "$FIFO" --raw -a "$OUTPUT" \
+    -c "$CONFIG" --quiet &
+
+wait -n
+echo "pipeline stage exited; shutting down" >&2

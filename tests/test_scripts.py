@@ -1,0 +1,127 @@
+"""scripts/ utilities and the .tpl template format."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from thrifty_tpu.dsp import iq, template as template_mod
+from thrifty_tpu.io import tpl
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+
+
+def run_script(name, args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, name)] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300)
+
+
+class TestTpl:
+    def test_round_trip(self, tmp_path):
+        template = template_mod.generate(11, 0, 2.4e6 / 0.999707e6)
+        path = str(tmp_path / "t.tpl")
+        tpl.save_tpl(path, template)
+        back = tpl.load_tpl(path)
+        np.testing.assert_allclose(back, template, atol=1e-6)
+        # int16 length header + float32 samples
+        assert os.path.getsize(path) == 2 + 4 * len(template)
+
+    def test_npy_to_tpl_script(self, tmp_path):
+        template = template_mod.generate(5, 0, 2.0)
+        np.save(str(tmp_path / "t.npy"), template)
+        res = run_script("npy_to_tpl.py", ["t.npy"], str(tmp_path))
+        assert res.returncode == 0, res.stderr
+        back = tpl.load_tpl(str(tmp_path / "t.tpl"))
+        np.testing.assert_allclose(back, template, atol=1e-6)
+        # reverse conversion
+        res = run_script("npy_to_tpl.py",
+                         ["--reverse", "t.tpl", "t2.npy"], str(tmp_path))
+        assert res.returncode == 0, res.stderr
+        np.testing.assert_allclose(
+            np.load(str(tmp_path / "t2.npy")), template, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def raw_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw")
+    rng = np.random.default_rng(0)
+    stream = (0.05 * (rng.normal(size=60000) + 1j * rng.normal(size=60000))
+              + 0.3 * np.exp(2j * np.pi * 40 * np.arange(60000) / 16384))
+    raw = iq.iq_to_raw(stream)
+    path = d / "data.bin"
+    path.write_bytes(raw.tobytes())
+    return d
+
+
+def test_noise_rms(raw_file):
+    res = run_script("noise_rms.py",
+                     ["data.bin", "-b", "8192", "-y", "2048", "-i", "2"],
+                     str(raw_file))
+    assert res.returncode == 0, res.stderr
+    values = [float(x) for x in res.stdout.split()]
+    assert len(values) >= 2
+    assert all(v > 0 for v in values)
+
+
+def test_fft_analysis(raw_file):
+    res = run_script("fft_analysis.py",
+                     ["data.bin", "-b", "16384", "-y", "4920", "--top", "1"],
+                     str(raw_file))
+    assert res.returncode == 0, res.stderr
+    # The strongest bin must be the injected tone at bin 40.
+    assert "bin     40" in res.stdout
+
+
+def test_hist(raw_file):
+    res = run_script("hist.py", ["data.bin", "-b", "8192", "-y", "2048"],
+                     str(raw_file))
+    assert res.returncode == 0, res.stderr
+    mean = float(res.stdout.split("mean: ")[1].split()[0])
+    assert 126.0 < mean < 128.5  # centred on the 127.4 DC offset
+
+
+@pytest.fixture(scope="module")
+def network_files(tmp_path_factory):
+    from thrifty_tpu import sim
+    from thrifty_tpu.io import toad
+    from thrifty_tpu.pipeline import matchmaker
+
+    d = tmp_path_factory.mktemp("net")
+    rx_pos = {0: np.array([0.0, 0.0]), 1: np.array([10000.0, 0.0]),
+              2: np.array([5000.0, 7000.0])}
+    tx_pos = {9: np.array([5000.0, 2000.0]), 3: np.array([7000.0, 1000.0])}
+    schedule = [(9, t) for t in np.arange(0.5, 20, 1.0)]
+    schedule += [(3, t) for t in np.arange(4.0, 16.0, 2.0)]
+    det = sim.synth_network(rx_pos, tx_pos, schedule, 2.4e6,
+                            clock_offsets={1: 123.0, 2: -77.0},
+                            clock_drifts={1: 2e-6, 2: -1e-6},
+                            soa_noise=0.02)
+    matches, _, _ = matchmaker.match_detections(det)
+    toad.save(str(d / "data.toads"), det, with_rxid=True, with_txid=True)
+    matchmaker.save_matches(str(d / "data.match"), matches)
+    (d / "pos-rx.cfg").write_text("".join(
+        "{}: {} {}\n".format(r, p[0], p[1]) for r, p in rx_pos.items()))
+    (d / "pos-beacon.cfg").write_text("9: 5000.0 2000.0\n")
+    return d
+
+
+def test_tdoa_matrix(network_files):
+    res = run_script("tdoa_matrix.py", ["data.toads", "data.match"],
+                     str(network_files))
+    assert res.returncode == 0, res.stderr
+    assert "# TX 3:" in res.stdout
+    assert "n=6" in res.stdout
+
+
+def test_reldist_nearest(network_files):
+    res = run_script("reldist_nearest.py",
+                     ["data.toads", "data.match", "--tx", "3",
+                      "--beacon", "9"], str(network_files))
+    assert res.returncode == 0, res.stderr
+    assert "std=" in res.stdout

@@ -1,0 +1,30 @@
+""".tpl binary template format (int16 length + float32 samples).
+
+The reference's native detector consumes templates in this format
+(fastdet/corr_detector.cpp:200-228, scripts/npy_to_tpl.py:20-23);
+supported here for interchange with existing deployments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_tpl(path_or_stream, template: np.ndarray):
+    template = np.asarray(template, dtype=np.float32)
+    if isinstance(path_or_stream, str):
+        with open(path_or_stream, "wb") as f:
+            return save_tpl(f, template)
+    np.int16(len(template)).tofile(path_or_stream)
+    template.tofile(path_or_stream)
+
+
+def load_tpl(path_or_stream) -> np.ndarray:
+    if isinstance(path_or_stream, str):
+        with open(path_or_stream, "rb") as f:
+            return load_tpl(f)
+    length = int(np.fromfile(path_or_stream, dtype=np.int16, count=1)[0])
+    template = np.fromfile(path_or_stream, dtype=np.float32, count=length)
+    if len(template) != length:
+        raise ValueError("truncated .tpl file")
+    return template.astype(np.float64)
