@@ -53,7 +53,9 @@ def main(argv=None):
                              "= two burst periods, so the baseline sees the "
                              "same detect/no-detect cost mix as the device)")
     parser.add_argument("--sync-mode", type=str, default="fractional",
-                        choices=["fractional", "integer"])
+                        choices=["fractional", "integer", "preshift"])
+    parser.add_argument("--pallas", type=str, default="auto",
+                        choices=["auto", "on", "off"])
     parser.add_argument("--skip-baseline", action="store_true",
                         help="use the cached baseline rate instead of "
                              "re-measuring numpy")
@@ -64,7 +66,8 @@ def main(argv=None):
     from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
 
     template = sim.make_template()
-    cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode)
+    cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
+                         use_pallas=args.pallas)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
 
@@ -82,7 +85,7 @@ def main(argv=None):
     # Baseline: float64 numpy implementation of the reference equations.
     # ~42 ms/block on typical hosts; measured over a few blocks.
     if args.skip_baseline:
-        baseline_samples_per_s = 265_000.0  # measured previously, see repo
+        baseline_samples_per_s = 5.3e6  # measured on this host, see repo
     else:
         from thrifty_tpu.oracle.numpy_ref import OracleDetector
         oracle = OracleDetector(

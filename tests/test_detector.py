@@ -114,6 +114,23 @@ def test_integer_sync_mode(capture):
         assert out["detected"][burst.block_idx]
 
 
+def test_preshift_sync_mode(capture, detector, output):
+    """Preshift template bank: close to fractional-shift SoAs, no 2nd FFT."""
+    det = BatchDetector(
+        capture.template,
+        DetectorConfig(carrier_window=(7, 110), sync_mode="preshift",
+                       num_preshift=41))
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    soa_pre = det.soa(capture.indices, out["corr_sample"],
+                      out["corr_offset"])
+    for burst in capture.bursts:
+        i = burst.block_idx
+        assert out["detected"][i]
+        # Residual fractional error <= 0.5/(num_preshift-1) bins of
+        # carrier mismatch -> small SoA bias; stay within 0.1 samples.
+        assert abs(soa_pre[i] - burst.expected_soa) < 0.1
+
+
 def test_template_bank(capture):
     """Bank mode identifies the transmitted code among decoys."""
     from thrifty_tpu.dsp import template as template_mod

@@ -1,0 +1,110 @@
+"""Pallas fused peak/energy kernel vs the jnp reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from thrifty_tpu.dsp import pallas_kernels as pk
+
+
+def make_data(b=16, n=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))
+         ).astype(np.complex64)
+    # Plant distinct peaks inside and outside the window.
+    for i in range(b):
+        x[i, 100 + i] = 50.0 + 0j        # inside window
+        x[i, n - 10] = 80.0 + 0j         # outside window (must be ignored)
+    mask = np.zeros(n, dtype=bool)
+    mask[50:2000] = True
+    return x, mask
+
+
+class TestFusedPowerPeak:
+    def test_matches_reference_interpret(self):
+        x, mask = make_data()
+        import jax.numpy as jnp
+        ref = pk.fused_power_peak_reference(
+            jnp.real(x), jnp.imag(x), jnp.asarray(mask))
+        got = pk.fused_power_peak(x, mask, row_tile=8, chunk=512,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                                   rtol=1e-5)
+
+    def test_peak_positions(self):
+        x, mask = make_data()
+        idx, peak, total = pk.fused_power_peak(
+            x, mask, row_tile=8, chunk=512, interpret=True)
+        for i in range(len(x)):
+            assert int(np.asarray(idx)[i]) == 100 + i
+        np.testing.assert_allclose(np.asarray(peak), 2500.0, rtol=1e-5)
+
+    def test_peak_in_last_chunk(self):
+        rng = np.random.default_rng(1)
+        x = (0.01 * rng.normal(size=(8, 1024))).astype(np.complex64)
+        x[:, 1000] = 9.0
+        mask = np.ones(1024, dtype=bool)
+        idx, peak, _ = pk.fused_power_peak(
+            x, mask, row_tile=8, chunk=256, interpret=True)
+        assert np.all(np.asarray(idx) == 1000)
+
+    def test_unaligned_shapes_fall_back(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(3, 1000)).astype(np.complex64)  # unaligned
+        mask = np.ones(1000, dtype=bool)
+        idx, peak, total = pk.fused_power_peak(x, mask)
+        ref_idx = np.argmax(np.abs(x) ** 2, axis=-1)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+class TestDetectorPallasPath:
+    def test_pallas_path_matches_standard(self):
+        """Full detector: pallas program == standard program (interpret)."""
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp import template as template_mod
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+        import thrifty_tpu.dsp.pallas_kernels as pkmod
+
+        tpl = template_mod.generate(5, 0, 2.0)
+        cap = sim.synth_capture(
+            num_blocks=8, bursts_every=2, template=tpl, block_len=2048,
+            history_len=256, carrier_bin=40.25, amplitude=0.8,
+            noise_std=0.05, seed=3, quantize=False)
+
+        std = BatchDetector(tpl, DetectorConfig(
+            block_len=2048, history_len=256, carrier_window=(7, 110),
+            use_pallas="off"))
+        out_std = {k: np.asarray(v) for k, v in std(cap.blocks).items()}
+
+        # Run the pallas program with the kernel in interpret mode.
+        import unittest.mock as mock
+        orig = pkmod.fused_power_peak
+
+        def interpreted(x, mask, **kw):
+            kw["interpret"] = True
+            return orig(x, mask, **kw)
+
+        with mock.patch.object(pkmod, "fused_power_peak", interpreted):
+            pal = BatchDetector(tpl, DetectorConfig(
+                block_len=2048, history_len=256, carrier_window=(7, 110),
+                use_pallas="on"))
+            out_pal = {k: np.asarray(v)
+                       for k, v in pal._detect_batch(
+                           np.asarray(cap.blocks)).items()}
+
+        np.testing.assert_array_equal(
+            out_pal["detected"], out_std["detected"])
+        np.testing.assert_array_equal(
+            out_pal["carrier_bin"], out_std["carrier_bin"])
+        np.testing.assert_array_equal(
+            out_pal["corr_sample"], out_std["corr_sample"])
+        np.testing.assert_allclose(
+            out_pal["carrier_offset"], out_std["carrier_offset"], atol=1e-5)
+        np.testing.assert_allclose(
+            out_pal["corr_offset"], out_std["corr_offset"], atol=1e-5)
+        np.testing.assert_allclose(
+            out_pal["corr_energy"], out_std["corr_energy"], rtol=1e-5)
+        np.testing.assert_allclose(
+            out_pal["corr_noise"], out_std["corr_noise"], rtol=1e-4)

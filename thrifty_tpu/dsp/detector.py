@@ -36,10 +36,20 @@ class DetectorConfig:
     carrier_window: Optional[tuple] = None  # (start, stop) signed bins
     corr_thresh: tuple = (0.0, 15.0, 0.0)
     # 'fractional' = python-reference semantics (phase-ramp shift);
-    # 'integer' = fastdet semantics (FFT roll, no second FFT).
+    # 'integer' = fastdet semantics (FFT roll, no second FFT);
+    # 'preshift' = integer roll + bank of fractionally pre-shifted
+    #   template FFTs (reference experimental/detect_preshift.py:24-45):
+    #   fractional compensation without the second FFT.
     sync_mode: str = "fractional"
+    num_preshift: int = 21
     interp_width: int = 6
     gn_iters: int = 12
+    # Pallas fused peak/energy kernel ('on'/'off'/'auto').  Measured on
+    # TPU v5e, XLA's own fusion of the |x|^2/argmax/sum reductions beats
+    # the hand-written kernel (the separate real/imag planes cost an
+    # extra HBM pass), so 'auto' currently resolves to off; the kernel
+    # remains available for experimentation.
+    use_pallas: str = "auto"
 
 
 class BatchDetector:
@@ -60,6 +70,10 @@ class BatchDetector:
     """
 
     def __init__(self, template: np.ndarray, config: DetectorConfig):
+        if config.sync_mode not in ("fractional", "integer", "preshift"):
+            raise ValueError(
+                "unknown sync_mode {!r}: expected 'fractional', 'integer' "
+                "or 'preshift'".format(config.sync_mode))
         self.config = config
         template = np.asarray(template, dtype=np.float64)
         self.bank = template.ndim == 2
@@ -87,6 +101,28 @@ class BatchDetector:
         self._tmpl_fft_conj = tconj
         self._tmpl_energy = tenergy
         self._carrier_mask = carrier.window_mask(config.carrier_window, n)
+        # Unique-lag window as a full-length mask (pallas path searches
+        # the unsliced circular correlation with lags >= corr_len masked).
+        self._corr_mask_full = np.zeros(n, dtype=bool)
+        self._corr_mask_full[self.window[0]:self.window[1]] = True
+
+        if config.sync_mode == "preshift":
+            if self.bank:
+                raise ValueError(
+                    "preshift mode does not support template banks yet")
+            # Bank of conj template FFTs, each pre-shifted by a fractional
+            # bin in [-0.5, 0.5]; selected per block by the residual
+            # fractional carrier offset after the integer roll.
+            shifts = np.linspace(-0.5, 0.5, config.num_preshift)
+            freqs = np.arange(n) / n - 0.5
+            padded = np.zeros(n, dtype=np.complex128)
+            padded[: self.template_len] = tmpl2d[0]
+            bank_rows = [
+                np.conj(np.fft.fft(padded * np.exp(
+                    -2j * np.pi * s * freqs)))
+                for s in shifts
+            ]
+            self._preshift_bank = np.stack(bank_rows).astype(np.complex64)
         self._interp = dirichlet.make_dirichlet_interpolator(
             block_len=n,
             carrier_len=self.template_len,
@@ -97,7 +133,23 @@ class BatchDetector:
 
     # -- the compiled program ------------------------------------------------
 
+    def _pallas_enabled(self, batch):
+        cfg = self.config
+        if cfg.use_pallas == "off":
+            return False
+        ok = (
+            cfg.carrier_thresh[2] == 0 and cfg.corr_thresh[2] == 0
+            and cfg.block_len % 2048 == 0 and batch % 8 == 0
+            and (not self.bank or (batch * self.num_templates) % 8 == 0)
+        )
+        if cfg.use_pallas == "on":
+            return ok
+        return False  # 'auto': XLA fusion measured faster; see config
+
     def _detect_batch(self, blocks):
+        if self._pallas_enabled(blocks.shape[0]):
+            return self._detect_batch_pallas(blocks)
+
         cfg = self.config
         n = cfg.block_len
 
@@ -112,17 +164,9 @@ class BatchDetector:
         c_off = self._interp(mag, c_idx)
         c_off = jnp.where(c_det, c_off, 0.0)
 
-        # Stage 3: carrier removal.
-        if cfg.sync_mode == "fractional":
-            shift_bins = -(c_idx.astype(jnp.float32) + c_off)
-            shifted = shift.fractional_shift_fft(blocks, shift_bins)
-        elif cfg.sync_mode == "integer":
-            shifted = shift.integer_roll_fft(fft, -c_idx)
-        else:
-            raise ValueError("unknown sync_mode: " + cfg.sync_mode)
-
-        # Stage 4: despread against the template (bank) and find the peak.
-        corr = xcorr.despread(shifted, self._tmpl_fft_conj, self.corr_len)
+        # Stage 3 + 4: carrier removal and despread.
+        corr = self._remove_carrier_and_despread(
+            blocks, fft, c_idx, c_off, self.corr_len)
         corr_mag = jnp.abs(corr)
         p_idx, p_mag = xcorr.window_peak(corr_mag, self.window)
 
@@ -140,6 +184,114 @@ class BatchDetector:
 
         if self.bank:
             # Pick the best template per block by peak magnitude.
+            best = jnp.argmax(p_mag, axis=-1)
+            take = lambda a: jnp.take_along_axis(
+                a, best[:, None], axis=-1)[:, 0]
+            p_idx, p_mag = take(p_idx), take(p_mag)
+            noise, p_det = take(noise), take(p_det)
+            p_off = take(p_off)
+            template_idx = best.astype(jnp.int32)
+        else:
+            template_idx = jnp.zeros_like(c_idx)
+
+        return {
+            "detected": c_det & p_det,
+            "carrier_detect": c_det,
+            "carrier_bin": c_idx,
+            "carrier_offset": c_off,
+            "carrier_energy": c_mag,
+            "carrier_noise": c_noise,
+            "corr_sample": p_idx,
+            "corr_offset": p_off,
+            "corr_energy": p_mag,
+            "corr_noise": noise,
+            "template_idx": template_idx,
+        }
+
+    def _remove_carrier_and_despread(self, blocks, fft, c_idx, c_off,
+                                     corr_len):
+        """Stage 3+4: carrier-compensated correlation, [.., corr_len]."""
+        cfg = self.config
+        if cfg.sync_mode == "fractional":
+            shift_bins = -(c_idx.astype(jnp.float32) + c_off)
+            shifted = shift.fractional_shift_fft(blocks, shift_bins)
+            return xcorr.despread(shifted, self._tmpl_fft_conj, corr_len)
+        if cfg.sync_mode == "integer":
+            shifted = shift.integer_roll_fft(fft, -c_idx)
+            return xcorr.despread(shifted, self._tmpl_fft_conj, corr_len)
+        if cfg.sync_mode == "preshift":
+            # Integer roll + per-block fractionally pre-shifted template:
+            # fractional compensation without a second signal FFT.
+            shift_total = -(c_idx.astype(jnp.float32) + c_off)
+            int_shift = jnp.round(shift_total).astype(jnp.int32)
+            frac = jnp.clip(shift_total - int_shift, -0.5, 0.5)
+            shifted = shift.integer_roll_fft(fft, int_shift)
+            sel = jnp.round(
+                (frac + 0.5) * (cfg.num_preshift - 1)).astype(jnp.int32)
+            tconj = jnp.asarray(self._preshift_bank)[sel]  # [B, N]
+            return jnp.fft.ifft(shifted * tconj)[..., :corr_len]
+        raise ValueError("unknown sync_mode: " + cfg.sync_mode)
+
+    def _detect_batch_pallas(self, blocks):
+        """Same math as _detect_batch, with magnitudes never materialized.
+
+        The fused Pallas kernel returns (windowed argmax, peak power,
+        total power) in one pass; interpolation neighborhoods are
+        gathered from the complex arrays (a few elements per block).
+        """
+        from thrifty_tpu.dsp import pallas_kernels
+
+        cfg = self.config
+        n = cfg.block_len
+        c_const, c_snr, _ = cfg.carrier_thresh
+        u_const, u_snr, _ = cfg.corr_thresh
+        width = cfg.interp_width
+        offs = jnp.arange(-(width // 2), width // 2 + 1)
+
+        # Stage 1: carrier peak + energy in one pass.
+        fft = jnp.fft.fft(blocks)
+        c_idx, c_peak_pow, c_energy = pallas_kernels.fused_power_peak(
+            fft, self._carrier_mask)
+        c_mag = jnp.sqrt(c_peak_pow)
+        c_noise = jnp.sqrt((c_energy - 2.0 * c_peak_pow) / (n - 1))
+        c_det = c_mag > jnp.sqrt(c_const + c_snr * jnp.square(c_noise))
+
+        # Stage 2: Dirichlet fit on a gathered complex neighborhood.
+        neigh = jnp.abs(jnp.take_along_axis(
+            fft, (c_idx[:, None] + offs) % n, axis=-1))
+        c_off = self._interp(None, c_idx, values=neigh)
+        c_off = jnp.where(c_det, c_off, 0.0)
+
+        # Stage 3 + 4: carrier removal and despread; peak via the fused
+        # kernel on the full-length circular correlation with non-unique
+        # lags masked out.
+        corr_full = self._remove_carrier_and_despread(
+            blocks, fft, c_idx, c_off, n)
+        flat = corr_full.reshape(-1, n)
+        p_idx, p_peak_pow, _ = pallas_kernels.fused_power_peak(
+            flat, self._corr_mask_full)
+        p_mag = jnp.sqrt(p_peak_pow)
+
+        neigh3 = jnp.abs(jnp.take_along_axis(
+            flat, (p_idx[:, None] + jnp.asarray([-1, 0, 1])) % n, axis=-1))
+        p_off = xcorr.gaussian_interpolate(
+            None, p_idx, values=neigh3, length=self.corr_len)
+        if self.bank:
+            shape = (blocks.shape[0], self.num_templates)
+            p_idx = p_idx.reshape(shape)
+            p_mag = p_mag.reshape(shape)
+            p_off = p_off.reshape(shape)
+
+        # Stage 5: noise / threshold (identical formulas).
+        signal_energy = jnp.sum(
+            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1)
+        if self.bank:
+            signal_energy = signal_energy[:, None]
+        noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
+        p_det = p_mag > jnp.sqrt(u_const + u_snr * jnp.square(noise))
+        p_off = jnp.where(p_det, p_off, 0.0)
+
+        if self.bank:
             best = jnp.argmax(p_mag, axis=-1)
             take = lambda a: jnp.take_along_axis(
                 a, best[:, None], axis=-1)[:, 0]

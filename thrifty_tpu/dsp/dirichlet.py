@@ -94,10 +94,15 @@ def make_dirichlet_interpolator(
         dirichlet_kernel_deriv, block_len=block_len, carrier_len=carrier_len
     )
 
-    def interpolate(fft_mag, peak_idx):
-        dtype = fft_mag.dtype
-        offs = jnp.asarray(xs.astype(np.int64))
-        y = _gather_neighborhood(fft_mag, peak_idx, offs)  # [..., P]
+    def interpolate(fft_mag, peak_idx, values=None):
+        # ``values`` bypasses the gather with a precomputed [..., P]
+        # magnitude neighborhood (used when |FFT| is never materialized).
+        if values is None:
+            offs = jnp.asarray(xs.astype(np.int64))
+            y = _gather_neighborhood(fft_mag, peak_idx, offs)  # [..., P]
+        else:
+            y = values
+        dtype = y.dtype
         xgrid = jnp.asarray(xs, dtype=dtype)
 
         amp0 = y[..., len(xs) // 2]

@@ -98,17 +98,23 @@ def threshold(corr_mag, noise, thresh_coeffs):
     return jnp.sqrt(t_sq)
 
 
-def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6):
+def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6,
+                         values=None, length=None):
     """Batched Gaussian (log-parabolic) sub-sample peak interpolation.
 
     offset = 0.5*(ln c - ln a)/(2 ln b - ln a - ln c), clipped to +-clip
     (reference thrifty/soa_estimator.py:159-170 with clip 0.6;
     fastdet clips to 0.5).  Out-of-bounds peaks return offset 0.
+    ``values`` bypasses the gather with a precomputed [..., 3]
+    magnitude neighborhood (pass ``length`` for the bounds check then).
     """
-    n = corr_mag.shape[-1]
-    safe_idx = jnp.clip(peak_idx, 1, n - 2)
-    idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
-    y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    n = corr_mag.shape[-1] if length is None else length
+    if values is None:
+        safe_idx = jnp.clip(peak_idx, 1, n - 2)
+        idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
+        y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    else:
+        y = values
     y = jnp.maximum(y, 1e-30)  # guard log of zero magnitudes
     la, lb, lc = jnp.log(y[..., 0]), jnp.log(y[..., 1]), jnp.log(y[..., 2])
     den = 2.0 * lb - la - lc
