@@ -22,17 +22,33 @@ import numpy as np
 
 
 def time_tpu(detector, blocks_list, iters):
-    """Steady-state seconds per batch (timed with block_until_ready)."""
+    """Steady-state seconds per batch, measured on a data-dependent chain.
+
+    Each iteration's input is perturbed by the previous iteration's
+    output, so executions cannot overlap, be coalesced, or be fanned out
+    behind the runtime's back -- the measured time is a sound (slightly
+    conservative: one extra elementwise pass) per-batch execution time.
+    """
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(blocks, carry):
+        perturbed = blocks + jax.lax.complex(
+            carry * 1e-20, jnp.zeros_like(carry))[:, None]
+        out = detector._detect_batch(perturbed)
+        return out, out["corr_energy"]
 
     dev_blocks = [jax.device_put(b) for b in blocks_list]
-    # Warmup / compile.
-    jax.block_until_ready(detector(dev_blocks[0]))
+    carry = jnp.zeros(dev_blocks[0].shape[0], jnp.float32)
+    out, carry = step(dev_blocks[0], carry)  # warmup / compile
+    jax.block_until_ready(carry)
+
     t0 = time.perf_counter()
-    out = None
     for i in range(iters):
-        out = detector(dev_blocks[i % len(dev_blocks)])
-    jax.block_until_ready(out)
+        out, carry = step(dev_blocks[i % len(dev_blocks)], carry)
+    jax.block_until_ready(carry)
+    np.asarray(carry)  # force a device->host round trip
     return (time.perf_counter() - t0) / iters
 
 

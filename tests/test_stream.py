@@ -1,0 +1,61 @@
+"""Threaded streaming ingestion (ring-buffer pump)."""
+
+import io
+
+import numpy as np
+import pytest
+
+pytest.importorskip("thrifty_tpu.native")
+
+from thrifty_tpu.io import blocks as blocks_io  # noqa: E402
+from thrifty_tpu.io.stream import StreamPump  # noqa: E402
+
+
+def make_stream(n_bytes, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=n_bytes, dtype=np.uint8).tobytes()
+
+
+class TestStreamPump:
+    def test_matches_synchronous_reader(self):
+        size, history, batch = 256, 64, 4
+        data = make_stream((2 * size - 2 * history) * 13)
+
+        pump = StreamPump(io.BytesIO(data), size, history, batch,
+                          timestamper=lambda: 0.0)
+        pumped = list(pump.batches())
+
+        sync = list(blocks_io.raw_batches(
+            io.BytesIO(data), size, history, batch,
+            timestamper=lambda: 0.0))
+
+        assert len(pumped) == len(sync)
+        for (ts_a, idx_a, raw_a), (ts_b, idx_b, raw_b) in zip(pumped, sync):
+            np.testing.assert_array_equal(idx_a, idx_b)
+            np.testing.assert_array_equal(raw_a, raw_b)
+
+    def test_partial_final_batch(self):
+        size, history, batch = 128, 32, 8
+        new_bytes = 2 * (size - history)
+        data = make_stream(new_bytes * 10)  # 10 blocks -> batches of 8+2
+        pump = StreamPump(io.BytesIO(data), size, history, batch,
+                          timestamper=lambda: 0.0)
+        sizes = [len(b[0]) for b in pump.batches()]
+        assert sizes == [8, 2]
+
+    def test_small_ring_backpressure(self):
+        size, history, batch = 128, 32, 2
+        new_bytes = 2 * (size - history)
+        data = make_stream(new_bytes * 64)
+        pump = StreamPump(io.BytesIO(data), size, history, batch,
+                          capacity_bytes=1024, chunk_bytes=512,
+                          timestamper=lambda: 0.0)
+        out = list(pump.batches())
+        assert sum(len(b[0]) for b in out) == 64
+        assert pump.overflows > 0  # tiny ring must have stalled
+        assert "producer stalls" in pump.stats_line()
+
+    def test_empty_stream(self):
+        pump = StreamPump(io.BytesIO(b""), 128, 32, 4,
+                          timestamper=lambda: 0.0)
+        assert list(pump.batches()) == []

@@ -134,10 +134,17 @@ def _main(argv=None):
 
     in_stream = sys.stdin.buffer if args.input == "-" \
         else open(args.input, "rb")
+    pump = None
     if args.raw:
-        batches = blocks_io.raw_batches(
-            in_stream, config.block_size, config.block_history,
-            config.batch_size)
+        try:
+            from thrifty_tpu.io.stream import StreamPump
+            pump = StreamPump(in_stream, config.block_size,
+                              config.block_history, config.batch_size)
+            batches = pump.batches()
+        except ImportError:
+            batches = blocks_io.raw_batches(
+                in_stream, config.block_size, config.block_history,
+                config.batch_size)
     else:
         batches = card.iter_card_batches(in_stream, config.batch_size)
 
@@ -170,6 +177,9 @@ def _main(argv=None):
             in_stream.close()
     if not args.quiet:
         print("{} detections".format(num), file=info_out)
+        if pump is not None:
+            # Real-time margin report (cf. fastcard's at-exit stats).
+            print(pump.stats_line(), file=info_out)
 
 
 if __name__ == "__main__":
