@@ -52,6 +52,54 @@ def time_tpu(detector, blocks_list, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def time_stream(detector, caps, iters):
+    """Per-batch seconds for the sharded halo-exchange streaming program.
+
+    Builds a (1, num_devices) mesh, shards each capture's contiguous
+    new-sample stream over the time axis, and times the shard_map
+    program (ppermute halo + local unfold + batched detect) on a
+    data-dependent chain like time_tpu.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thrifty_tpu.parallel import mesh as mesh_mod
+    from thrifty_tpu.parallel import sharded
+
+    n_dev = len(jax.devices())
+    total_blocks = len(caps[0].blocks)
+    if total_blocks % n_dev:
+        raise SystemExit("--batch must be divisible by device count "
+                         "({})".format(n_dev))
+    m = mesh_mod.make_mesh(num_rx=1, num_time=n_dev)
+    history = detector.config.history_len
+    streams = [
+        np.concatenate([c.blocks[b, history:]
+                        for b in range(total_blocks)])[None, :]
+        for c in caps
+    ]
+    fn = sharded.make_stream_detector(
+        detector, 1, total_blocks // n_dev, m)
+
+    @jax.jit
+    def step(stream, carry):
+        out = fn(stream + jax.lax.complex(
+            carry * 1e-20, jnp.float32(0.0)))
+        return out, jnp.sum(out["corr_energy"])
+
+    dev = [sharded.shard_stream(s, m) for s in streams]
+    carry = jnp.float32(0.0)
+    out, carry = step(dev[0], carry)
+    jax.block_until_ready(carry)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out, carry = step(dev[i % len(dev)], carry)
+    jax.block_until_ready(carry)
+    np.asarray(carry)
+    return (time.perf_counter() - t0) / iters
+
+
 def time_oracle(oracle, blocks):
     t0 = time.perf_counter()
     for b in blocks:
@@ -72,9 +120,17 @@ def main(argv=None):
                         choices=["fractional", "integer", "preshift"])
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"])
+    parser.add_argument("--program", type=str, default="batch",
+                        choices=["batch", "stream"],
+                        help="'batch': pre-unfolded blocks; 'stream': the "
+                             "sharded halo-exchange program over a device "
+                             "mesh (uses all local devices)")
     parser.add_argument("--skip-baseline", action="store_true",
                         help="use the cached baseline rate instead of "
                              "re-measuring numpy")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a JAX profiler trace of the timed "
+                             "region into DIR")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -95,7 +151,14 @@ def main(argv=None):
     ]
     blocks_list = [c.blocks for c in caps]
 
-    sec_per_batch = time_tpu(detector, blocks_list, args.iters)
+    timer = time_stream if args.program == "stream" else time_tpu
+    inputs = caps if args.program == "stream" else blocks_list
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            sec_per_batch = timer(detector, inputs, args.iters)
+    else:
+        sec_per_batch = timer(detector, inputs, args.iters)
     samples_per_s = args.batch * new_len / sec_per_batch
 
     # Baseline: float64 numpy implementation of the reference equations.

@@ -161,12 +161,17 @@ def _main(argv=None):
     summary = None if args.quiet else SummaryFormatter(
         config.sample_rate, config.block_size)
 
+    import time as time_mod
+
     num = 0
+    blocks_done = 0
+    t_start = time_mod.perf_counter()
     try:
         for records in detect_batches(
                 detector, batches, config.batch_size, rxid=config.rxid,
                 summary=summary, summary_out=info_out):
             num += len(records)
+            blocks_done += config.batch_size
             if out_stream is not None:
                 toad.save(out_stream, records)
                 out_stream.flush()
@@ -175,8 +180,14 @@ def _main(argv=None):
             out_stream.close()
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
+    elapsed = time_mod.perf_counter() - t_start
     if not args.quiet:
         print("{} detections".format(num), file=info_out)
+        rate = blocks_done * detector.new_len / max(elapsed, 1e-9)
+        print("throughput: {:.0f} blocks in {:.2f} s = {:.3g} IQ samples/s "
+              "({:.1f}x realtime @ {:.1f} Msps)".format(
+                  blocks_done, elapsed, rate, rate / config.sample_rate,
+                  config.sample_rate / 1e6), file=info_out)
         if pump is not None:
             # Real-time margin report (cf. fastcard's at-exit stats).
             print(pump.stats_line(), file=info_out)
