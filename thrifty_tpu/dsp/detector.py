@@ -16,7 +16,6 @@ windows, same clipping); see the per-stage modules for file:line cites.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import numpy as np

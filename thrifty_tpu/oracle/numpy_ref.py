@@ -19,8 +19,6 @@ It is NOT a port of the reference's class structure -- just its equations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 from scipy.optimize import curve_fit
 

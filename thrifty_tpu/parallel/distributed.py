@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax
 
-from thrifty_tpu.parallel.mesh import AXIS_RX, AXIS_TIME, make_mesh
+from thrifty_tpu.parallel.mesh import make_mesh
 
 
 def initialize(coordinator_address=None, num_processes=None,

@@ -20,9 +20,6 @@ process/machine-level distribution (SURVEY.md section 2.4):
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -18,7 +18,6 @@ import dataclasses
 
 import numpy as np
 
-from thrifty_tpu.dsp import gold as gold_mod
 from thrifty_tpu.dsp import template as template_mod
 from thrifty_tpu.dsp import iq
 
