@@ -100,6 +100,29 @@ class TestDuplicates:
         mask = identify.duplicate_mask(det)
         assert mask.tolist() == [True, True]
 
+    def test_cross_txid_duplicate_kept_by_default(self):
+        det = make_detections([
+            (0, 1, 10.0, 100, 40, 50.0),
+            (0, 2, 10.1, 101, 40, 10.0),  # misidentified weak duplicate
+        ])
+        assert identify.duplicate_mask(det).tolist() == [True, True]
+
+    def test_cross_txid_duplicate_removed_with_ignore(self):
+        det = make_detections([
+            (0, 1, 10.0, 100, 40, 50.0),
+            (0, 2, 10.1, 101, 40, 10.0),
+        ])
+        mask = identify.duplicate_mask(det, ignore_txid=True)
+        assert mask.tolist() == [True, False]
+
+    def test_integrate_keep_txid(self):
+        det = make_detections([
+            (0, 7, 10.0, 100, 40, 50.0),
+            (0, 3, 20.0, 200, 40, 50.0),
+        ])
+        out = identify.integrate(det, keep_txid=True, dedup_any_tx=True)
+        assert sorted(out["txid"].tolist()) == [3, 7]
+
     def test_unidentified_removed(self):
         det = make_detections([
             (0, -1, 10.0, 100, 40, 50.0),

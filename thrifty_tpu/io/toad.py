@@ -32,15 +32,20 @@ def empty(n: int = 0) -> np.ndarray:
     return out
 
 
-def from_detector_output(timestamps, indices, soa, out, rxid=-1):
+def from_detector_output(timestamps, indices, soa, out, rxid=-1,
+                         txid_from_template=False):
     """Build detection records from BatchDetector output arrays.
 
-    Only rows where ``out['detected']`` is True are kept.
+    Only rows where ``out['detected']`` is True are kept.  With
+    ``txid_from_template`` the winning template-bank index becomes the
+    txid (multi-template per-transmitter matched filtering).
     """
     mask = np.asarray(out["detected"])
     idx = np.nonzero(mask)[0]
     det = empty(len(idx))
     det["rxid"] = rxid
+    if txid_from_template:
+        det["txid"] = np.asarray(out["template_idx"])[idx]
     det["timestamp"] = np.asarray(timestamps)[idx]
     det["block"] = np.asarray(indices)[idx]
     det["soa"] = np.asarray(soa)[idx]

@@ -64,7 +64,8 @@ class SummaryFormatter:
 
 
 def detect_batches(detector, batches, batch_size, rxid=-1,
-                   summary=None, summary_out=None):
+                   summary=None, summary_out=None,
+                   txid_from_template=False):
     """Run the detector over an iterator of (ts, idx, raw) batches.
 
     Yields detection record arrays (toad.DETECTION_DTYPE) per batch.
@@ -80,7 +81,9 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
         if summary is not None and summary_out is not None:
             for i in range(n):
                 print(summary(int(idx[i]), out, i), file=summary_out)
-        return toad.from_detector_output(ts, idx, soa, out, rxid=rxid)
+        return toad.from_detector_output(
+            ts, idx, soa, out, rxid=rxid,
+            txid_from_template=txid_from_template)
 
     for ts, idx, raw in batches:
         n = len(ts)
@@ -113,6 +116,10 @@ def _main(argv=None):
                        help="output .toad file ('-' for stdout)")
     group.add_argument("-a", "--append", type=str,
                        help="output .toad file to append to")
+    parser.add_argument("--emit-txid", action="store_true",
+                        help="write .toads lines with txid taken from the "
+                             "winning template of a template bank (the "
+                             "template file must hold a [T, L] array)")
 
     keys = ["sample_rate", "block_size", "block_history", "carrier_window",
             "carrier_threshold", "corr_threshold", "template", "rxid",
@@ -120,6 +127,9 @@ def _main(argv=None):
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
     template = np.load(config.template)
+    if args.emit_txid and template.ndim != 2:
+        parser.error("--emit-txid requires a template bank "
+                     "(a 2-D [T, L] .npy array)")
     bin_freq = config.sample_rate / config.block_size
     window = normalize_freq_range(config.carrier_window, bin_freq)
 
@@ -169,11 +179,12 @@ def _main(argv=None):
     try:
         for records in detect_batches(
                 detector, batches, config.batch_size, rxid=config.rxid,
-                summary=summary, summary_out=info_out):
+                summary=summary, summary_out=info_out,
+                txid_from_template=args.emit_txid):
             num += len(records)
             blocks_done += config.batch_size
             if out_stream is not None:
-                toad.save(out_stream, records)
+                toad.save(out_stream, records, with_txid=args.emit_txid)
                 out_stream.flush()
     finally:
         if close_out:

@@ -93,23 +93,32 @@ def identify_transmitters(detections, freqmap=None):
     return detections
 
 
-def duplicate_mask(detections):
+def duplicate_mask(detections, ignore_txid=False):
     """Boolean keep-mask removing adjacent-block duplicate detections.
 
     A burst straddling a block boundary fires in both blocks (the shared
     history); the weaker detection of any (rxid, txid, block+-1) neighbor
     pair is dropped, as are unidentified detections
     (reference thrifty/identify.py:134-164).
+
+    With ``ignore_txid`` the neighbor comparison spans transmitter IDs:
+    needed when txids come from a template bank, where the weak partial
+    signal in the adjacent block can win on the wrong code.
     """
-    order = np.argsort(
-        detections[["rxid", "txid", "block", "timestamp"]],
-        order=("rxid", "txid", "block", "timestamp"))
+    if ignore_txid:
+        keys = ["rxid", "block", "timestamp"]
+    else:
+        keys = ["rxid", "txid", "block", "timestamp"]
+    order = np.argsort(detections[keys], order=tuple(keys))
     cur = detections[order]
     prev = np.roll(cur, 1)
     nxt = np.roll(cur, -1)
 
-    same_prev = (cur["rxid"] == prev["rxid"]) & (cur["txid"] == prev["txid"])
-    same_next = (cur["rxid"] == nxt["rxid"]) & (cur["txid"] == nxt["txid"])
+    same_prev = cur["rxid"] == prev["rxid"]
+    same_next = cur["rxid"] == nxt["rxid"]
+    if not ignore_txid:
+        same_prev &= cur["txid"] == prev["txid"]
+        same_next &= cur["txid"] == nxt["txid"]
     dup_prev = same_prev & (cur["block"] == prev["block"] + 1) \
         & (cur["energy"] < prev["energy"])
     dup_next = same_next & (cur["block"] == nxt["block"] - 1) \
@@ -122,10 +131,18 @@ def duplicate_mask(detections):
     return keep
 
 
-def integrate(detections, freqmap=None):
-    """Identify transmitters, drop duplicates, sort by timestamp."""
-    identify_transmitters(detections, freqmap)
-    filtered = detections[duplicate_mask(detections)]
+def integrate(detections, freqmap=None, keep_txid=False,
+              dedup_any_tx=False):
+    """Identify transmitters, drop duplicates, sort by timestamp.
+
+    ``keep_txid`` skips classification (txids already assigned, e.g. by
+    a template bank); ``dedup_any_tx`` widens duplicate removal across
+    transmitter IDs (see :func:`duplicate_mask`).
+    """
+    if not keep_txid:
+        identify_transmitters(detections, freqmap)
+    filtered = detections[duplicate_mask(detections,
+                                         ignore_txid=dedup_any_tx)]
     return filtered[np.argsort(filtered["timestamp"], kind="stable")]
 
 
@@ -171,11 +188,24 @@ def _main(argv=None):
     parser.add_argument("-m", "--map", type=argparse.FileType("r"),
                         help="frequency map config for txid assignment "
                              "[default: auto-detect]")
+    parser.add_argument("--from-bank", action="store_true",
+                        help="inputs are .toads files whose txids came "
+                             "from a template bank (detect --emit-txid): "
+                             "keep them and dedup across txids")
     args = parser.parse_args(argv)
 
-    detections, filenames = load_toad_globs(args.toad_file)
-    freqmap = load_freqmap(args.map)
-    filtered = integrate(detections, freqmap)
+    if args.from_bank:
+        parts = [toad.load_toads(f)
+                 for pattern in args.toad_file
+                 for f in sorted(glob_mod.glob(pattern))]
+        filenames = [f for pattern in args.toad_file
+                     for f in sorted(glob_mod.glob(pattern))]
+        detections = np.concatenate(parts) if parts else toad.empty(0)
+        filtered = integrate(detections, keep_txid=True, dedup_any_tx=True)
+    else:
+        detections, filenames = load_toad_globs(args.toad_file)
+        freqmap = load_freqmap(args.map)
+        filtered = integrate(detections, freqmap)
     print("Removed {} duplicates / unidentified transmissions from {} "
           "detections.".format(len(detections) - len(filtered),
                                len(detections)))
