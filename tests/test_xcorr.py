@@ -123,3 +123,17 @@ class TestInterpolation:
         y = (100 - (x - 20.25) ** 2)[None, :]
         off = np.asarray(xcorr.parabolic_interpolate(y, np.array([20])))
         assert float(off[0]) == pytest.approx(0.25, abs=1e-9)
+
+    def test_cosine_recovers_offset(self):
+        # Exact on a sampled cosine with the peak at 30.35.
+        x = np.arange(64, dtype=np.float64)
+        w = 0.4
+        y = np.cos(w * (x - 30.35))[None, :]
+        off = np.asarray(xcorr.cosine_interpolate(y, np.array([30])))
+        assert float(off[0]) == pytest.approx(0.35, abs=1e-9)
+
+    def test_cosine_invalid_fit_returns_zero(self):
+        y = np.ones((1, 16))
+        y[0, 8] = 0.9  # a+c > 2b: arccos argument > 1
+        off = np.asarray(xcorr.cosine_interpolate(y, np.array([8])))
+        assert float(off[0]) == 0.0

@@ -125,6 +125,31 @@ def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     return jnp.where(in_bounds, offset, 0.0)
 
 
+def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6):
+    """Batched cosine-fit sub-sample peak interpolation (alternative).
+
+    Fits y_k = A*cos(w*k + theta) through the three points around the
+    peak: w = arccos((a+c)/2b), offset = -arctan2-style phase over w
+    (reference thrifty/experimental/xcorr_interpolators.py cosine).
+    Returns 0 where the fit is invalid (|a+c| > 2b).
+    """
+    n = corr_mag.shape[-1]
+    safe_idx = jnp.clip(peak_idx, 1, n - 2)
+    idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
+    y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    a, b, c = y[..., 0], y[..., 1], y[..., 2]
+    b = jnp.maximum(b, 1e-30)
+    cos_w = (a + c) / (2.0 * b)
+    valid = jnp.abs(cos_w) < 1.0
+    cos_w_safe = jnp.clip(cos_w, -0.999999, 0.999999)
+    w = jnp.arccos(cos_w_safe)
+    sin_w = jnp.sin(w)
+    theta = jnp.arctan2(a - c, 2.0 * b * sin_w)
+    offset = jnp.clip(-theta / jnp.where(w == 0, 1e-30, w), -clip, clip)
+    in_bounds = (peak_idx > 0) & (peak_idx < n - 1)
+    return jnp.where(valid & in_bounds, offset, 0.0)
+
+
 def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6):
     """Batched parabolic sub-sample peak interpolation (alternative)."""
     n = corr_mag.shape[-1]
