@@ -15,10 +15,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persist compiled executables across bench runs (best effort)."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "THRIFTY_TPU_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # noqa: BLE001 -- cache is an optimization only
+        pass
 
 
 def time_tpu(detector, blocks_list, iters):
@@ -133,6 +149,8 @@ def main(argv=None):
                              "region into DIR")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    _enable_compile_cache()
 
     from thrifty_tpu import sim
     from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig

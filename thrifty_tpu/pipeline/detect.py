@@ -171,7 +171,19 @@ def _main(argv=None):
     summary = None if args.quiet else SummaryFormatter(
         config.sample_rate, config.block_size)
 
+    import signal
     import time as time_mod
+
+    # Convert SIGTERM into a normal exit so open .toad output is flushed
+    # and the stats report prints (cf. the reference's clean signal
+    # handling, fastcard/fastcard_cli.c:138-141).
+    def _terminate(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _terminate)
+    except ValueError:
+        pass  # not the main thread (e.g. under a test harness)
 
     num = 0
     blocks_done = 0
@@ -186,6 +198,8 @@ def _main(argv=None):
             if out_stream is not None:
                 toad.save(out_stream, records, with_txid=args.emit_txid)
                 out_stream.flush()
+    except KeyboardInterrupt:
+        print("interrupted; output flushed", file=sys.stderr)
     finally:
         if close_out:
             out_stream.close()

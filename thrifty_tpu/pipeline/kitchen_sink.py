@@ -38,11 +38,13 @@ class PostdetectResult:
     pos: np.ndarray
 
 
-def detect_all(cards, detector: BatchDetector, batch_size: int = 256):
+def detect_all(cards, detector: BatchDetector, batch_size: int = 256,
+               txid_from_template: bool = False):
     """Detect on multiple receivers' captures.
 
     ``cards``: {rxid: .card path | (timestamps, indices, blocks)}.
-    Returns a merged detection array (unidentified txids).
+    Returns a merged detection array; txids are unassigned unless
+    ``txid_from_template`` maps the winning bank template to the txid.
     """
     from thrifty_tpu.pipeline.detect import detect_batches
     from thrifty_tpu.dsp import iq
@@ -57,8 +59,9 @@ def detect_all(cards, detector: BatchDetector, batch_size: int = 256):
             (ts[i:i + batch_size], idx[i:i + batch_size],
              iq.iq_to_raw(blocks[i:i + batch_size]))
             for i in range(0, len(ts), batch_size))
-        for records in detect_batches(detector, batches, batch_size,
-                                      rxid=rxid):
+        for records in detect_batches(
+                detector, batches, batch_size, rxid=rxid,
+                txid_from_template=txid_from_template):
             parts.append(records)
     if not parts:
         return toad.empty(0)
