@@ -63,8 +63,11 @@ def time_tpu(detector, blocks_list, iters):
     t0 = time.perf_counter()
     for i in range(iters):
         out, carry = step(dev_blocks[i % len(dev_blocks)], carry)
+    # The chain forces sequential execution; waiting on the last carry
+    # transitively waits for every iteration.  (A device->host fetch
+    # would be an extra guarantee, but some tunnelled backends cannot
+    # transfer outputs of large programs -- block_until_ready suffices.)
     jax.block_until_ready(carry)
-    np.asarray(carry)  # force a device->host round trip
     return (time.perf_counter() - t0) / iters
 
 
