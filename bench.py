@@ -37,19 +37,26 @@ def _enable_compile_cache():
         pass
 
 
-def time_tpu(detector, blocks_list, iters):
+def time_tpu(detector, blocks_list, iters, raw_input=False):
     """Steady-state seconds per batch, measured on a data-dependent chain.
 
     Each iteration's input is perturbed by the previous iteration's
     output, so executions cannot overlap, be coalesced, or be fanned out
     behind the runtime's back -- the measured time is a sound (slightly
     conservative: one extra elementwise pass) per-batch execution time.
+
+    With ``raw_input`` the batches are uint8 interleaved I/Q and the
+    conversion runs on device (the production ingestion path: 2 bytes
+    per sample across HBM instead of 8).
     """
     import jax
     import jax.numpy as jnp
 
+    from thrifty_tpu.dsp import iq as iq_mod
+
     @jax.jit
-    def step(blocks, carry):
+    def step(data, carry):
+        blocks = iq_mod.raw_to_iq_jax(data) if raw_input else data
         perturbed = blocks + jax.lax.complex(
             carry * 1e-20, jnp.zeros_like(carry))[:, None]
         out = detector._detect_batch(perturbed)
@@ -144,6 +151,11 @@ def main(argv=None):
                         help="'batch': pre-unfolded blocks; 'stream': the "
                              "sharded halo-exchange program over a device "
                              "mesh (uses all local devices)")
+    parser.add_argument("--input", type=str, default="raw",
+                        choices=["raw", "c64"],
+                        help="'raw': uint8 I/Q converted on device (the "
+                             "production ingestion path); 'c64': complex64 "
+                             "blocks")
     parser.add_argument("--skip-baseline", action="store_true",
                         help="use the cached baseline rate instead of "
                              "re-measuring numpy")
@@ -172,14 +184,23 @@ def main(argv=None):
     ]
     blocks_list = [c.blocks for c in caps]
 
-    timer = time_stream if args.program == "stream" else time_tpu
-    inputs = caps if args.program == "stream" else blocks_list
+    if args.program == "stream":
+        timer = lambda: time_stream(detector, caps, args.iters)
+    else:
+        raw_input = args.input == "raw"
+        if raw_input:
+            from thrifty_tpu.dsp import iq as iq_mod
+            timed_inputs = [iq_mod.iq_to_raw(b) for b in blocks_list]
+        else:
+            timed_inputs = blocks_list
+        timer = lambda: time_tpu(detector, timed_inputs, args.iters,
+                                 raw_input=raw_input)
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            sec_per_batch = timer(detector, inputs, args.iters)
+            sec_per_batch = timer()
     else:
-        sec_per_batch = timer(detector, inputs, args.iters)
+        sec_per_batch = timer()
     samples_per_s = args.batch * new_len / sec_per_batch
 
     # Baseline: float64 numpy implementation of the reference equations.

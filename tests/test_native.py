@@ -96,6 +96,8 @@ class TestRing:
 
         t = threading.Thread(target=producer)
         t.start()
+        import time
+        time.sleep(0.2)  # let the producer fill the ring first
         out = []
         while True:
             chunk = ring.read(50)

@@ -44,12 +44,17 @@ class TestStreamPump:
         assert sizes == [8, 2]
 
     def test_small_ring_backpressure(self):
+        import time
+
         size, history, batch = 128, 32, 2
         new_bytes = 2 * (size - history)
         data = make_stream(new_bytes * 64)
         pump = StreamPump(io.BytesIO(data), size, history, batch,
                           capacity_bytes=1024, chunk_bytes=512,
                           timestamper=lambda: 0.0)
+        # Let the producer definitely hit the full ring before draining,
+        # so the stall counter is deterministic.
+        time.sleep(0.2)
         out = list(pump.batches())
         assert sum(len(b[0]) for b in out) == 64
         assert pump.overflows > 0  # tiny ring must have stalled

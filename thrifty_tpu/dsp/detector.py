@@ -315,11 +315,29 @@ class BatchDetector:
             "template_idx": template_idx,
         }
 
+    def _detect_batch_raw(self, raw):
+        """Detect directly on raw uint8 interleaved I/Q [B, 2N].
+
+        The uint8->complex conversion runs on device, fused into the
+        first FFT's input read: the batch crosses host->device and HBM
+        at 2 bytes/sample instead of 8 -- the program is input-bandwidth
+        bound, so this is the fastest ingestion path.
+        """
+        from thrifty_tpu.dsp import iq as iq_mod
+
+        return self._detect_batch(iq_mod.raw_to_iq_jax(raw))
+
     # -- host API ------------------------------------------------------------
 
     def __call__(self, blocks):
         """Run detection on a [B, N] complex64 batch (device or host array)."""
         return self._detect_jit(jnp.asarray(blocks))
+
+    def detect_raw(self, raw):
+        """Run detection on raw uint8 interleaved I/Q [B, 2N]."""
+        if not hasattr(self, "_detect_raw_jit"):
+            self._detect_raw_jit = jax.jit(self._detect_batch_raw)
+        return self._detect_raw_jit(jnp.asarray(raw))
 
     def soa(self, block_idx, corr_sample, corr_offset):
         """Absolute sample-of-arrival since receiver start (host, float64).

@@ -35,13 +35,17 @@ def iq_to_raw(iq: np.ndarray) -> np.ndarray:
 def raw_to_iq_jax(raw):
     """Device-side uint8 [..., 2N] -> complex64 [..., N].
 
-    Kept as pure jnp elementwise ops so XLA fuses the conversion into the
-    consumer (typically the first FFT's input handling).
+    The interleaved I/Q pair is read as one uint16 (bitcast of the byte
+    pair) and split with element-wise shift/mask -- strided slicing
+    (``[..., 0::2]``) would force lane-hostile relayouts on TPU, while
+    this formulation is pure element-wise work that XLA fuses into the
+    consumer (typically the first FFT's input read).
     """
     import jax
     import jax.numpy as jnp
 
-    f = raw.astype(jnp.float32)
-    i = (f[..., 0::2] - DC_OFFSET) * SCALE
-    q = (f[..., 1::2] - DC_OFFSET) * SCALE
+    pairs = raw.reshape(raw.shape[:-1] + (raw.shape[-1] // 2, 2))
+    v = jax.lax.bitcast_convert_type(pairs, jnp.uint16)
+    i = ((v & 0xFF).astype(jnp.float32) - DC_OFFSET) * SCALE
+    q = ((v >> 8).astype(jnp.float32) - DC_OFFSET) * SCALE
     return jax.lax.complex(i, q)

@@ -21,7 +21,7 @@ import numpy as np
 
 from thrifty_tpu.config import settings as settings_mod
 from thrifty_tpu.config.parsers import normalize_freq_range
-from thrifty_tpu.dsp import iq, util
+from thrifty_tpu.dsp import util
 from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
 from thrifty_tpu.io import blocks as blocks_io
 from thrifty_tpu.io import card, toad
@@ -91,8 +91,9 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
             pad = batch_size - n
             raw = np.concatenate(
                 [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
-        blocks = iq.raw_to_iq(raw)
-        dev_out = detector(blocks)  # async dispatch
+        # Upload raw uint8 (2 B/sample); conversion runs on device,
+        # fused into the first FFT's input read.
+        dev_out = detector.detect_raw(raw)  # async dispatch
         pending.append((ts, idx, n, dev_out))
         # Keep one batch in flight: overlap host decode with device work.
         if len(pending) > 1:
