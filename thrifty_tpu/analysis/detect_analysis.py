@@ -23,8 +23,9 @@ from thrifty_tpu.config.parsers import normalize_freq_range
 from thrifty_tpu.io import card
 from thrifty_tpu.oracle.numpy_ref import OracleDetector, dirichlet_kernel
 
-PLOTS = ["hist", "iq", "fft", "carrier_interp", "corr", "corr_interp",
-         "template_overlay"]
+PLOTS = ["hist", "iq", "fft", "psd", "carrier_zoom", "carrier_interp",
+         "corr", "corr_log", "corr_interp", "template_overlay",
+         "autocorr_compare", "phase"]
 
 
 class BlockDiagnostics:
@@ -127,6 +128,62 @@ class BlockDiagnostics:
         ax.axvline(self.corr_offset, color="k", lw=0.5)
         ax.set_title("corr peak (offset {:+.3f})".format(self.corr_offset))
 
+    def _plot_psd(self, ax):
+        n = len(self.block)
+        psd = np.abs(self.fft) ** 2 / n
+        ax.plot(np.fft.fftshift(np.fft.fftfreq(n)),
+                10 * np.log10(np.fft.fftshift(psd) + 1e-30), lw=0.4)
+        ax.set_xlabel("normalized frequency")
+        ax.set_ylabel("PSD (dB)")
+        ax.set_title("power spectral density")
+
+    def _plot_carrier_zoom(self, ax):
+        idx = self.carrier_bin
+        rel = np.arange(-30, 31)
+        ax.plot(rel + idx,
+                self.fft_mag[(idx + rel) % len(self.fft_mag)], ".-",
+                lw=0.5)
+        ax.axvline(idx + self.carrier_offset, color="k", lw=0.5)
+        ax.set_title("carrier neighborhood (+-30 bins)")
+
+    def _plot_corr_log(self, ax):
+        ax.semilogy(self.corr_mag + 1e-30, lw=0.4)
+        ax.set_title("correlation magnitude (log)")
+
+    def _plot_autocorr_compare(self, ax):
+        # Compare the captured peak's shape against the template's
+        # ideal autocorrelation (reference detect_analysis autocorr view).
+        tlen = len(self.template)
+        pad = np.concatenate([self.template, np.zeros(tlen)])
+        spec = np.fft.fft(pad)
+        acorr = np.abs(np.fft.ifft(spec * np.conj(spec)))[:40]
+        acorr /= acorr[0]
+        peak = self.corr_sample
+        lo = max(peak - 39, 0)
+        cut = self.corr_mag[lo:peak + 40]
+        cut = cut / np.max(cut)
+        ax.plot(np.arange(lo - peak, peak + 40 - peak), cut, ".-",
+                lw=0.5, label="captured")
+        rel = np.arange(40)
+        ax.plot(rel, acorr, lw=0.8, label="ideal autocorr")
+        ax.plot(-rel, acorr, lw=0.8, color="C1")
+        ax.legend()
+        ax.set_title("correlation peak vs ideal autocorrelation")
+
+    def _plot_phase(self, ax):
+        # Carrier-removed phase across the code: should be ~constant
+        # when the carrier estimate is good.
+        start = self.corr_sample
+        tlen = len(self.template)
+        n = len(self.block)
+        shift = -(self.carrier_bin + self.carrier_offset)
+        ramp = np.exp(2j * np.pi * shift * (np.arange(n) / n - 0.5))
+        seg = (self.block * ramp)[start:start + tlen]
+        ax.plot(np.unwrap(np.angle(seg[np.abs(seg) > 0.1 * np.max(
+            np.abs(seg))])), lw=0.4)
+        ax.set_ylabel("phase (rad)")
+        ax.set_title("carrier-removed phase across the code")
+
     def _plot_template_overlay(self, ax):
         start = self.corr_sample
         tlen = len(self.template)
@@ -203,9 +260,11 @@ def _main(argv=None):
         from matplotlib.backends.backend_pdf import PdfPages
         with PdfPages(args.export) as pdf:
             for bidx, diag in diagnostics:
+                needs_corr = ("corr", "corr_log", "corr_interp",
+                              "template_overlay", "autocorr_compare",
+                              "phase")
                 for name in plot_names:
-                    if name in ("corr", "corr_interp", "template_overlay") \
-                            and diag.corr_mag is None:
+                    if name in needs_corr and diag.corr_mag is None:
                         continue
                     fig, ax = plt.subplots(figsize=(9, 4))
                     diag.plot(name, ax)
