@@ -132,6 +132,30 @@ class TestInterpolation:
         off = np.asarray(xcorr.cosine_interpolate(y, np.array([30])))
         assert float(off[0]) == pytest.approx(0.35, abs=1e-9)
 
+    def test_autocorr_fit_recovers_offset(self):
+        # Build a true fractional-delay correlation peak from the sim's
+        # band-limited burst machinery and recover the offset.
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp import template as template_mod
+
+        tpl = template_mod.generate(7, 0, 2.4)  # 304 samples
+        n = 2048
+        for true_frac in [-0.33, 0.0, 0.41]:
+            stream = sim.synth_stream(
+                n, [{"position": 700 + true_frac, "carrier_bin": 0.0,
+                     "amplitude": 1.0, "phase": 0.0}],
+                tpl, n, noise_std=0.0, seed=0)
+            corr = np.abs(np.fft.ifft(
+                np.fft.fft(stream)
+                * np.conj(np.fft.fft(np.pad(tpl, (0, n - len(tpl)))))
+            ))[: n - len(tpl) + 1]
+            interp = xcorr.make_autocorr_interpolator(tpl)
+            pk = int(np.argmax(corr))
+            off = float(np.asarray(interp(
+                corr[None, :].astype(np.float32), np.array([pk])))[0])
+            est = pk + off
+            assert est == pytest.approx(700 + true_frac, abs=0.03)
+
     def test_cosine_invalid_fit_returns_zero(self):
         y = np.ones((1, 16))
         y[0, 8] = 0.9  # a+c > 2b: arccos argument > 1

@@ -150,6 +150,96 @@ def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6):
     return jnp.where(valid & in_bounds, offset, 0.0)
 
 
+def make_autocorr_interpolator(template, oversample: int = 16,
+                               width: int = 2, iters: int = 10,
+                               clip: float = 0.6):
+    """Sub-sample interpolation by fitting the template's own
+    autocorrelation shape to the correlation peak neighborhood.
+
+    The ideal peak shape is |R(tau)|, the template's (OOK-envelope)
+    autocorrelation; it is precomputed on an ``oversample``-times finer
+    grid and the fit solves for amplitude and sub-sample shift with a
+    fixed-iteration Gauss-Newton (batched).  TPU-native re-design of the
+    reference's iterative autocorr-fit
+    (thrifty/experimental/xcorr_interpolators.py make_autocorr_fit).
+
+    Returns ``interp(corr_mag, peak_idx) -> offset`` for lags within
+    ``width`` of the peak.
+    """
+    template = np.asarray(template, dtype=np.float64)
+    # The captured peak is xcorr(OOK signal, bipolar template): model its
+    # shape, oversampled via spectral zero-padding.
+    ook = template - np.min(template)
+    tlen = len(ook)
+    pad_ook = np.zeros(2 * tlen)
+    pad_ook[:tlen] = ook
+    pad_bip = np.zeros(2 * tlen)
+    pad_bip[:tlen] = template
+    spec = np.fft.fft(pad_ook) * np.conj(np.fft.fft(pad_bip))
+    fine_spec = np.zeros(2 * tlen * oversample, dtype=complex)
+    half = tlen  # keep both spectrum halves (zero-pad the middle)
+    fine_spec[:half] = spec[:half]
+    fine_spec[-half:] = spec[-half:]
+    fine = np.abs(np.fft.ifft(fine_spec)) * oversample
+    # r(tau) for tau in [-width-2, width+2] at 1/oversample resolution.
+    span = (width + 2) * oversample
+    taus = np.concatenate([fine[-span:], fine[:span + 1]])
+    taus = taus / np.max(taus)
+    # Derivative table (central differences on the fine grid).
+    dtaus = np.gradient(taus, 1.0 / oversample)
+
+    table = jnp.asarray(taus, dtype=jnp.float32)
+    dtable = jnp.asarray(dtaus, dtype=jnp.float32)
+    ks = np.arange(-width, width + 1)
+
+    def lookup(tbl, u):
+        # u in samples relative to the peak; nearest fine-grid entry.
+        pos = jnp.clip((u + (width + 2)) * oversample, 0,
+                       len(taus) - 1.001)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - i0
+        return tbl[i0] * (1 - frac) + tbl[i0 + 1] * frac
+
+    def interpolate(corr_mag, peak_idx):
+        n = corr_mag.shape[-1]
+        safe = jnp.clip(peak_idx, width, n - width - 1)
+        idx = safe[..., None] + jnp.asarray(ks)
+        y = jnp.take_along_axis(corr_mag, idx, axis=-1).astype(jnp.float32)
+        kgrid = jnp.asarray(ks, dtype=jnp.float32)
+
+        amp0 = y[..., width]
+        delta0 = jnp.zeros_like(amp0)
+
+        def body(carry, _):
+            amp, delta = carry
+            u = kgrid - delta[..., None]
+            r = lookup(table, u)
+            dr = lookup(dtable, u)
+            resid = y - amp[..., None] * r
+            j_a = r
+            j_d = -amp[..., None] * dr
+            a11 = jnp.sum(j_a * j_a, axis=-1) * 1.0001
+            a22 = jnp.sum(j_d * j_d, axis=-1) * 1.0001 + 1e-12
+            a12 = jnp.sum(j_a * j_d, axis=-1)
+            b1 = jnp.sum(j_a * resid, axis=-1)
+            b2 = jnp.sum(j_d * resid, axis=-1)
+            det = a11 * a22 - a12 * a12
+            det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+            amp = amp + (a22 * b1 - a12 * b2) / det
+            delta = jnp.clip(
+                delta + (a11 * b2 - a12 * b1) / det, -1.0, 1.0)
+            return (amp, delta), None
+
+        import jax.lax as lax
+        (amp, delta), _ = lax.scan(body, (amp0, delta0), None,
+                                   length=iters)
+        offset = jnp.clip(delta, -clip, clip)
+        in_bounds = (peak_idx >= width) & (peak_idx < n - width)
+        return jnp.where(in_bounds, offset, 0.0)
+
+    return interpolate
+
+
 def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6):
     """Batched parabolic sub-sample peak interpolation (alternative)."""
     n = corr_mag.shape[-1]
