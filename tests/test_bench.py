@@ -1,0 +1,59 @@
+"""bench.py runs end-to-end and prints the driver's JSON contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8"
+                        ).strip()
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import runpy, sys; sys.argv = ['bench.py'] + {!r}; "
+        "runpy.run_path({!r}, run_name='__main__')".format(
+            list(args), os.path.join(REPO, "bench.py"))
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=540)
+
+
+def check_contract(stdout):
+    line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert data["metric"] == "detect_throughput"
+    assert data["unit"] == "IQ_samples/s/chip"
+    assert data["value"] > 0
+    assert data["vs_baseline"] > 0
+    return data
+
+
+def test_bench_default_contract():
+    res = run_bench(["--batch", "8", "--iters", "2",
+                     "--oracle-blocks", "2"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    check_contract(res.stdout)
+
+
+def test_bench_c64_and_modes():
+    res = run_bench(["--batch", "8", "--iters", "2", "--skip-baseline",
+                     "--input", "c64", "--sync-mode", "integer"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    check_contract(res.stdout)
+
+
+def test_bench_stream_program():
+    res = run_bench(["--batch", "8", "--iters", "2", "--skip-baseline",
+                     "--program", "stream"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    check_contract(res.stdout)
