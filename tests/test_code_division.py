@@ -1,0 +1,94 @@
+"""Code-division network: transmitters share one carrier frequency and
+are identified by their Gold code via a detector template bank --
+a capability beyond the reference's frequency-division identification.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+from thrifty_tpu import sim
+from thrifty_tpu.dsp import template as template_mod
+from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+from thrifty_tpu.pipeline import identify, kitchen_sink
+
+FS = 2.4e6
+RX_POS = {
+    0: np.array([0.0, 0.0]),
+    1: np.array([9000.0, 500.0]),
+    2: np.array([4000.0, 8000.0]),
+}
+BEACON_POS = {0: np.array([4500.0, 3000.0])}   # txid = bank index
+MOBILE_POS = {2: np.array([6000.0, 2500.0])}
+SHARED_BIN = 40  # every transmitter on the same carrier
+
+
+@pytest.fixture(scope="module")
+def result():
+    sps = FS / 0.999707e6
+    bank = template_mod.generate_bank(11, [0, 1, 2], sps)
+    schedule = [(0, t) for t in np.arange(0.02, 0.36, 0.05)]  # beacon
+    schedule += [(2, t) for t in (0.085, 0.185, 0.285)]       # mobile
+
+    # Same carrier bin for both transmitters; distinct codes.
+    caps = {}
+    for rxid, cap in sim.synth_rx_captures(
+            RX_POS, {**BEACON_POS, **MOBILE_POS},
+            {0: SHARED_BIN, 2: SHARED_BIN}, schedule,
+            template=bank[0], num_blocks=80, amplitude=0.6,
+            noise_std=0.04,
+            clock_offsets={1: 777.25, 2: -123.5},
+            clock_drifts={1: 3e-6, 2: -2e-6}, seed=11).items():
+        caps[rxid] = cap
+    # Re-synthesize with per-tx codes: rebuild streams burst by burst.
+    tx_codes = {0: bank[0], 2: bank[2]}
+    new_caps = {}
+    for rxid, rpos in RX_POS.items():
+        fs = FS * (1.0 + {1: 3e-6, 2: -2e-6}.get(rxid, 0.0))
+        off = {1: 777.25, 2: -123.5}.get(rxid, 0.0)
+        bursts = []
+        for txid, t in schedule:
+            dist = float(np.linalg.norm(
+                np.asarray({**BEACON_POS, **MOBILE_POS}[txid]) - rpos))
+            pos = (t + dist / sim.SPEED_OF_LIGHT) * fs + off
+            bursts.append({
+                "position": pos, "carrier_bin": SHARED_BIN,
+                "amplitude": 0.6, "phase": 0.5 * txid,
+                "template": tx_codes[txid],
+            })
+        new_len = 16384 - 4920
+        stream = sim.synth_stream(80 * new_len, bursts, bank[0], 16384,
+                                  noise_std=0.04, seed=11 + rxid)
+        blocks = sim.stream_to_blocks(stream, 16384, 4920)
+        idx = np.arange(len(blocks), dtype=np.int64)
+        new_caps[rxid] = (1.5e9 + idx * (new_len / FS), idx,
+                          blocks.astype(np.complex64))
+
+    detector = BatchDetector(bank, DetectorConfig(carrier_window=(7, 110)))
+    detections = kitchen_sink.detect_all(
+        new_caps, detector, batch_size=16, txid_from_template=True)
+
+    settings = kitchen_sink.PostdetectSettings(
+        freqmap=None, match_window=0.02, tdoa_est_window=8.0,
+        rx_pos=RX_POS, beacon_pos=BEACON_POS, sample_rate=FS)
+    return kitchen_sink.postdetect(
+        detections, settings,
+        integrator=functools.partial(
+            identify.integrate, keep_txid=True, dedup_any_tx=True))
+
+
+def test_codes_identified_on_shared_carrier(result):
+    txids = set(np.unique(result.toads["txid"]))
+    assert txids == {0, 2}
+    # All detections sit on the shared carrier bin.
+    assert np.all(np.abs(result.toads["carrier_bin"] - SHARED_BIN) <= 1)
+    # 10 transmissions x 3 receivers survive dedup.
+    assert len(result.toads) == 30
+
+
+def test_positions_recovered(result):
+    assert len(result.pos) == 3
+    for row in result.pos:
+        est = np.array([row["x"], row["y"]])
+        assert np.linalg.norm(est - MOBILE_POS[2]) < 60.0

@@ -128,9 +128,11 @@ def synth_rx_captures(
     carrier bin.  Returns {rxid: Capture}; each Burst's ``expected_soa``
     carries the receiver-local ground truth.
 
-    Transmitters share one Gold template and are distinguished by
-    carrier frequency (tx_bins), exactly like the reference deployment
-    (rpi/freq-map.cfg).
+    By default transmitters share one Gold template and are
+    distinguished by carrier frequency (tx_bins), exactly like the
+    reference deployment (rpi/freq-map.cfg).  ``tx_codes`` optionally
+    maps txids to their own templates (code-division identification via
+    a detector template bank).
     """
     if template is None:
         template = make_template()
@@ -250,11 +252,14 @@ def synth_stream(
         + 1j * rng.normal(0.0, noise_std, length)
     ).astype(np.complex128) / np.sqrt(2)
 
-    ook = ook_from_template(template)
-    tlen = len(ook)
+    default_ook = ook_from_template(template)
     for b in bursts:
         pos, bin_f, ampl, phase = (
             b["position"], b["carrier_bin"], b["amplitude"], b["phase"])
+        # A burst may carry its own code (code-division transmitters).
+        ook = ook_from_template(b["template"]) if "template" in b \
+            else default_ook
+        tlen = len(ook)
         base = int(np.floor(pos))
         frac = float(pos) - base
         if base < 0 or base + tlen > length:
