@@ -16,6 +16,7 @@ Formulas (kept bit-identical to the reference semantics):
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -54,7 +55,33 @@ def window_mask(window, length: int) -> np.ndarray:
     return mask
 
 
-def detect(fft_mag, mask, thresh_coeffs):
+def apply_peak_filter(fft_mag, weights):
+    """Matched-filter the magnitude spectrum with peak-shaped weights.
+
+    ``filtered[k] = sqrt(sum_j w[j]^2 * mag[k - (W-1) + j]^2)`` -- an
+    energy-domain FIR whose coefficients should be unit-energy
+    (sum w^2 = 1), improving the peak's energy estimate (reference
+    thrifty/carrier_detect.py:128-135).  Returns (filtered, delay)
+    where ``delay`` realigns the argmax to the true peak position.
+    """
+    weights = np.asarray(weights, dtype=np.float64)
+    delay = len(weights) - int(np.argmax(weights)) - 1
+    # windows[s][k] = power[k - (W-1) + s]; matching the reference's
+    # lfilter(w[::-1]**2, 1, power) needs coefficient w[s]^2 here.
+    coeffs = jnp.asarray((weights ** 2).astype(np.float32))
+    power = jnp.square(fft_mag)
+    # Causal FIR along the last axis (zero initial conditions), batched.
+    pad = len(weights) - 1
+    padded = jnp.pad(power, [(0, 0)] * (power.ndim - 1) + [(pad, 0)])
+    windows = jax.vmap(
+        lambda shift: jax.lax.dynamic_slice_in_dim(
+            padded, shift, power.shape[-1], axis=-1))(jnp.arange(
+                len(weights)))
+    filtered = jnp.sqrt(jnp.tensordot(coeffs, windows, axes=(0, 0)))
+    return filtered, delay
+
+
+def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
     """Batched carrier detection on FFT magnitudes.
 
     Parameters
@@ -62,6 +89,8 @@ def detect(fft_mag, mask, thresh_coeffs):
     fft_mag : [..., N] float array (batch of FFT magnitudes)
     mask : [N] bool array from :func:`window_mask`
     thresh_coeffs : (const, snr, stddev) static floats
+    peak_filter : optional [W] unit-energy weights matching the peak's
+        spectral shape (e.g. dirichlet.dirichlet_weights)
 
     Returns
     -------
@@ -71,11 +100,22 @@ def detect(fft_mag, mask, thresh_coeffs):
     noise_rms : [...] float
     """
     n = fft_mag.shape[-1]
-    masked = jnp.where(mask, fft_mag, -1.0)
-    peak_idx = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    if peak_filter is not None:
+        search_mag, delay = apply_peak_filter(fft_mag, peak_filter)
+        # The filter output at k estimates the peak ending at k; shift
+        # the search mask accordingly (reference applies the window to
+        # the filtered sequence and subtracts the delay afterwards).
+        search_mask = jnp.roll(jnp.asarray(mask), delay)
+    else:
+        search_mag, delay = fft_mag, 0
+        search_mask = jnp.asarray(mask)
+
+    masked = jnp.where(search_mask, search_mag, -1.0)
+    filt_idx = jnp.argmax(masked, axis=-1).astype(jnp.int32)
     peak_mag = jnp.take_along_axis(
-        fft_mag, peak_idx[..., None].astype(jnp.int32), axis=-1
+        search_mag, filt_idx[..., None].astype(jnp.int32), axis=-1
     )[..., 0]
+    peak_idx = (filt_idx - delay) % n
 
     energy = jnp.sum(jnp.square(fft_mag), axis=-1)
     noise_rms = jnp.sqrt((energy - 2.0 * jnp.square(peak_mag)) / (n - 1))
