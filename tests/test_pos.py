@@ -44,6 +44,32 @@ class TestSolve2D:
             pos.solve_group(tdoas, RX4)
 
 
+class TestSolve3D:
+    RX5 = {
+        0: np.array([0.0, 0.0, 0.0]),
+        1: np.array([9000.0, 500.0, 50.0]),
+        2: np.array([4000.0, 8000.0, 120.0]),
+        3: np.array([-2000.0, 6000.0, 10.0]),
+        4: np.array([3000.0, -4000.0, 200.0]),
+    }
+    PAIRS5 = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4)]
+
+    def test_recovers_3d_position(self):
+        tx = np.array([3500.0, 2500.0, 300.0])
+        tdoas = forward_tdoas(tx, self.RX5, self.PAIRS5)
+        est, _ = pos.solve_group(tdoas, self.RX5)
+        np.testing.assert_allclose(est, tx, atol=0.5)
+
+    def test_solve_writes_z_column(self):
+        tx = np.array([3500.0, 2500.0, 300.0])
+        groups = [tdoa.TdoaGroup(
+            group_id=0, timestamp=1.0, tx=3,
+            tdoas=forward_tdoas(tx, self.RX5, self.PAIRS5))]
+        results = pos.solve(groups, self.RX5)
+        assert "z" in results.dtype.names
+        assert results[0]["z"] == pytest.approx(300.0, abs=1.0)
+
+
 class TestSolve1D:
     def test_between_two_receivers(self):
         rx = {0: np.array([0.0]), 1: np.array([10000.0])}
