@@ -60,6 +60,15 @@ def test_toads_stats(world, capsys):
     assert "# Stats for RX #2 / TX #9:" in out
 
 
+def test_toads_plot_export(world, tmp_path, capsys):
+    out = str(tmp_path / "cols.png")
+    toads_analysis._main([str(world / "data.toads"),
+                          "--plot", "freqs,snr,energy", "--export", out])
+    capsys.readouterr()
+    import os
+    assert os.path.getsize(out) > 1000
+
+
 def test_tdoa_stats(world, capsys):
     tdoa_analysis._main([str(world / "data.tdoa"),
                          "--rx0", "0", "--rx1", "1", "--tx", "3"])
