@@ -122,7 +122,6 @@ def time_stream(detector, caps, iters):
     for i in range(iters):
         out, carry = step(dev[i % len(dev)], carry)
     jax.block_until_ready(carry)
-    np.asarray(carry)
     return (time.perf_counter() - t0) / iters
 
 

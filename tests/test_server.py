@@ -1,0 +1,109 @@
+"""Incremental positioning server: live detections -> live fixes."""
+
+import numpy as np
+import pytest
+
+from thrifty_tpu import sim
+from thrifty_tpu.io import toad
+from thrifty_tpu.pipeline import server as server_mod
+from thrifty_tpu.pipeline import tdoa as tdoa_mod
+
+FS = 2.4e6
+RX_POS = {0: np.array([0.0, 0.0]), 1: np.array([10000.0, 0.0]),
+          2: np.array([5000.0, 7000.0])}
+BEACON_POS = {9: np.array([5000.0, 2000.0])}
+MOBILE_POS = {3: np.array([7000.0, 1000.0])}
+
+
+def scenario(duration=40.0):
+    schedule = [(9, t) for t in np.arange(0.5, duration, 1.0)]
+    schedule += [(3, t) for t in np.arange(4.0, duration - 2, 2.0)]
+    det = sim.synth_network(
+        RX_POS, {**BEACON_POS, **MOBILE_POS}, schedule, FS,
+        clock_offsets={1: 123.0, 2: -77.0},
+        clock_drifts={1: 2e-6, 2: -1e-6},
+        soa_noise=0.01)
+    return det
+
+
+# sim.synth_network stamps carrier_bin = 10 + 15*txid: map bins back to
+# the canonical txids like a deployed freq-map.cfg would.
+FREQMAP = {r: {9: (140.0, 150.0), 3: (50.0, 60.0)} for r in RX_POS}
+
+
+class TestPositioningServer:
+    def make_server(self, **kw):
+        return server_mod.PositioningServer(
+            rx_pos=RX_POS, beacon_pos=BEACON_POS, freqmap=FREQMAP,
+            sample_rate=FS, match_window=0.2, tdoa_est_window=8.0,
+            window_s=30.0, settle_s=1.0, **kw)
+
+    def test_incremental_equals_batch(self):
+        det = scenario()
+        srv = self.make_server()
+        # Feed detections in 5-second chunks, stepping after each.
+        fixes = []
+        for t0 in np.arange(0.0, 42.0, 5.0):
+            chunk = det[(det["timestamp"] >= t0)
+                        & (det["timestamp"] < t0 + 5.0)]
+            srv.feed(chunk)
+            fixes.append(srv.step(now=t0 + 5.0))
+        all_fixes = np.concatenate(fixes)
+        # Every mobile transmission inside the windows resolves once.
+        assert len(all_fixes) >= 14
+        assert len(np.unique(np.round(all_fixes["timestamp"], 1))) \
+            == len(all_fixes)
+        for row in all_fixes:
+            est = np.array([row["x"], row["y"]])
+            assert np.linalg.norm(est - MOBILE_POS[3]) < 30.0
+
+    def test_no_duplicate_fixes_on_repeat_step(self):
+        det = scenario(duration=15.0)
+        srv = self.make_server()
+        srv.feed(det)
+        first = srv.step()
+        again = srv.step()
+        assert len(first) > 0
+        assert len(again) == 0
+
+    def test_unsettled_groups_deferred(self):
+        det = scenario(duration=12.0)
+        srv = self.make_server()
+        srv.feed(det)
+        now = float(np.max(det["timestamp"]))
+        early = srv.step(now=now)
+        # The most recent mobile transmission (within settle_s) waits.
+        latest_fix = np.max(early["timestamp"]) if len(early) else 0
+        assert latest_fix <= now - 1.0 + 0.2
+
+
+class TestServerCli:
+    def test_tail_and_once(self, tmp_path):
+        det = scenario(duration=20.0)
+        # Split per receiver into .toad files (txid dropped: freqmap-free
+        # auto classification happens in identify).
+        for rxid in RX_POS:
+            rx = det[det["rxid"] == rxid]
+            toad.save(str(tmp_path / "rx{}.toad".format(rxid)), rx)
+        (tmp_path / "pos-rx.cfg").write_text("".join(
+            "{}: {} {}\n".format(r, p[0], p[1])
+            for r, p in RX_POS.items()))
+        (tmp_path / "pos-beacon.cfg").write_text("9: 5000.0 2000.0\n")
+        (tmp_path / "freq-map.cfg").write_text(
+            "9: 140 - 150\n3: 50 - 60\n@0: 0\n@1: 0\n@2: 0\n")
+        out = str(tmp_path / "live.pos")
+        rc = server_mod._main([
+            str(tmp_path / "rx0.toad"), str(tmp_path / "rx1.toad"),
+            str(tmp_path / "rx2.toad"),
+            "-o", out,
+            "-r", str(tmp_path / "pos-rx.cfg"),
+            "-b", str(tmp_path / "pos-beacon.cfg"),
+            "-m", str(tmp_path / "freq-map.cfg"),
+            "--once"])
+        assert rc is None
+        lines = open(out).read().splitlines()
+        assert len(lines) >= 5
+        for line in lines:
+            x, y = float(line.split()[5]), float(line.split()[6])
+            assert np.linalg.norm(
+                np.array([x, y]) - MOBILE_POS[3]) < 30.0

@@ -71,6 +71,10 @@ def make_stream_detector(detector, num_rx, blocks_per_shard, mesh,
         raise ValueError(
             "history ({}) exceeds per-shard chunk ({}): increase "
             "blocks_per_shard".format(history, chunk_len))
+    if history > new_len:
+        raise ValueError(
+            "history ({}) exceeds new samples per block ({}): the "
+            "unique-lag window would be empty".format(history, new_len))
 
     def local_detect(chunk):
         # chunk: [rx_local, chunk_len] new samples of this time shard.
@@ -83,10 +87,17 @@ def make_stream_detector(detector, num_rx, blocks_per_shard, mesh,
         halo = lax.ppermute(tail, AXIS_TIME, perm) if num_time > 1 \
             else jnp.zeros_like(tail)
         full = jnp.concatenate([halo, chunk], axis=1)
-        # Local overlap-save unfold: [rx_local, S, block_len].
-        idx = (jnp.arange(blocks_per_shard)[:, None] * new_len
-               + jnp.arange(n)[None, :])
-        blocks = full[:, idx]
+        # Local overlap-save unfold as pure reshapes (a gather here is
+        # catastrophically slow on TPU): block s = full[s*new : s*new+N]
+        # = head frame s (new samples) ++ first `history` samples of
+        # frame s+1.  Requires history <= new_len (true by design: the
+        # unique window would be empty otherwise).
+        s = blocks_per_shard
+        head = full[:, : s * new_len].reshape(rx_local, s, new_len)
+        tail_src = jnp.pad(
+            full[:, new_len:], ((0, 0), (0, new_len - history)))
+        tail = tail_src.reshape(rx_local, s, new_len)[:, :, :history]
+        blocks = jnp.concatenate([head, tail], axis=2)
         out = detector._detect_batch(
             blocks.reshape(rx_local * blocks_per_shard, n))
         out = jax.tree.map(

@@ -1,0 +1,187 @@
+"""Incremental positioning server: live detections -> live position fixes.
+
+The reference pipeline is batch-only (files in, files out).  For
+production serving, this module processes detections *incrementally*:
+feed it detection records as receivers produce them (tailing .toad
+files, a socket, or in-process), and it periodically re-runs
+identify -> match -> tdoa -> pos over a sliding time window, emitting
+only fixes for newly completed match groups.
+
+The CLI tails per-receiver .toad files (the natural transport -- the
+reference ships the same files by scp/NFS) and appends fixes to a .pos
+file as they resolve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import io
+import sys
+import time as time_mod
+
+import numpy as np
+
+from thrifty_tpu.io import toad
+from thrifty_tpu.pipeline import identify as identify_mod
+from thrifty_tpu.pipeline import matchmaker as matchmaker_mod
+from thrifty_tpu.pipeline import pos as pos_mod
+from thrifty_tpu.pipeline import tdoa as tdoa_mod
+
+
+class PositioningServer:
+    """Sliding-window incremental positioning.
+
+    Parameters mirror kitchen_sink.PostdetectSettings; additionally:
+
+    window_s : float
+        Sliding history length.  Must comfortably exceed the TDOA
+        beacon window so clock models stay well-conditioned.
+    settle_s : float
+        A match group is only solved once it is at least this old
+        (receivers may still deliver detections for it).
+    """
+
+    def __init__(self, rx_pos, beacon_pos, freqmap=None,
+                 sample_rate=2.4e6, match_window=0.2,
+                 tdoa_est_window=8.0, window_s=30.0, settle_s=1.0,
+                 keep_txid=False):
+        self.rx_pos = rx_pos
+        self.beacon_pos = beacon_pos
+        self.freqmap = freqmap
+        self.sample_rate = sample_rate
+        self.match_window = match_window
+        self.tdoa_est_window = tdoa_est_window
+        self.window_s = window_s
+        self.settle_s = settle_s
+        self.keep_txid = keep_txid
+        self._detections = toad.empty(0)
+        self._solved = set()  # (txid, quantized group timestamp)
+
+    def feed(self, detections):
+        """Add new detection records (any order, any receiver)."""
+        if len(detections):
+            self._detections = np.concatenate(
+                [self._detections, detections])
+
+    def _group_key(self, timestamp, tx):
+        return (int(tx), int(round(timestamp / self.match_window)))
+
+    def step(self, now=None):
+        """Process the current window; return newly solved fixes."""
+        if len(self._detections) == 0:
+            return pos_mod.solve([], self.rx_pos)
+        if now is None:
+            now = float(np.max(self._detections["timestamp"]))
+
+        # Trim the sliding window.
+        keep = self._detections["timestamp"] >= now - self.window_s
+        self._detections = self._detections[keep]
+        dets = self._detections.copy()
+
+        integrated = identify_mod.integrate(
+            dets, self.freqmap, keep_txid=self.keep_txid,
+            dedup_any_tx=self.keep_txid)
+        matches, _, _ = matchmaker_mod.match_detections(
+            integrated, self.match_window)
+        groups, _ = tdoa_mod.estimate_tdoas(
+            integrated, matches, self.tdoa_est_window,
+            self.beacon_pos, self.rx_pos, self.sample_rate)
+
+        # Solve only settled, not-yet-reported groups.
+        fresh = []
+        for g in groups:
+            key = self._group_key(g.timestamp, g.tx)
+            if key in self._solved:
+                continue
+            if g.timestamp > now - self.settle_s:
+                continue  # may still gain detections
+            fresh.append((key, g))
+        results = pos_mod.solve([g for _, g in fresh], self.rx_pos)
+        for key, _ in fresh:
+            self._solved.add(key)
+        return results
+
+
+class ToadTailer:
+    """Incrementally read appended lines from per-receiver .toad files."""
+
+    def __init__(self, paths):
+        self._paths = list(paths)
+        self._offsets = {p: 0 for p in self._paths}
+
+    def poll(self):
+        parts = []
+        for path in self._paths:
+            try:
+                with open(path) as f:
+                    f.seek(self._offsets[path])
+                    text = f.read()
+                    self._offsets[path] = f.tell()
+            except FileNotFoundError:
+                continue
+            if text:
+                parts.append(toad.load_toad(io.StringIO(text)))
+        if not parts:
+            return toad.empty(0)
+        return np.concatenate(parts)
+
+
+def _main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("toad_files", nargs="+",
+                        help="per-receiver .toad files to tail")
+    parser.add_argument("-o", "--output", type=str, default="live.pos")
+    parser.add_argument("-r", "--rx-coordinates", dest="rx_pos",
+                        type=str, default="pos-rx.cfg")
+    parser.add_argument("-b", "--beacon-coordinates", dest="beacon_pos",
+                        type=str, default="pos-beacon.cfg")
+    parser.add_argument("-m", "--map", type=argparse.FileType("r"),
+                        default=None, help="frequency map for txids")
+    parser.add_argument("--interval", type=float, default=1.0,
+                        help="poll interval in seconds")
+    parser.add_argument("--match-window", type=float, default=0.2)
+    parser.add_argument("--tdoa-window", type=float, default=8.0)
+    parser.add_argument("--history", type=float, default=30.0,
+                        help="sliding window length (s)")
+    parser.add_argument("--once", action="store_true",
+                        help="process what is on disk and exit "
+                             "(for testing/batch use)")
+    args = parser.parse_args(argv)
+
+    server = PositioningServer(
+        rx_pos=tdoa_mod.load_pos_config(args.rx_pos),
+        beacon_pos=tdoa_mod.load_pos_config(args.beacon_pos),
+        freqmap=identify_mod.load_freqmap(args.map),
+        match_window=args.match_window,
+        tdoa_est_window=args.tdoa_window,
+        window_s=args.history,
+        settle_s=0.0 if args.once else 1.0)
+    tailer = ToadTailer(args.toad_files)
+
+    out = open(args.output, "a")
+    try:
+        while True:
+            server.feed(tailer.poll())
+            fixes = server.step()
+            if len(fixes):
+                pos_mod.save_positions(out, fixes)
+                out.flush()
+                for row in fixes:
+                    print("fix: t={:.3f} tx={} pos=({:.1f}, {:.1f}) "
+                          "dop={:.2f}".format(
+                              row["timestamp"], row["tx"], row["x"],
+                              row["y"], row["dop"]), file=sys.stderr)
+            if args.once:
+                break
+            time_mod.sleep(args.interval)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        out.close()
+
+
+if __name__ == "__main__":
+    _main()
