@@ -22,6 +22,7 @@ Server commands:
     match             Match detections across receivers
     tdoa              Estimate TDOAs using beacon clock sync
     pos               Estimate positions from TDOAs
+    serve             Live positioning: tail .toad files, emit fixes
 
 Analysis commands:
     analyze_toads     Statistics on .toads detection data
@@ -45,6 +46,7 @@ COMMANDS = {
     "match": "thrifty_tpu.pipeline.matchmaker",
     "tdoa": "thrifty_tpu.pipeline.tdoa",
     "pos": "thrifty_tpu.pipeline.pos",
+    "serve": "thrifty_tpu.pipeline.server",
     "analyze_toads": "thrifty_tpu.analysis.toads_analysis",
     "analyze_detect": "thrifty_tpu.analysis.detect_analysis",
     "analyze_beacon": "thrifty_tpu.analysis.beacon_analysis",
