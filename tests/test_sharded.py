@@ -101,6 +101,26 @@ def test_stream_detects_bursts(detector):
         assert abs(soa[i] - burst.expected_soa) < 0.05
 
 
+def test_gspmd_stream_matches_shard_map(detector):
+    """The annotation-driven program equals the explicit shard_map one."""
+    num_rx, num_time, s_loc = 2, 4, 4
+    total = num_time * s_loc
+    m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)
+    caps = [small_capture(total, seed=i) for i in range(num_rx)]
+    streams = np.stack([
+        np.concatenate([c.blocks[b, HISTORY:] for b in range(total)])
+        for c in caps]).astype(np.complex64)
+
+    sm = sharded.make_stream_detector(detector, num_rx, s_loc, m)
+    gs = sharded.make_stream_detector_gspmd(detector, total, m)
+    dev = sharded.shard_stream(streams, m)
+    out_sm = {k: np.asarray(v) for k, v in sm(dev).items()}
+    out_gs = {k: np.asarray(v) for k, v in gs(dev).items()}
+    for k in out_sm:
+        np.testing.assert_allclose(
+            out_gs[k], out_sm[k], atol=2e-4, err_msg=k)
+
+
 def test_stream_gather_replicates(detector):
     num_rx, num_time, s_loc = 2, 4, 4
     m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)

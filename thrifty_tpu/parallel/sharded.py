@@ -132,6 +132,52 @@ def make_stream_detector(detector, num_rx, blocks_per_shard, mesh,
     return jax.jit(shmapped)
 
 
+def make_stream_detector_gspmd(detector, total_blocks, mesh):
+    """GSPMD variant of the streaming detector: no shard_map.
+
+    The same unfold+detect program is written as one global jit with
+    sharding annotations (streams in P(rx, time), outputs in
+    P(rx, time)); XLA's SPMD partitioner inserts the history halo
+    exchange itself where the overlapped reshape crosses shard
+    boundaries.  This is the "annotate shardings, let XLA insert
+    collectives" formulation -- semantically identical to
+    :func:`make_stream_detector`, and the fast path on backends where
+    manual shard_map programs are poorly supported.
+
+    Takes streams [num_rx, total_blocks*new_len] and returns the
+    detector output dict shaped [num_rx, total_blocks] plus block_idx.
+    """
+    cfg = detector.config
+    n = cfg.block_len
+    history = cfg.history_len
+    new_len = n - history
+    if history > new_len:
+        raise ValueError("history exceeds new samples per block")
+
+    def global_detect(streams):
+        num_rx = streams.shape[0]
+        s = total_blocks
+        full = jnp.concatenate(
+            [jnp.zeros((num_rx, history), streams.dtype), streams],
+            axis=1)
+        head = full[:, : s * new_len].reshape(num_rx, s, new_len)
+        tail_src = jnp.pad(
+            full[:, new_len:], ((0, 0), (0, new_len - history)))
+        tail = tail_src.reshape(num_rx, s, new_len)[:, :, :history]
+        blocks = jnp.concatenate([head, tail], axis=2)
+        out = detector._detect_batch(blocks.reshape(num_rx * s, n))
+        out = jax.tree.map(
+            lambda a: a.reshape((num_rx, s) + a.shape[1:]), out)
+        out["block_idx"] = jnp.broadcast_to(
+            jnp.arange(s, dtype=jnp.int32)[None, :], (num_rx, s))
+        return out
+
+    in_sharding = NamedSharding(mesh, P(AXIS_RX, AXIS_TIME))
+    out_sharding = NamedSharding(mesh, P(AXIS_RX, AXIS_TIME))
+    return jax.jit(global_detect, in_shardings=in_sharding,
+                   out_shardings=out_sharding)
+
+
 def shard_stream(streams, mesh):
     """Place host stream arrays [R, L] onto the mesh with P(rx, time)."""
     return jax.device_put(
