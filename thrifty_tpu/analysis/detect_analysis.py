@@ -21,6 +21,7 @@ import numpy as np
 from thrifty_tpu.config import settings as settings_mod
 from thrifty_tpu.config.parsers import normalize_freq_range
 from thrifty_tpu.io import card
+from thrifty_tpu.io import tpl as tpl_io
 from thrifty_tpu.oracle.numpy_ref import OracleDetector, dirichlet_kernel
 
 PLOTS = ["hist", "iq", "fft", "psd", "carrier_zoom", "carrier_interp",
@@ -219,7 +220,7 @@ def _main(argv=None):
             "carrier_threshold", "corr_threshold", "template"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
-    template = np.load(config.template)
+    template = tpl_io.load_template(config.template)
     window = normalize_freq_range(
         config.carrier_window, config.sample_rate / config.block_size)
     thresh_c = (0.0, 0.0, 0.0) if args.force else config.carrier_threshold

@@ -19,6 +19,13 @@ def save_tpl(path_or_stream, template: np.ndarray):
     template.tofile(path_or_stream)
 
 
+def load_template(path: str) -> np.ndarray:
+    """Load a template from .npy or .tpl by file extension."""
+    if path.endswith(".tpl"):
+        return load_tpl(path)
+    return np.load(path)
+
+
 def load_tpl(path_or_stream) -> np.ndarray:
     if isinstance(path_or_stream, str):
         with open(path_or_stream, "rb") as f:

@@ -24,6 +24,7 @@ from thrifty_tpu.config.parsers import normalize_freq_range
 from thrifty_tpu.dsp import util
 from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
 from thrifty_tpu.io import blocks as blocks_io
+from thrifty_tpu.io import tpl as tpl_io
 from thrifty_tpu.io import card, toad
 
 
@@ -127,7 +128,7 @@ def _main(argv=None):
             "batch_size", "sync_mode"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
-    template = np.load(config.template)
+    template = tpl_io.load_template(config.template)
     if args.emit_txid and template.ndim != 2:
         parser.error("--emit-txid requires a template bank "
                      "(a 2-D [T, L] .npy array)")

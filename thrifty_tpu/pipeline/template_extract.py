@@ -15,6 +15,7 @@ from thrifty_tpu.config import settings as settings_mod
 from thrifty_tpu.config.parsers import normalize_freq_range
 from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
 from thrifty_tpu.io import card
+from thrifty_tpu.io import tpl as tpl_io
 
 MAX_OFFSET = 0.2
 
@@ -54,7 +55,7 @@ def _main(argv=None):
             "carrier_threshold", "corr_threshold", "template"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
-    base_template = np.load(config.template)
+    base_template = tpl_io.load_template(config.template)
     window = normalize_freq_range(
         config.carrier_window, config.sample_rate / config.block_size)
     detector = BatchDetector(base_template, DetectorConfig(
