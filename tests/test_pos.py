@@ -38,6 +38,20 @@ class TestSolve2D:
         np.testing.assert_allclose(est, tx, atol=1e-3)
         assert snr == pytest.approx(100.0)
 
+    def test_weighted_downweights_noisy_tdoa(self):
+        rng = np.random.default_rng(3)
+        tx = np.array([5000.0, 3000.0])
+        tdoas = forward_tdoas(tx, RX4, PAIRS4, snr=10000.0)
+        # Corrupt one pair badly and mark it low-SNR.
+        tdoas["tdoa"][2] += 300.0 / C  # 300 m error
+        tdoas["snr"][2] = 1.0
+        unweighted, _ = pos.solve_group(tdoas, RX4)
+        weighted, _ = pos.solve_group(tdoas, RX4, weighted=True)
+        err_u = np.linalg.norm(unweighted - tx)
+        err_w = np.linalg.norm(weighted - tx)
+        assert err_w < err_u / 5
+        assert err_w < 2.0
+
     def test_underdetermined_raises(self):
         tdoas = forward_tdoas(np.array([1.0, 2.0]), RX4, [(0, 1)])
         with pytest.raises(pos.EstimationError):

@@ -50,8 +50,14 @@ def _geometry(tdoas, rx_pos):
     return rx0, rx1
 
 
-def solve_group(tdoas, rx_pos):
-    """Bounded nonlinear least squares with the analytic Jacobian."""
+def solve_group(tdoas, rx_pos, weighted=False):
+    """Bounded nonlinear least squares with the analytic Jacobian.
+
+    With ``weighted``, residuals are scaled by sqrt(snr) normalized to
+    unit mean -- TDOA noise variance goes as 1/SNR, so this is the
+    maximum-likelihood weighting (resolves the reference's TODO at
+    pos_est.py:59 "use SNR ... as weight").
+    """
     dims = len(next(iter(rx_pos.values())))
     uniq = np.unique(np.concatenate([tdoas["rx0"], tdoas["rx1"]]))
     if len(uniq) < dims + 1:
@@ -62,17 +68,22 @@ def solve_group(tdoas, rx_pos):
     lo = coords.min(axis=0) - MAX_DIST
     hi = coords.max(axis=0) + MAX_DIST
     measured = tdoas["tdoa"] * SPEED_OF_LIGHT
+    if weighted:
+        w = np.sqrt(np.maximum(tdoas["snr"], 1e-12))
+        w = w / np.mean(w)
+    else:
+        w = np.ones(len(tdoas))
 
     def residuals(pos):
         d0 = np.linalg.norm(rx0 - pos, axis=1)
         d1 = np.linalg.norm(rx1 - pos, axis=1)
-        return measured - (d0 - d1)
+        return w * (measured - (d0 - d1))
 
     def jac(pos):
         p0, p1 = rx0 - pos, rx1 - pos
         d0 = np.linalg.norm(p0, axis=1)
         d1 = np.linalg.norm(p1, axis=1)
-        return p0 / d0[:, None] - p1 / d1[:, None]
+        return w[:, None] * (p0 / d0[:, None] - p1 / d1[:, None])
 
     res = scipy.optimize.least_squares(
         residuals, np.full(dims, 0.1), jac=jac, bounds=(lo, hi))
@@ -102,7 +113,7 @@ def dop(pos, rx_pos, rx_pairs):
     return float(np.sqrt(np.trace(m)))
 
 
-def solve(tdoa_groups, rx_pos):
+def solve(tdoa_groups, rx_pos, weighted=False):
     """Solve every TDOA group; returns a structured array of positions."""
     num_rx = len(rx_pos)
     dims = len(next(iter(rx_pos.values())))
@@ -112,7 +123,8 @@ def solve(tdoa_groups, rx_pos):
             if num_rx == 2 and dims == 1:
                 coords, snr = solve_1d(group.tdoas, rx_pos)
             else:
-                coords, snr = solve_group(group.tdoas, rx_pos)
+                coords, snr = solve_group(group.tdoas, rx_pos,
+                                          weighted=weighted)
             pairs = list(zip(group.tdoas["rx0"], group.tdoas["rx1"]))
             dop_est = dop(coords, rx_pos, pairs)
             results.append(
@@ -210,12 +222,14 @@ def _main(argv=None):
     parser.add_argument("-o", "--output", type=str, default="data.pos")
     parser.add_argument("-r", "--rx-coordinates", dest="rx_pos",
                         type=str, default="pos-rx.cfg")
+    parser.add_argument("--weighted", action="store_true",
+                        help="weight residuals by sqrt(SNR)")
     args = parser.parse_args(argv)
 
     groups = tdoa_mod.load_tdoa_groups(
         sys.stdin if args.tdoa == "-" else args.tdoa)
     rx_pos = tdoa_mod.load_pos_config(args.rx_pos)
-    results = solve(groups, rx_pos)
+    results = solve(groups, rx_pos, weighted=args.weighted)
     print("Estimated {} position(s)".format(len(results)))
     if args.output == "-":
         save_positions(sys.stdout, results)
