@@ -43,6 +43,15 @@ class DetectorConfig:
     num_preshift: int = 21
     interp_width: int = 6
     gn_iters: int = 12
+    # Sub-sample correlation-peak interpolator: 'gaussian' (default,
+    # reference soa_estimator.py:159-170), 'parabolic', 'cosine', or
+    # 'autocorr' (fit of the template's own correlation shape) --
+    # the reference's experimental xcorr_interpolators as first-class
+    # batched options.
+    corr_interp: str = "gaussian"
+    # Sub-bin carrier interpolator: 'dirichlet' (default, curve-fit
+    # semantics), 'parabolic', or 'polyfit'.
+    carrier_interp: str = "dirichlet"
     # Pallas fused peak/energy kernel ('on'/'off'/'auto').  Measured on
     # TPU v5e, XLA's own fusion of the |x|^2/argmax/sum reductions beats
     # the hand-written kernel (the separate real/imag planes cost an
@@ -122,12 +131,39 @@ class BatchDetector:
                 for s in shifts
             ]
             self._preshift_bank = np.stack(bank_rows).astype(np.complex64)
-        self._interp = dirichlet.make_dirichlet_interpolator(
-            block_len=n,
-            carrier_len=self.template_len,
-            width=config.interp_width,
-            iters=config.gn_iters,
-        )
+        if config.carrier_interp == "dirichlet":
+            self._interp = dirichlet.make_dirichlet_interpolator(
+                block_len=n,
+                carrier_len=self.template_len,
+                width=config.interp_width,
+                iters=config.gn_iters,
+            )
+        elif config.carrier_interp == "parabolic":
+            self._interp = (
+                lambda mag, idx, values=None:
+                dirichlet.parabolic_interpolate(mag, idx))
+        elif config.carrier_interp == "polyfit":
+            poly = dirichlet.make_polyfit_interpolator(config.interp_width)
+            self._interp = lambda mag, idx, values=None: poly(mag, idx)
+        else:
+            raise ValueError(
+                "unknown carrier_interp: " + config.carrier_interp)
+
+        if config.corr_interp == "gaussian":
+            self._corr_interp = xcorr.gaussian_interpolate
+        elif config.corr_interp == "parabolic":
+            self._corr_interp = xcorr.parabolic_interpolate
+        elif config.corr_interp == "cosine":
+            self._corr_interp = xcorr.cosine_interpolate
+        elif config.corr_interp == "autocorr":
+            if self.bank:
+                raise ValueError(
+                    "autocorr interpolation does not support banks yet")
+            ac = xcorr.make_autocorr_interpolator(tmpl2d[0])
+            self._corr_interp = lambda mag, idx, **kw: ac(mag, idx)
+        else:
+            raise ValueError("unknown corr_interp: " + config.corr_interp)
+
         self._detect_jit = jax.jit(self._detect_batch)
 
     # -- the compiled program ------------------------------------------------
@@ -140,6 +176,10 @@ class BatchDetector:
             cfg.carrier_thresh[2] == 0 and cfg.corr_thresh[2] == 0
             and cfg.block_len % 2048 == 0 and batch % 8 == 0
             and (not self.bank or (batch * self.num_templates) % 8 == 0)
+            # The mag-free pallas path gathers tiny neighborhoods and
+            # needs interpolators that accept precomputed values.
+            and cfg.corr_interp == "gaussian"
+            and cfg.carrier_interp == "dirichlet"
         )
         if cfg.use_pallas == "on":
             return ok
@@ -178,7 +218,7 @@ class BatchDetector:
         noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
         thresh = xcorr.threshold(corr_mag, noise, cfg.corr_thresh)
         p_det = p_mag > thresh
-        p_off = xcorr.gaussian_interpolate(corr_mag, p_idx)
+        p_off = self._corr_interp(corr_mag, p_idx)
         p_off = jnp.where(p_det, p_off, 0.0)
 
         if self.bank:
