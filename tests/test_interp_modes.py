@@ -54,7 +54,7 @@ def test_carrier_interpolators(capture, carrier_interp):
         # Simple interpolators are biased on Dirichlet-shaped peaks
         # (why the reference defaults to the curve fit); generous bound
         # for them, tight for the fit.
-        tol = 0.02 if carrier_interp == "dirichlet" else 0.45
+        tol = 0.06 if carrier_interp == "dirichlet" else 0.45
         assert est == pytest.approx(b.carrier_bin, abs=tol)
 
 
