@@ -23,6 +23,7 @@ Server commands:
     tdoa              Estimate TDOAs using beacon clock sync
     pos               Estimate positions from TDOAs
     serve             Live positioning: tail .toad files, emit fixes
+    track             Kalman-smooth position fixes into tracks
 
 Analysis commands:
     analyze_toads     Statistics on .toads detection data
@@ -47,6 +48,7 @@ COMMANDS = {
     "tdoa": "thrifty_tpu.pipeline.tdoa",
     "pos": "thrifty_tpu.pipeline.pos",
     "serve": "thrifty_tpu.pipeline.server",
+    "track": "thrifty_tpu.pipeline.track",
     "analyze_toads": "thrifty_tpu.analysis.toads_analysis",
     "analyze_detect": "thrifty_tpu.analysis.detect_analysis",
     "analyze_beacon": "thrifty_tpu.analysis.beacon_analysis",
