@@ -149,6 +149,8 @@ def _main(argv=None):
     parser.add_argument("--once", action="store_true",
                         help="process what is on disk and exit "
                              "(for testing/batch use)")
+    parser.add_argument("--track", type=str, default=None, metavar="FILE",
+                        help="also Kalman-track fixes into FILE")
     args = parser.parse_args(argv)
 
     server = PositioningServer(
@@ -161,6 +163,8 @@ def _main(argv=None):
         settle_s=0.0 if args.once else 1.0)
     tailer = ToadTailer(args.toad_files)
 
+    trackers = {}
+    track_out = open(args.track, "a") if args.track else None
     out = open(args.output, "a")
     try:
         while True:
@@ -174,6 +178,21 @@ def _main(argv=None):
                           "dop={:.2f}".format(
                               row["timestamp"], row["tx"], row["x"],
                               row["y"], row["dop"]), file=sys.stderr)
+                if track_out is not None:
+                    from thrifty_tpu.pipeline import track as track_mod
+                    for row in fixes[np.argsort(fixes["timestamp"])]:
+                        tx = int(row["tx"])
+                        trk = trackers.setdefault(
+                            tx, track_mod.KalmanTracker())
+                        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
+                        s = trk.update(float(row["timestamp"]),
+                                       [row["x"], row["y"]], dop)
+                        track_out.write(
+                            "{:.6f} {} {:.3f} {:.3f} {:.3f} {:.3f} "
+                            "{:.3f}\n".format(
+                                row["timestamp"], tx, s[0], s[1], s[2],
+                                s[3], float(np.hypot(s[2], s[3]))))
+                    track_out.flush()
             if args.once:
                 break
             time_mod.sleep(args.interval)
@@ -181,6 +200,8 @@ def _main(argv=None):
         pass
     finally:
         out.close()
+        if track_out is not None:
+            track_out.close()
 
 
 if __name__ == "__main__":
