@@ -146,6 +146,42 @@ def test_template_bank(capture):
         assert int(out["template_idx"][i]) == 0
 
 
+def test_near_threshold_oracle_agreement():
+    """At amplitudes near the 15*snr threshold, the f32 path may flip a
+    verdict the f64 oracle decides the other way -- but only within a
+    narrow margin, and SoAs of common detections must still agree."""
+    from thrifty_tpu.oracle.numpy_ref import OracleDetector
+
+    tpl = sim.make_template()
+    cap = sim.synth_capture(
+        num_blocks=24, bursts_every=2, template=tpl,
+        carrier_bin=40.25, amplitude=0.035, noise_std=0.05, seed=13)
+    det = BatchDetector(tpl, DetectorConfig(carrier_window=(7, 110)))
+    out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    oracle = OracleDetector(tpl, carrier_window=(7, 110))
+
+    flips = 0
+    common = 0
+    for i in range(len(cap.blocks)):
+        ref = oracle.detect_block(cap.blocks[i])
+        if bool(out["detected"][i]) != ref.detected:
+            flips += 1
+            # A flip is only legitimate within ~1% of the threshold.
+            margin = abs(float(out["corr_energy"][i])
+                         / (np.sqrt(15.0) * float(out["corr_noise"][i]))
+                         - 1.0)
+            assert margin < 0.02, (
+                "verdict flip at block {} with margin {}".format(
+                    i, margin))
+        elif ref.detected:
+            common += 1
+            ours = out["corr_sample"][i] + out["corr_offset"][i]
+            theirs = ref.corr_sample + ref.corr_offset
+            assert abs(ours - theirs) < 0.1
+    assert flips <= 2
+    assert common >= 3  # the test must exercise real detections
+
+
 def test_soa_float64_precision(capture, detector):
     """SoA keeps sub-sample precision at large block indices."""
     soa = detector.soa(
