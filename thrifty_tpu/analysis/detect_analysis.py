@@ -123,9 +123,10 @@ class BlockDiagnostics:
         ax.set_title("correlation magnitude (red = non-unique window)")
 
     def _plot_corr_interp(self, ax):
-        idx = self.corr_sample
+        idx = int(np.clip(self.corr_sample, 5, len(self.corr_mag) - 6))
         rel = np.arange(-5, 6)
-        ax.plot(rel, self.corr_mag[idx + rel], "o-")
+        ax.plot(rel + (self.corr_sample - idx), self.corr_mag[idx + rel],
+                "o-")
         ax.axvline(self.corr_offset, color="k", lw=0.5)
         ax.set_title("corr peak (offset {:+.3f})".format(self.corr_offset))
 

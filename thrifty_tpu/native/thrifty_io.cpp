@@ -105,9 +105,9 @@ int64_t ttpu_b64_decode_batch(const char* text, const int64_t* offsets,
             int got = ttpu_b64_decode(text + offsets[i], lens[i],
                                       out + i * block_bytes, block_bytes);
             if (got != block_bytes) {
+                // Record the first error (any nonzero row index wins).
                 int64_t expected = 0;
-                while (!bad.compare_exchange_weak(expected, i + 1) &&
-                       expected != 0) break;
+                bad.compare_exchange_strong(expected, i + 1);
                 return;
             }
         }

@@ -188,15 +188,20 @@ def _main(argv=None):
         pass  # not the main thread (e.g. under a test harness)
 
     num = 0
-    blocks_done = 0
+    counter = {"blocks": 0}
+
+    def counted(batch_iter):
+        for ts, idx, raw in batch_iter:
+            counter["blocks"] += len(ts)
+            yield ts, idx, raw
+
     t_start = time_mod.perf_counter()
     try:
         for records in detect_batches(
-                detector, batches, config.batch_size, rxid=config.rxid,
-                summary=summary, summary_out=info_out,
+                detector, counted(batches), config.batch_size,
+                rxid=config.rxid, summary=summary, summary_out=info_out,
                 txid_from_template=args.emit_txid):
             num += len(records)
-            blocks_done += config.batch_size
             if out_stream is not None:
                 toad.save(out_stream, records, with_txid=args.emit_txid)
                 out_stream.flush()
@@ -210,10 +215,11 @@ def _main(argv=None):
     elapsed = time_mod.perf_counter() - t_start
     if not args.quiet:
         print("{} detections".format(num), file=info_out)
-        rate = blocks_done * detector.new_len / max(elapsed, 1e-9)
+        rate = counter["blocks"] * detector.new_len / max(elapsed, 1e-9)
         print("throughput: {:.0f} blocks in {:.2f} s = {:.3g} IQ samples/s "
               "({:.1f}x realtime @ {:.1f} Msps)".format(
-                  blocks_done, elapsed, rate, rate / config.sample_rate,
+                  counter["blocks"], elapsed, rate,
+                  rate / config.sample_rate,
                   config.sample_rate / 1e6), file=info_out)
         if pump is not None:
             # Real-time margin report (cf. fastcard's at-exit stats).
