@@ -1,4 +1,5 @@
-#!/bin/sh
+#!/bin/bash
+# (bash, not sh: `wait -n` below is a bashism)
 # Streaming detect supervisor for a receiver node / TPU host.
 #
 # Mirrors the reference's rpi/detect.sh: wait for NTP coarse time sync,

@@ -131,6 +131,18 @@ def test_preshift_sync_mode(capture, detector, output):
         assert abs(soa_pre[i] - burst.expected_soa) < 0.1
 
 
+def test_single_row_bank_keeps_bank_semantics(capture):
+    """A [1, L] bank must behave as a bank (template_idx present)."""
+    det = BatchDetector(
+        capture.template[None, :],
+        DetectorConfig(carrier_window=(7, 110)))
+    assert det.bank
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    for burst in capture.bursts:
+        assert out["detected"][burst.block_idx]
+        assert out["template_idx"][burst.block_idx] == 0
+
+
 def test_template_bank(capture):
     """Bank mode identifies the transmitted code among decoys."""
     from thrifty_tpu.dsp import template as template_mod

@@ -77,6 +77,35 @@ class TestPositioningServer:
         assert latest_fix <= now - 1.0 + 0.2
 
 
+class TestToadTailer:
+    def test_partial_lines_not_consumed(self, tmp_path):
+        from thrifty_tpu.io import toad as toad_mod
+
+        det = scenario(duration=3.0)
+        line_full = server_mod.toad.format_line(det[0]) + "\n"
+        line_partial = server_mod.toad.format_line(det[1])[:20]
+        path = tmp_path / "rx.toad"
+        path.write_text(line_full + line_partial)
+
+        tailer = server_mod.ToadTailer([str(path)])
+        first = tailer.poll()
+        assert len(first) == 1  # only the complete line
+
+        # Writer completes the partial line later.
+        with open(path, "a") as f:
+            f.write(server_mod.toad.format_line(det[1])[20:] + "\n")
+        second = tailer.poll()
+        assert len(second) == 1
+        assert second[0]["soa"] == pytest.approx(det[1]["soa"])
+
+    def test_no_newline_yet(self, tmp_path):
+        path = tmp_path / "rx.toad"
+        path.write_text("0 1.5")  # incomplete, no newline
+        tailer = server_mod.ToadTailer([str(path)])
+        assert len(tailer.poll()) == 0
+        assert len(tailer.poll()) == 0
+
+
 class TestServerCli:
     def test_tail_and_once(self, tmp_path):
         det = scenario(duration=20.0)

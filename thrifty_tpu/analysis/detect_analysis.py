@@ -162,9 +162,10 @@ class BlockDiagnostics:
         acorr /= acorr[0]
         peak = self.corr_sample
         lo = max(peak - 39, 0)
-        cut = self.corr_mag[lo:peak + 40]
+        hi = min(peak + 40, len(self.corr_mag))
+        cut = self.corr_mag[lo:hi]
         cut = cut / np.max(cut)
-        ax.plot(np.arange(lo - peak, peak + 40 - peak), cut, ".-",
+        ax.plot(np.arange(lo - peak, hi - peak), cut, ".-",
                 lw=0.5, label="captured")
         rel = np.arange(40)
         ax.plot(rel, acorr, lw=0.8, label="ideal autocorr")

@@ -100,14 +100,8 @@ class BatchDetector:
         # Precomputed constants, kept as numpy so they are embedded at
         # trace time (host->device transfer happens once per compile;
         # also avoids backend-specific device->host constant round-trips).
-        tconj = np.conj(np.fft.fft(
-            np.pad(tmpl2d, ((0, 0), (0, n - self.template_len)))
-        )).astype(np.complex64)
-        tenergy = np.sum(tmpl2d**2, axis=-1).astype(np.float32)
-        if not self.bank:
-            tconj, tenergy = tconj[0], tenergy[0]
-        self._tmpl_fft_conj = tconj
-        self._tmpl_energy = tenergy
+        self._tmpl_fft_conj = xcorr.template_fft_conj(template, n)
+        self._tmpl_energy = xcorr.template_energy(template)
         self._carrier_mask = carrier.window_mask(config.carrier_window, n)
         # Unique-lag window as a full-length mask (pallas path searches
         # the unsliced circular correlation with lags >= corr_len masked).

@@ -29,7 +29,9 @@ def iq_to_raw(iq: np.ndarray) -> np.ndarray:
     out = np.empty(iq.shape[:-1] + (2 * iq.shape[-1],), dtype=np.float32)
     out[..., 0::2] = iq.real
     out[..., 1::2] = iq.imag
-    return (out * 128.0 + DC_OFFSET).astype(np.uint8)
+    # Clip to the ADC range: values outside [0, 255] would wrap modulo
+    # 256 in the uint8 cast and corrupt synthesized captures.
+    return np.clip(out * 128.0 + DC_OFFSET, 0.0, 255.0).astype(np.uint8)
 
 
 def raw_to_iq_jax(raw):

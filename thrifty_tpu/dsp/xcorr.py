@@ -38,13 +38,19 @@ def corr_window(block_len: int, history_len: int, template_len: int):
 
 
 def template_fft_conj(template: np.ndarray, block_len: int) -> np.ndarray:
-    """conj(FFT(zero-padded template)) for one template or a [T, L] bank."""
-    template = np.atleast_2d(np.asarray(template, dtype=np.float64))
-    t, length = template.shape
+    """conj(FFT(zero-padded template)) for one template or a [T, L] bank.
+
+    A 1-D template yields a 1-D result; a 2-D bank stays 2-D (even with
+    a single row, so bank-mode broadcasting is preserved).
+    """
+    template = np.asarray(template, dtype=np.float64)
+    single = template.ndim == 1
+    tmpl2d = np.atleast_2d(template)
+    t, length = tmpl2d.shape
     padded = np.zeros((t, block_len), dtype=np.float64)
-    padded[:, :length] = template
+    padded[:, :length] = tmpl2d
     out = np.conj(np.fft.fft(padded)).astype(np.complex64)
-    return out[0] if out.shape[0] == 1 else out
+    return out[0] if single else out
 
 
 def template_energy(template: np.ndarray) -> np.ndarray:

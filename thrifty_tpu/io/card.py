@@ -31,10 +31,12 @@ def _parse_lines(lines):
         if line.startswith(_SKIP_PREFIXES):
             continue
         parts = line.split()
-        if len(parts) != 3:
+        if len(parts) < 3:
             continue
         # Real .card files can contain stray tool output (the format
         # explicitly tolerates junk lines); skip anything unparseable.
+        # Extra trailing tokens are ignored (fscanf semantics, like the
+        # reference's C reader and the native parser here).
         try:
             yield float(parts[0]), int(parts[1]), parts[2]
         except ValueError:

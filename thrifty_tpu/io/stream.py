@@ -24,7 +24,7 @@ class StreamPump:
 
     def __init__(self, stream, block_size, history, batch_size,
                  capacity_bytes=1 << 25, chunk_bytes=1 << 18,
-                 timestamper=None):
+                 timestamper=None, sample_rate=2.4e6):
         from thrifty_tpu import native  # ImportError -> caller falls back
 
         self._native = native
@@ -35,6 +35,7 @@ class StreamPump:
         self._new_bytes = self._block_bytes - self._hist_bytes
         self._chunk = chunk_bytes
         self._timestamper = timestamper or time_mod.time
+        self._sample_rate = sample_rate
         self._ring = native.RingBuffer(capacity_bytes)
         self._reader = threading.Thread(target=self._pump, daemon=True)
         self._reader_error = None
@@ -75,8 +76,14 @@ class StreamPump:
             tail = raw[-1, -self._hist_bytes:].copy()
             idx = np.arange(block_idx, block_idx + n_blocks, dtype=np.int64)
             block_idx += n_blocks
-            ts = np.full(n_blocks, stamp, dtype=np.float64)
-            yield ts, idx, raw
+            # Per-block timestamps, backdated from the drain time by the
+            # block duration: a whole batch can span >1 s of stream, and
+            # the matchmaker needs each block's wall clock within its
+            # 0.2 s window (the reference stamps every block at capture).
+            block_dt = (self._block_bytes - self._hist_bytes) / 2 \
+                / self._sample_rate
+            ts = stamp - (n_blocks - 1 - np.arange(n_blocks)) * block_dt
+            yield ts.astype(np.float64), idx, raw
             if len(data) < want:
                 break
 

@@ -151,10 +151,20 @@ int64_t ttpu_card_scan(const char* text, int64_t text_len,
         const char* payload = endp2 + 1;
         int64_t plen = (text + line_end) - payload;
         while (plen > 0 && (payload[plen - 1] == '\r')) --plen;
-        if (plen <= 0) continue;
-        // Payload must look like base64 (reject stray tool output).
+        // Bound the payload at the first whitespace (base64 has none;
+        // junk lines can carry trailing tokens) and require every
+        // character to be base64 -- the format tolerates stray tool
+        // output, which must be skipped, not fatal.
         b64_init();
-        if (B64_REV[(uint8_t)payload[0]] < 0) continue;
+        int64_t p = 0;
+        bool valid = true;
+        for (; p < plen; ++p) {
+            char c = payload[p];
+            if (c == ' ' || c == '\t') break;
+            if (B64_REV[(uint8_t)c] == -1) { valid = false; break; }
+        }
+        plen = p;
+        if (!valid || plen <= 0) continue;
         timestamps[count] = ts;
         indices[count] = (int64_t)idx;
         payload_offsets[count] = payload - text;

@@ -151,7 +151,8 @@ def _main(argv=None):
         try:
             from thrifty_tpu.io.stream import StreamPump
             pump = StreamPump(in_stream, config.block_size,
-                              config.block_history, config.batch_size)
+                              config.block_history, config.batch_size,
+                              sample_rate=config.sample_rate)
             batches = pump.batches()
         except ImportError:
             batches = blocks_io.raw_batches(

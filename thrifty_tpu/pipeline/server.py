@@ -104,7 +104,11 @@ class PositioningServer:
 
 
 class ToadTailer:
-    """Incrementally read appended lines from per-receiver .toad files."""
+    """Incrementally read appended lines from per-receiver .toad files.
+
+    Only complete lines are consumed: a partially written trailing line
+    (writers are not line-atomic) stays for the next poll.
+    """
 
     def __init__(self, paths):
         self._paths = list(paths)
@@ -114,14 +118,18 @@ class ToadTailer:
         parts = []
         for path in self._paths:
             try:
-                with open(path) as f:
+                with open(path, "rb") as f:
                     f.seek(self._offsets[path])
-                    text = f.read()
-                    self._offsets[path] = f.tell()
+                    data = f.read()
             except FileNotFoundError:
                 continue
-            if text:
-                parts.append(toad.load_toad(io.StringIO(text)))
+            # Consume up to (and including) the last newline only.
+            cut = data.rfind(b"\n") + 1
+            if cut == 0:
+                continue
+            self._offsets[path] += cut
+            text = data[:cut].decode("ascii", errors="replace")
+            parts.append(toad.load_toad(io.StringIO(text)))
         if not parts:
             return toad.empty(0)
         return np.concatenate(parts)
