@@ -176,7 +176,13 @@ class BatchDetector:
             and cfg.carrier_interp == "dirichlet"
         )
         if cfg.use_pallas == "on":
-            return ok
+            if not ok:
+                raise ValueError(
+                    "use_pallas='on' requires: batch divisible by 8 "
+                    "(got {}), block_len divisible by 2048, no stddev "
+                    "threshold term, corr_interp='gaussian' and "
+                    "carrier_interp='dirichlet'".format(batch))
+            return True
         return False  # 'auto': XLA fusion measured faster; see config
 
     def _detect_batch(self, blocks):

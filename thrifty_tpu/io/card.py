@@ -14,6 +14,7 @@ batch-at-a-time rather than block-at-a-time.  A C++ fast path
 from __future__ import annotations
 
 import base64
+import binascii
 
 import numpy as np
 
@@ -58,7 +59,10 @@ def read_card(stream_or_path, native=True):
     if native:
         try:
             from thrifty_tpu.native import parse_card_bytes
-            return parse_card_bytes(stream_or_path.read())
+            data = stream_or_path.read()
+            if isinstance(data, str):  # text-mode stream
+                data = data.encode("ascii", errors="replace")
+            return parse_card_bytes(data)
         except ImportError:
             pass
 
@@ -72,18 +76,26 @@ def read_card(stream_or_path, native=True):
         n = 0
         return (np.zeros(0), np.zeros(0, np.int64), np.zeros((0, n), np.uint8))
 
-    decoded = [
-        np.frombuffer(base64.b64decode(e), dtype=np.uint8)
-        for e in encoded
-    ]
+    decoded, ts_ok, idx_ok = [], [], []
+    for ts, ix, e in zip(timestamps, indices, encoded):
+        try:
+            decoded.append(np.frombuffer(
+                base64.b64decode(e, validate=True), dtype=np.uint8))
+            ts_ok.append(ts)
+            idx_ok.append(ix)
+        except (ValueError, binascii.Error):
+            continue  # junk payload: skip the row, keep the capture
+    if not decoded:
+        return (np.zeros(0), np.zeros(0, np.int64),
+                np.zeros((0, 0), np.uint8))
     lengths = {len(d) for d in decoded}
     if len(lengths) != 1:
         raise ValueError("inconsistent block sizes in .card file")
     raw = np.stack(decoded)
 
     return (
-        np.asarray(timestamps, dtype=np.float64),
-        np.asarray(indices, dtype=np.int64),
+        np.asarray(ts_ok, dtype=np.float64),
+        np.asarray(idx_ok, dtype=np.int64),
         raw,
     )
 
@@ -113,17 +125,22 @@ def iter_card_batches(stream, batch_size):
 
 
 def _decode_batch(ts_buf, idx_buf, enc_buf):
-    try:
-        from thrifty_tpu.native import b64decode_batch
-        raw = b64decode_batch(enc_buf)
-    except ImportError:
-        raw = np.stack([
-            np.frombuffer(base64.b64decode(e), dtype=np.uint8)
-            for e in enc_buf
-        ])
+    """Decode one batch worth of base64 payloads, skipping junk rows."""
+    decoded, ts_ok, idx_ok = [], [], []
+    for ts, ix, e in zip(ts_buf, idx_buf, enc_buf):
+        try:
+            decoded.append(np.frombuffer(
+                base64.b64decode(e, validate=True), dtype=np.uint8))
+            ts_ok.append(ts)
+            idx_ok.append(ix)
+        except (ValueError, binascii.Error):
+            continue
+    if decoded and len({len(d) for d in decoded}) != 1:
+        raise ValueError("inconsistent block sizes in .card file")
+    raw = np.stack(decoded) if decoded else np.zeros((0, 0), np.uint8)
     return (
-        np.asarray(ts_buf, dtype=np.float64),
-        np.asarray(idx_buf, dtype=np.int64),
+        np.asarray(ts_ok, dtype=np.float64),
+        np.asarray(idx_ok, dtype=np.int64),
         raw,
     )
 

@@ -12,6 +12,10 @@ import numpy as np
 
 def save_tpl(path_or_stream, template: np.ndarray):
     template = np.asarray(template, dtype=np.float32)
+    if len(template) >= 2**15:
+        raise ValueError(
+            "the .tpl format's int16 length field cannot represent {} "
+            "samples (max 32767)".format(len(template)))
     if isinstance(path_or_stream, str):
         with open(path_or_stream, "wb") as f:
             return save_tpl(f, template)

@@ -28,12 +28,16 @@ def initialize(coordinator_address=None, num_processes=None,
     With no arguments, relies on the cluster environment (TPU pod
     metadata) exactly like ``jax.distributed.initialize()``.
     """
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        **kwargs,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:
+        if "already" not in str(e):
+            raise  # genuinely failed; only repeat-initialization is ok
 
 
 def pod_mesh(num_rx=None):

@@ -88,6 +88,8 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
 
     for ts, idx, raw in batches:
         n = len(ts)
+        if n == 0:  # a batch can be all-junk rows
+            continue
         if n < batch_size:
             pad = batch_size - n
             raw = np.concatenate(

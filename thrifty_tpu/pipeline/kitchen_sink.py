@@ -46,23 +46,29 @@ def detect_all(cards, detector: BatchDetector, batch_size: int = 256,
     Returns a merged detection array; txids are unassigned unless
     ``txid_from_template`` maps the winning bank template to the txid.
     """
-    from thrifty_tpu.pipeline.detect import detect_batches
-    from thrifty_tpu.dsp import iq
-
     parts = []
     for rxid, capture in cards.items():
         if isinstance(capture, str):
             ts, idx, blocks = card.read_card_blocks(capture)
         else:
             ts, idx, blocks = capture
-        batches = (
-            (ts[i:i + batch_size], idx[i:i + batch_size],
-             iq.iq_to_raw(blocks[i:i + batch_size]))
-            for i in range(0, len(ts), batch_size))
-        for records in detect_batches(
-                detector, batches, batch_size, rxid=rxid,
-                txid_from_template=txid_from_template):
-            parts.append(records)
+        blocks = np.asarray(blocks, dtype=np.complex64)
+        # Feed complex blocks directly (no lossy 8-bit round trip) in
+        # static-shape batches, padding the tail with silence.
+        for i in range(0, len(ts), batch_size):
+            chunk = blocks[i:i + batch_size]
+            n = len(chunk)
+            if n < batch_size:
+                chunk = np.concatenate([
+                    chunk, np.zeros((batch_size - n, blocks.shape[1]),
+                                    np.complex64)])
+            out = {k: np.asarray(v)[:n]
+                   for k, v in detector(chunk).items()}
+            soa = detector.soa(idx[i:i + n], out["corr_sample"],
+                               out["corr_offset"])
+            parts.append(toad.from_detector_output(
+                ts[i:i + n], idx[i:i + n], soa, out, rxid=rxid,
+                txid_from_template=txid_from_template))
     if not parts:
         return toad.empty(0)
     return np.concatenate(parts)

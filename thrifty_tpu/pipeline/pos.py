@@ -67,6 +67,10 @@ def solve_group(tdoas, rx_pos, weighted=False):
     coords = np.array(list(rx_pos.values()), dtype=np.float64)
     lo = coords.min(axis=0) - MAX_DIST
     hi = coords.max(axis=0) + MAX_DIST
+    # Start at the receiver centroid: always inside the bounds box even
+    # for projected coordinates far from the origin (a fixed origin
+    # guess would make scipy reject the bounds).
+    x0 = coords.mean(axis=0)
     measured = tdoas["tdoa"] * SPEED_OF_LIGHT
     if weighted:
         w = np.sqrt(np.maximum(tdoas["snr"], 1e-12))
@@ -86,7 +90,7 @@ def solve_group(tdoas, rx_pos, weighted=False):
         return w[:, None] * (p0 / d0[:, None] - p1 / d1[:, None])
 
     res = scipy.optimize.least_squares(
-        residuals, np.full(dims, 0.1), jac=jac, bounds=(lo, hi))
+        residuals, x0, jac=jac, bounds=(lo, hi))
     return res.x, float(np.mean(tdoas["snr"]))
 
 
@@ -130,12 +134,16 @@ def solve(tdoa_groups, rx_pos, weighted=False):
             results.append(
                 (group.group_id, group.timestamp, group.tx, dop_est, snr)
                 + tuple(coords))
-        except EstimationError as e:
+        except (EstimationError, ValueError,
+                np.linalg.LinAlgError) as e:
+            # One pathological group must not abort the whole run.
             print("Failed to estimate group #{}: {}".format(
                 group.group_id, e), file=sys.stderr)
     dtype = np.dtype(
         [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
          for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    if not results:
+        return np.zeros(0, dtype=dtype)
     return np.array(results, dtype=dtype)
 
 
@@ -203,6 +211,13 @@ def save_positions(stream_or_path, results):
 
 def load_positions(stream_or_path):
     data = np.genfromtxt(stream_or_path, dtype=np.float64)
+    if data.size == 0:
+        # Empty .pos (no fixes yet): 2-D layout by default.
+        dims = 2
+        dtype = np.dtype(
+            [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
+             for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+        return np.zeros(0, dtype=dtype)
     data = np.atleast_2d(data)
     dims = data.shape[1] - 5
     dtype = np.dtype(

@@ -88,18 +88,32 @@ class PositioningServer:
             integrated, matches, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
 
-        # Solve only settled, not-yet-reported groups.
+        # Solve only settled, not-yet-reported groups.  The quantized
+        # key is checked with +-1 tolerance: a late detection that
+        # becomes the new group seed can shift the timestamp across a
+        # quantization boundary, which must not produce a duplicate fix.
         fresh = []
         for g in groups:
-            key = self._group_key(g.timestamp, g.tx)
-            if key in self._solved:
+            tx, q = self._group_key(g.timestamp, g.tx)
+            if any((tx, q + d) in self._solved for d in (-1, 0, 1)):
                 continue
             if g.timestamp > now - self.settle_s:
                 continue  # may still gain detections
-            fresh.append((key, g))
+            fresh.append(((tx, q), g))
         results = pos_mod.solve([g for _, g in fresh], self.rx_pos)
-        for key, _ in fresh:
-            self._solved.add(key)
+        # Mark solved only what actually produced a fix: a group that
+        # failed (e.g. underdetermined until a lagging receiver's
+        # detections arrive) is retried on later steps.
+        solved_ids = set(int(i) for i in results["group_id"]) \
+            if len(results) else set()
+        for key, g in fresh:
+            if g.group_id in solved_ids:
+                self._solved.add(key)
+        # Prune keys that scrolled out of the sliding window (a
+        # long-running server would otherwise leak them forever).
+        horizon = (now - self.window_s - 10 * self.match_window) \
+            / self.match_window
+        self._solved = {k for k in self._solved if k[1] >= horizon}
         return results
 
 
@@ -119,6 +133,11 @@ class ToadTailer:
         for path in self._paths:
             try:
                 with open(path, "rb") as f:
+                    f.seek(0, 2)
+                    size = f.tell()
+                    if size < self._offsets[path]:
+                        # File truncated/rotated: start over from the top.
+                        self._offsets[path] = 0
                     f.seek(self._offsets[path])
                     data = f.read()
             except FileNotFoundError:
@@ -188,18 +207,8 @@ def _main(argv=None):
                               row["y"], row["dop"]), file=sys.stderr)
                 if track_out is not None:
                     from thrifty_tpu.pipeline import track as track_mod
-                    for row in fixes[np.argsort(fixes["timestamp"])]:
-                        tx = int(row["tx"])
-                        trk = trackers.setdefault(
-                            tx, track_mod.KalmanTracker())
-                        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
-                        s = trk.update(float(row["timestamp"]),
-                                       [row["x"], row["y"]], dop)
-                        track_out.write(
-                            "{:.6f} {} {:.3f} {:.3f} {:.3f} {:.3f} "
-                            "{:.3f}\n".format(
-                                row["timestamp"], tx, s[0], s[1], s[2],
-                                s[3], float(np.hypot(s[2], s[3]))))
+                    for line in track_mod.live_update(trackers, fixes):
+                        track_out.write(line + "\n")
                     track_out.flush()
             if args.once:
                 break

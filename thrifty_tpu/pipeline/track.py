@@ -42,8 +42,11 @@ class KalmanTracker:
                                 100.0, 100.0])
             return self.state.copy()
 
-        dt = float(timestamp) - self.t
-        self.t = float(timestamp)
+        # A late-settling older group can arrive out of order; never
+        # extrapolate backwards (dt=0 degrades to a pure measurement
+        # update and leaves the clock at the newest fix).
+        dt = max(float(timestamp) - self.t, 0.0)
+        self.t = max(self.t, float(timestamp))
         f = np.eye(4)
         f[0, 2] = f[1, 3] = dt
         # White-acceleration process noise.
@@ -90,6 +93,31 @@ def track_positions(results, accel_std=1.0, meas_std=5.0):
     return np.array(rows, dtype=[
         ("timestamp", "f8"), ("tx", "i4"), ("x", "f8"), ("y", "f8"),
         ("vx", "f8"), ("vy", "f8"), ("speed", "f8")])
+
+
+def format_track_row(timestamp, tx, state):
+    """One .track text line from a filtered [x, y, vx, vy] state."""
+    return "{:.6f} {} {:.3f} {:.3f} {:.3f} {:.3f} {:.3f}".format(
+        float(timestamp), int(tx), state[0], state[1], state[2],
+        state[3], float(np.hypot(state[2], state[3])))
+
+
+def live_update(trackers, fixes, accel_std=1.0, meas_std=5.0):
+    """Fold a batch of position fixes into per-transmitter trackers.
+
+    ``trackers`` is a mutable {txid: KalmanTracker} dict; fixes are
+    processed in timestamp order.  Yields formatted .track lines --
+    shared by the batch CLI and the live server.
+    """
+    order = np.argsort(fixes["timestamp"], kind="stable")
+    for row in fixes[order]:
+        tx = int(row["tx"])
+        tracker = trackers.setdefault(tx, KalmanTracker(accel_std,
+                                                        meas_std))
+        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
+        state = tracker.update(float(row["timestamp"]),
+                               [row["x"], row["y"]], dop)
+        yield format_track_row(row["timestamp"], tx, state)
 
 
 def save_tracks(stream_or_path, tracks):
