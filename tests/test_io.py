@@ -59,6 +59,19 @@ class TestCard:
         ts, idx, raw = card.read_card(io.BytesIO(b"# nothing\n"))
         assert len(ts) == 0
 
+    def test_junk_payload_row_skipped(self):
+        import base64
+        enc = base64.b64encode(bytes(range(16))).decode()
+        blob = ("1.5 0 {e}\n2.0 1 restarting\n2.5 2 {e}\n"
+                .format(e=enc)).encode()
+        for native in (True, False):
+            ts, idx, raw = card.read_card(io.BytesIO(blob), native=native)
+            assert idx.tolist() == [0, 2], "native={}".format(native)
+        # The streaming batch path must also survive the junk row.
+        batches = list(card.iter_card_batches(io.BytesIO(blob), 2))
+        got = np.concatenate([b[1] for b in batches])
+        assert got.tolist() == [0, 2]
+
 
 class TestToad:
     def make_detections(self, n=3):

@@ -153,6 +153,23 @@ class TestBatchedSolver:
 
 
 class TestIO:
+    def test_empty_pos_file(self, tmp_path):
+        path = str(tmp_path / "empty.pos")
+        open(path, "w").close()
+        back = pos.load_positions(path)
+        assert len(back) == 0
+        assert "timestamp" in back.dtype.names
+
+    def test_projected_coordinates(self):
+        # UTM-style coordinates far from the origin must not crash the
+        # bounded solver (initial guess inside the bounds box).
+        offset = np.array([500000.0, 4000000.0])
+        rx = {k: v + offset for k, v in RX4.items()}
+        tx = np.array([4000.0, 3000.0]) + offset
+        tdoas = forward_tdoas(tx, rx, PAIRS4)
+        est, _ = pos.solve_group(tdoas, rx)
+        np.testing.assert_allclose(est, tx, atol=1e-2)
+
     def test_round_trip(self, tmp_path):
         tx = np.array([6000.0, 3500.0])
         groups = [tdoa.TdoaGroup(

@@ -137,7 +137,12 @@ def parse_card_bytes(text: bytes):
     if n == 0:
         return ts, idx, np.zeros((0, 0), dtype=np.uint8)
     if not np.all(lens == lens[0]):
-        raise ValueError("inconsistent block sizes in .card file")
+        # Junk rows that happen to look like base64 (e.g. a bare word)
+        # have the wrong payload length; keep the modal length only.
+        vals, counts = np.unique(lens, return_counts=True)
+        keep = lens == vals[np.argmax(counts)]
+        ts, idx, offs, lens = ts[keep], idx[keep], offs[keep], lens[keep]
+        n = len(ts)
     probe = np.zeros((int(lens[0]) // 4 + 2) * 3, dtype=np.uint8)
     got = _lib.ttpu_b64_decode(
         text[offs[0]:offs[0] + lens[0]], int(lens[0]),
