@@ -45,7 +45,7 @@ def _load():
     lib.ttpu_b64_decode_batch.restype = ctypes.c_int64
     lib.ttpu_b64_decode_batch.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
     lib.ttpu_card_scan.restype = ctypes.c_int64
     lib.ttpu_card_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -97,13 +97,14 @@ def b64decode_batch(encoded_strings):
     if got < 0:
         raise ValueError("invalid base64 payload")
     out = np.empty((n, got), dtype=np.uint8)
+    status = np.empty(n, dtype=np.uint8)
     bad = _lib.ttpu_b64_decode_batch(
         joined, offsets.ctypes.data, lens.ctypes.data, n,
-        out.ctypes.data, got, num_threads())
+        out.ctypes.data, got, status.ctypes.data, num_threads())
     if bad:
         raise ValueError(
             "inconsistent block sizes in .card file (row {})".format(
-                int(bad) - 1))
+                int(np.argmax(status))))
     return out
 
 
@@ -143,18 +144,27 @@ def parse_card_bytes(text: bytes):
         keep = lens == vals[np.argmax(counts)]
         ts, idx, offs, lens = ts[keep], idx[keep], offs[keep], lens[keep]
         n = len(ts)
+    # Probe the decoded block size from the first row that decodes
+    # cleanly (the very first could still be a junk line).
     probe = np.zeros((int(lens[0]) // 4 + 2) * 3, dtype=np.uint8)
-    got = _lib.ttpu_b64_decode(
-        text[offs[0]:offs[0] + lens[0]], int(lens[0]),
-        probe.ctypes.data, probe.size)
-    if got < 0:
+    got = -1
+    for r in range(min(n, 8)):
+        got = _lib.ttpu_b64_decode(
+            text[offs[r]:offs[r] + lens[r]], int(lens[r]),
+            probe.ctypes.data, probe.size)
+        if got > 0:
+            break
+    if got <= 0:
         raise ValueError("invalid base64 payload")
     out = np.empty((n, got), dtype=np.uint8)
+    status = np.empty(n, dtype=np.uint8)
     bad = _lib.ttpu_b64_decode_batch(
         text, offs.ctypes.data, lens.ctypes.data, n,
-        out.ctypes.data, got, num_threads())
+        out.ctypes.data, got, status.ctypes.data, num_threads())
     if bad:
-        raise ValueError("invalid base64 at row {}".format(int(bad) - 1))
+        # Junk rows that survived the scan's cheap checks: drop them.
+        keep = status == 0
+        ts, idx, out = ts[keep], idx[keep], out[keep]
     return ts, idx, out
 
 

@@ -28,14 +28,32 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static int8_t B64_REV[256];
+// SWAR decode tables (aklomp-style): the 24-bit group is assembled with
+// four table lookups and one OR; invalid characters carry bit 24 so a
+// whole quad is validated with a single branch.
+static uint32_t B64_D0[256], B64_D1[256], B64_D2[256], B64_D3[256];
 static bool b64_init_done = false;
 
 static void b64_init() {
     if (b64_init_done) return;
     const char* alphabet =
         "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
-    for (int i = 0; i < 256; ++i) B64_REV[i] = -1;
-    for (int i = 0; i < 64; ++i) B64_REV[(uint8_t)alphabet[i]] = (int8_t)i;
+    const uint32_t BAD = 1u << 24;
+    for (int i = 0; i < 256; ++i) {
+        B64_REV[i] = -1;
+        B64_D0[i] = B64_D1[i] = B64_D2[i] = B64_D3[i] = BAD;
+    }
+    for (uint32_t v = 0; v < 64; ++v) {
+        uint8_t c = (uint8_t)alphabet[v];
+        B64_REV[c] = (int8_t)v;
+        // Decoded bytes: b0 = v0<<2 | v1>>4, b1 = v1<<4 | v2>>2,
+        // b2 = v2<<6 | v3.  Stored as little-endian contributions to
+        // X = b0 | b1<<8 | b2<<16 so one 32-bit store emits the group.
+        B64_D0[c] = v << 2;
+        B64_D1[c] = (v >> 4) | ((v & 0x0F) << 12);
+        B64_D2[c] = ((v >> 2) << 8) | ((v & 0x03) << 22);
+        B64_D3[c] = v << 16;
+    }
     B64_REV[(uint8_t)'='] = -2;
     b64_init_done = true;
 }
@@ -45,9 +63,22 @@ int ttpu_b64_decode(const char* in, int64_t in_len, uint8_t* out,
                     int64_t out_cap) {
     b64_init();
     int64_t o = 0;
+    int64_t i = 0;
+    // Fast path: whole 4-char groups with >=4 bytes of output slack
+    // (the 32-bit store writes one scratch byte past the 3 real ones).
+    while (i + 4 <= in_len && o + 4 <= out_cap) {
+        uint32_t v = B64_D0[(uint8_t)in[i]] | B64_D1[(uint8_t)in[i + 1]]
+                   | B64_D2[(uint8_t)in[i + 2]]
+                   | B64_D3[(uint8_t)in[i + 3]];
+        if (v & (1u << 24)) break;  // padding or junk: slow path
+        memcpy(out + o, &v, 4);
+        o += 3;
+        i += 4;
+    }
+    // Slow path: remaining chars, padding, validation.
     uint32_t acc = 0;
     int bits = 0;
-    for (int64_t i = 0; i < in_len; ++i) {
+    for (; i < in_len; ++i) {
         int8_t v = B64_REV[(uint8_t)in[i]];
         if (v == -2) break;            // padding: done
         if (v < 0) return -1;          // invalid character
@@ -90,27 +121,26 @@ int ttpu_b64_encode(const uint8_t* in, int64_t in_len, char* out,
 }
 
 // Decode n equal-length base64 payloads into a [n, block_bytes] array,
-// multi-threaded.  offsets[i]/lens[i] index into `text`.  Returns 0 on
-// success, or 1-based index of the first failing row.
+// multi-threaded.  offsets[i]/lens[i] index into `text`.  status[i] is
+// set to 0 when row i decoded to exactly block_bytes, 1 otherwise
+// (junk rows are the caller's to drop).  Returns the number of bad rows.
 int64_t ttpu_b64_decode_batch(const char* text, const int64_t* offsets,
                               const int64_t* lens, int64_t n,
                               uint8_t* out, int64_t block_bytes,
-                              int num_threads) {
+                              uint8_t* status, int num_threads) {
     b64_init();
     std::atomic<int64_t> bad(0);
     if (num_threads < 1) num_threads = 1;
     std::vector<std::thread> threads;
     auto work = [&](int64_t t) {
+        int64_t my_bad = 0;
         for (int64_t i = t; i < n; i += num_threads) {
             int got = ttpu_b64_decode(text + offsets[i], lens[i],
                                       out + i * block_bytes, block_bytes);
-            if (got != block_bytes) {
-                // Record the first error (any nonzero row index wins).
-                int64_t expected = 0;
-                bad.compare_exchange_strong(expected, i + 1);
-                return;
-            }
+            status[i] = (got == block_bytes) ? 0 : 1;
+            my_bad += status[i];
         }
+        bad += my_bad;
     };
     for (int t = 0; t < num_threads; ++t) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
@@ -132,9 +162,10 @@ int64_t ttpu_card_scan(const char* text, int64_t text_len,
     int64_t pos = 0;
     while (pos < text_len && count < max_blocks) {
         int64_t line_start = pos;
-        while (pos < text_len && text[pos] != '\n') ++pos;
-        int64_t line_end = pos;
-        ++pos;  // skip newline
+        const char* nl = (const char*)memchr(
+            text + pos, '\n', text_len - pos);
+        int64_t line_end = nl ? (nl - text) : text_len;
+        pos = line_end + 1;
         if (line_end <= line_start) continue;
         const char* line = text + line_start;
         if (line[0] == '#' || line[0] == '\n' || line[0] == '\r') continue;
@@ -152,19 +183,13 @@ int64_t ttpu_card_scan(const char* text, int64_t text_len,
         int64_t plen = (text + line_end) - payload;
         while (plen > 0 && (payload[plen - 1] == '\r')) --plen;
         // Bound the payload at the first whitespace (base64 has none;
-        // junk lines can carry trailing tokens) and require every
-        // character to be base64 -- the format tolerates stray tool
-        // output, which must be skipped, not fatal.
+        // junk lines can carry trailing tokens).  Full validation is
+        // deferred to the decoder, which flags junk rows per row --
+        // validating every character here would double the scan cost.
         b64_init();
-        int64_t p = 0;
-        bool valid = true;
-        for (; p < plen; ++p) {
-            char c = payload[p];
-            if (c == ' ' || c == '\t') break;
-            if (B64_REV[(uint8_t)c] == -1) { valid = false; break; }
-        }
-        plen = p;
-        if (!valid || plen <= 0) continue;
+        const char* sp = (const char*)memchr(payload, ' ', plen);
+        if (sp) plen = sp - payload;
+        if (plen <= 0 || B64_REV[(uint8_t)payload[0]] < 0) continue;
         timestamps[count] = ts;
         indices[count] = (int64_t)idx;
         payload_offsets[count] = payload - text;
