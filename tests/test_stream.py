@@ -16,6 +16,29 @@ def make_stream(n_bytes, seed=0):
     return rng.integers(0, 256, size=n_bytes, dtype=np.uint8).tobytes()
 
 
+class TestPrefetchIter:
+    def test_order_preserved(self):
+        from thrifty_tpu.io.stream import prefetch_iter
+        assert list(prefetch_iter(iter(range(100)), depth=3)) \
+            == list(range(100))
+
+    def test_exception_propagates(self):
+        from thrifty_tpu.io.stream import prefetch_iter
+
+        def boom():
+            yield 1
+            raise RuntimeError("producer failed")
+
+        it = prefetch_iter(boom())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="producer failed"):
+            list(it)
+
+    def test_empty(self):
+        from thrifty_tpu.io.stream import prefetch_iter
+        assert list(prefetch_iter(iter([]))) == []
+
+
 class TestStreamPump:
     def test_matches_synchronous_reader(self):
         size, history, batch = 256, 64, 4

@@ -19,6 +19,37 @@ import time as time_mod
 import numpy as np
 
 
+def prefetch_iter(iterator, depth=2):
+    """Run an iterator in a background thread with a bounded queue.
+
+    Decouples host-side batch production (parse/decode) from the
+    consumer (device dispatch), so the two overlap.  Exceptions from
+    the producer re-raise at the consumer.
+    """
+    import queue
+
+    q = queue.Queue(maxsize=depth)
+    DONE, ERROR = object(), object()
+
+    def run():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 -- forwarded
+            q.put((ERROR, e))
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERROR:
+            raise item[1]
+        yield item
+
+
 class StreamPump:
     """Reader thread + ring buffer + overlap-save batch iterator."""
 

@@ -162,6 +162,13 @@ def _main(argv=None):
                 config.batch_size)
     else:
         batches = card.iter_card_batches(in_stream, config.batch_size)
+        try:
+            # Parse/decode batches in a background thread so host IO
+            # overlaps device compute.
+            from thrifty_tpu.io.stream import prefetch_iter
+            batches = prefetch_iter(batches, depth=2)
+        except ImportError:
+            pass
 
     if args.output == "-":
         out_stream, close_out = sys.stdout, False
