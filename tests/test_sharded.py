@@ -121,6 +121,39 @@ def test_gspmd_stream_matches_shard_map(detector):
             out_gs[k], out_sm[k], atol=2e-4, err_msg=k)
 
 
+def test_full_geometry_halo(detector):
+    """Halo exchange at the real example geometry (16384/4920/4914)."""
+    from thrifty_tpu import sim as sim_mod
+
+    tpl = sim_mod.make_template()
+    full_det = BatchDetector(tpl, DetectorConfig(carrier_window=(7, 110)))
+    new_len = full_det.new_len
+    num_time, per_shard = 2, 4
+    total = num_time * per_shard
+    cap = sim_mod.synth_capture(
+        num_blocks=total, bursts_every=3, template=tpl, quantize=False,
+        seed=2)
+    stream = np.concatenate(
+        [cap.blocks[b, 4920:] for b in range(total)])[None, :]
+
+    m = mesh_mod.make_mesh(num_rx=1, num_time=num_time)
+    fn = sharded.make_stream_detector(full_det, 1, per_shard, m)
+    out = {k: np.asarray(v)
+           for k, v in fn(sharded.shard_stream(
+               stream.astype(np.complex64), m)).items()}
+    ref = {k: np.asarray(v) for k, v in full_det(cap.blocks).items()}
+    np.testing.assert_array_equal(out["detected"][0], ref["detected"])
+    np.testing.assert_array_equal(out["corr_sample"][0],
+                                  ref["corr_sample"])
+    # The shard-1 blocks depend on shard-0's halo; SoAs must line up.
+    soa = full_det.soa(out["block_idx"][0], out["corr_sample"][0],
+                       out["corr_offset"][0])
+    for burst in cap.bursts:
+        i = burst.block_idx
+        if i >= 0 and ref["detected"][i]:
+            assert abs(soa[i] - burst.expected_soa) < 0.05
+
+
 def test_stream_gather_replicates(detector):
     num_rx, num_time, s_loc = 2, 4, 4
     m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)
