@@ -121,6 +121,36 @@ class TestSolveGroups:
         assert results[0]["dop"] > 0
 
 
+class TestSolveBatchedGroups:
+    def test_matches_scipy_path(self):
+        rng = np.random.default_rng(1)
+        groups = []
+        for i, tx in enumerate(rng.uniform(0, 8000, size=(12, 2))):
+            # Ragged groups: drop a couple of pairs from some groups.
+            pairs = PAIRS4 if i % 3 else PAIRS4[:4]
+            groups.append(tdoa.TdoaGroup(
+                group_id=i, timestamp=float(i), tx=3,
+                tdoas=forward_tdoas(np.asarray(tx), RX4, pairs)))
+        ref = pos.solve(groups, RX4)
+        got = pos.solve_batched(groups, RX4)
+        assert len(got) == len(ref) == 12
+        np.testing.assert_allclose(got["x"], ref["x"], atol=0.5)
+        np.testing.assert_allclose(got["y"], ref["y"], atol=0.5)
+        np.testing.assert_allclose(got["dop"], ref["dop"], rtol=1e-3)
+
+    def test_underdetermined_skipped(self):
+        tx = np.array([3000.0, 3000.0])
+        groups = [
+            tdoa.TdoaGroup(0, 0.0, 3, forward_tdoas(tx, RX4, PAIRS4)),
+            tdoa.TdoaGroup(1, 1.0, 3, forward_tdoas(tx, RX4, [(0, 1)])),
+        ]
+        got = pos.solve_batched(groups, RX4)
+        assert got["group_id"].tolist() == [0]
+
+    def test_empty(self):
+        assert len(pos.solve_batched([], RX4)) == 0
+
+
 class TestBatchedSolver:
     def test_matches_scipy_solver(self):
         rng = np.random.default_rng(0)

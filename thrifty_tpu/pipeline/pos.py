@@ -117,6 +117,62 @@ def dop(pos, rx_pos, rx_pairs):
     return float(np.sqrt(np.trace(m)))
 
 
+def solve_batched(tdoa_groups, rx_pos, iters=30):
+    """Solve many TDOA groups at once with the JAX Gauss-Newton solver.
+
+    Groups are padded to a common pair count and solved as one jitted
+    program (one device dispatch for thousands of fixes); DOP and SNR
+    are filled in on host.  Underdetermined groups are skipped like in
+    :func:`solve`.  Accuracy matches the scipy path to well under the
+    measurement noise (see tests).
+    """
+    dims = len(next(iter(rx_pos.values())))
+    usable = []
+    for g in tdoa_groups:
+        uniq = np.unique(np.concatenate([g.tdoas["rx0"], g.tdoas["rx1"]]))
+        if len(uniq) >= dims + 1:
+            usable.append(g)
+        else:
+            print("Failed to estimate group #{}: underdetermined".format(
+                g.group_id), file=sys.stderr)
+    dtype = np.dtype(
+        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
+         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    if not usable:
+        return np.zeros(0, dtype=dtype)
+
+    pmax = max(len(g.tdoas) for g in usable)
+    n = len(usable)
+    tdoa_pad = np.zeros((n, pmax))
+    mask = np.zeros((n, pmax), dtype=bool)
+    rx0 = np.zeros((n, pmax, dims))
+    rx1 = np.zeros((n, pmax, dims))
+    for i, g in enumerate(usable):
+        k = len(g.tdoas)
+        tdoa_pad[i, :k] = g.tdoas["tdoa"]
+        mask[i, :k] = True
+        rx0[i, :k] = [rx_pos[int(a)] for a in g.tdoas["rx0"]]
+        rx1[i, :k] = [rx_pos[int(b)] for b in g.tdoas["rx1"]]
+        # Padded rows reuse the first pair's geometry (masked anyway,
+        # but keeps the Jacobian finite).
+        rx0[i, k:] = rx0[i, 0]
+        rx1[i, k:] = rx1[i, 0]
+
+    coords = np.array(list(rx_pos.values()), dtype=np.float64)
+    bounds = (coords.min(axis=0) - MAX_DIST, coords.max(axis=0) + MAX_DIST)
+    positions = np.asarray(solve_groups_batched(
+        tdoa_pad, mask, rx0, rx1, bounds, iters=iters))
+
+    results = []
+    for i, g in enumerate(usable):
+        pairs = list(zip(g.tdoas["rx0"], g.tdoas["rx1"]))
+        results.append(
+            (g.group_id, g.timestamp, g.tx,
+             dop(positions[i], rx_pos, pairs),
+             float(np.mean(g.tdoas["snr"]))) + tuple(positions[i]))
+    return np.array(results, dtype=dtype)
+
+
 def solve(tdoa_groups, rx_pos, weighted=False):
     """Solve every TDOA group; returns a structured array of positions."""
     num_rx = len(rx_pos)
@@ -239,12 +295,18 @@ def _main(argv=None):
                         type=str, default="pos-rx.cfg")
     parser.add_argument("--weighted", action="store_true",
                         help="weight residuals by sqrt(SNR)")
+    parser.add_argument("--batched", action="store_true",
+                        help="solve all groups in one batched device "
+                             "program (high fix rates)")
     args = parser.parse_args(argv)
 
     groups = tdoa_mod.load_tdoa_groups(
         sys.stdin if args.tdoa == "-" else args.tdoa)
     rx_pos = tdoa_mod.load_pos_config(args.rx_pos)
-    results = solve(groups, rx_pos, weighted=args.weighted)
+    if args.batched:
+        results = solve_batched(groups, rx_pos)
+    else:
+        results = solve(groups, rx_pos, weighted=args.weighted)
     print("Estimated {} position(s)".format(len(results)))
     if args.output == "-":
         save_positions(sys.stdout, results)
