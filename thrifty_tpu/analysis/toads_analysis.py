@@ -69,12 +69,20 @@ def plot_columns(detections, columns, output=None):
     fig, axes = plt.subplots(
         len(columns), 1, figsize=(10, 3 * len(columns)), squeeze=False)
     for ax, col in zip(axes[:, 0], columns):
+        # 'hist:<col>' draws per-(RX, TX) histograms instead of a
+        # time series (the reference's histogram matrix views).
+        as_hist = col.startswith("hist:")
+        base = col[5:] if as_hist else col
         for (rxid, txid), sub in split_rxtx(detections).items():
-            y = derived[col](sub) if col in derived else sub[col]
-            ax.plot(sub["timestamp"], y, marker=".", linestyle="none",
-                    label="rx{} tx{}".format(rxid, txid))
-        ax.set_xlabel("timestamp")
-        ax.set_ylabel(col)
+            y = derived[base](sub) if base in derived else sub[base]
+            label = "rx{} tx{}".format(rxid, txid)
+            if as_hist:
+                ax.hist(y, 30, alpha=0.5, label=label)
+            else:
+                ax.plot(sub["timestamp"], y, marker=".",
+                        linestyle="none", label=label)
+        ax.set_xlabel(base if as_hist else "timestamp")
+        ax.set_ylabel("count" if as_hist else base)
         ax.legend(fontsize=6)
         ax.grid(True)
     fig.tight_layout()
