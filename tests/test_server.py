@@ -77,6 +77,44 @@ class TestPositioningServer:
         assert latest_fix <= now - 1.0 + 0.2
 
 
+class TestSoak:
+    def test_hour_long_incremental_run(self):
+        """An hour of traffic in 30 s steps: every transmission fixed
+        exactly once, bounded memory, steady accuracy."""
+        duration = 3600.0
+        schedule = [(9, t) for t in np.arange(0.5, duration, 1.0)]
+        mobile_times = np.arange(5.0, duration - 5, 7.0)
+        schedule += [(3, t) for t in mobile_times]
+        det = sim.synth_network(
+            RX_POS, {**BEACON_POS, **MOBILE_POS}, schedule, FS,
+            clock_offsets={1: 123.0, 2: -77.0},
+            clock_drifts={1: 2e-6, 2: -1e-6},
+            soa_noise=0.02)
+
+        srv = server_mod.PositioningServer(
+            rx_pos=RX_POS, beacon_pos=BEACON_POS, freqmap=FREQMAP,
+            match_window=0.2, tdoa_est_window=8.0, window_s=30.0,
+            settle_s=1.0)
+        fixes = []
+        for t0 in np.arange(0.0, duration + 10, 10.0):
+            chunk = det[(det["timestamp"] >= t0)
+                        & (det["timestamp"] < t0 + 10.0)]
+            srv.feed(chunk)
+            fixes.append(srv.step(now=min(t0 + 10.0, duration)))
+        all_fixes = np.concatenate(fixes)
+
+        # Exactly one fix per transmission.
+        assert len(all_fixes) == len(mobile_times)
+        assert len(np.unique(np.round(all_fixes["timestamp"], 1))) \
+            == len(all_fixes)
+        errs = np.hypot(all_fixes["x"] - MOBILE_POS[3][0],
+                        all_fixes["y"] - MOBILE_POS[3][1])
+        assert np.median(errs) < 15.0
+        # Sliding window must have bounded the internal state.
+        assert len(srv._detections) < 200
+        assert len(srv._solved) < 50
+
+
 class TestToadTailer:
     def test_partial_lines_not_consumed(self, tmp_path):
         from thrifty_tpu.io import toad as toad_mod

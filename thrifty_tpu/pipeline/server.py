@@ -40,6 +40,10 @@ class PositioningServer:
     settle_s : float
         A match group is only solved once it is at least this old
         (receivers may still deliver detections for it).
+
+    step() must be called at intervals shorter than
+    ``window_s - settle_s``: a settle-deferred group needs at least one
+    later step before it scrolls out of the sliding window.
     """
 
     def __init__(self, rx_pos, beacon_pos, freqmap=None,
@@ -179,6 +183,11 @@ def _main(argv=None):
     parser.add_argument("--track", type=str, default=None, metavar="FILE",
                         help="also Kalman-track fixes into FILE")
     args = parser.parse_args(argv)
+
+    if args.interval >= args.history - 1.0:
+        parser.error(
+            "--interval must be well below --history (a settle-deferred "
+            "group needs a later poll before it leaves the window)")
 
     server = PositioningServer(
         rx_pos=tdoa_mod.load_pos_config(args.rx_pos),
