@@ -125,7 +125,22 @@ def iter_card_batches(stream, batch_size):
 
 
 def _decode_batch(ts_buf, idx_buf, enc_buf):
-    """Decode one batch worth of base64 payloads, skipping junk rows."""
+    """Decode one batch worth of base64 payloads, skipping junk rows.
+
+    Uses the native multithreaded decoder when available (the streaming
+    detect path is host-decode bound), falling back to per-row Python.
+    """
+    try:
+        from thrifty_tpu.native import b64decode_batch_tolerant
+        raw, keep = b64decode_batch_tolerant(enc_buf)
+        return (
+            np.asarray(ts_buf, dtype=np.float64)[keep],
+            np.asarray(idx_buf, dtype=np.int64)[keep],
+            raw,
+        )
+    except ImportError:
+        pass
+
     decoded, ts_ok, idx_ok = [], [], []
     for ts, ix, e in zip(ts_buf, idx_buf, enc_buf):
         try:

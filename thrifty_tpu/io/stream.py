@@ -24,30 +24,44 @@ def prefetch_iter(iterator, depth=2):
 
     Decouples host-side batch production (parse/decode) from the
     consumer (device dispatch), so the two overlap.  Exceptions from
-    the producer re-raise at the consumer.
+    the producer re-raise at the consumer; abandoning the generator
+    (close/GC) stops the producer thread instead of leaving it blocked
+    on the full queue.
     """
     import queue
 
     q = queue.Queue(maxsize=depth)
     DONE, ERROR = object(), object()
+    stop = threading.Event()
 
     def run():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(DONE)
         except BaseException as e:  # noqa: BLE001 -- forwarded
             q.put((ERROR, e))
 
     thread = threading.Thread(target=run, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERROR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is ERROR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
 
 
 class StreamPump:

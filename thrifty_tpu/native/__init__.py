@@ -108,6 +108,38 @@ def b64decode_batch(encoded_strings):
     return out
 
 
+def b64decode_batch_tolerant(encoded_strings):
+    """Decode base64 strings -> ([n_ok, k] uint8, keep mask [n]).
+
+    Junk rows (invalid characters or a decoded size different from the
+    probed block size) are dropped via the mask instead of failing.
+    """
+    n = len(encoded_strings)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.uint8), np.zeros(0, dtype=bool)
+    joined = "\n".join(encoded_strings).encode("ascii")
+    offsets = np.zeros(n, dtype=np.int64)
+    lens = np.asarray([len(s) for s in encoded_strings], dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=offsets[1:])
+    probe = np.zeros((int(lens.max()) // 4 + 2) * 3, dtype=np.uint8)
+    got = -1
+    for r in range(min(n, 8)):
+        got = _lib.ttpu_b64_decode(
+            encoded_strings[r].encode("ascii"), int(lens[r]),
+            probe.ctypes.data, probe.size)
+        if got > 0:
+            break
+    if got <= 0:
+        return np.zeros((0, 0), dtype=np.uint8), np.zeros(n, dtype=bool)
+    out = np.empty((n, got), dtype=np.uint8)
+    status = np.empty(n, dtype=np.uint8)
+    _lib.ttpu_b64_decode_batch(
+        joined, offsets.ctypes.data, lens.ctypes.data, n,
+        out.ctypes.data, got, status.ctypes.data, num_threads())
+    keep = status == 0
+    return out[keep], keep
+
+
 def b64encode(data: np.ndarray) -> str:
     data = np.ascontiguousarray(data, dtype=np.uint8)
     out = ctypes.create_string_buffer((data.size + 2) // 3 * 4 + 1)
@@ -139,9 +171,14 @@ def parse_card_bytes(text: bytes):
         return ts, idx, np.zeros((0, 0), dtype=np.uint8)
     if not np.all(lens == lens[0]):
         # Junk rows that happen to look like base64 (e.g. a bare word)
-        # have the wrong payload length; keep the modal length only.
+        # have the wrong payload length; keep the modal length.  A large
+        # non-modal fraction is a genuinely mixed-size capture, which
+        # must fail loudly (matching the documented read_card contract
+        # and the pure-Python path).
         vals, counts = np.unique(lens, return_counts=True)
         keep = lens == vals[np.argmax(counts)]
+        if np.sum(~keep) > max(2, 0.1 * n):
+            raise ValueError("inconsistent block sizes in .card file")
         ts, idx, offs, lens = ts[keep], idx[keep], offs[keep], lens[keep]
         n = len(ts)
     # Probe the decoded block size from the first row that decodes

@@ -64,8 +64,10 @@ int ttpu_b64_decode(const char* in, int64_t in_len, uint8_t* out,
     b64_init();
     int64_t o = 0;
     int64_t i = 0;
-    // Fast path: whole 4-char groups with >=4 bytes of output slack
-    // (the 32-bit store writes one scratch byte past the 3 real ones).
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+    // Fast path (little-endian only: the 32-bit store's byte order is
+    // part of the table encoding): whole 4-char groups with >=4 bytes
+    // of output slack (one scratch byte past the 3 real ones).
     while (i + 4 <= in_len && o + 4 <= out_cap) {
         uint32_t v = B64_D0[(uint8_t)in[i]] | B64_D1[(uint8_t)in[i + 1]]
                    | B64_D2[(uint8_t)in[i + 2]]
@@ -75,6 +77,7 @@ int ttpu_b64_decode(const char* in, int64_t in_len, uint8_t* out,
         o += 3;
         i += 4;
     }
+#endif
     // Slow path: remaining chars, padding, validation.
     uint32_t acc = 0;
     int bits = 0;

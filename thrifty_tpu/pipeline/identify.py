@@ -72,19 +72,23 @@ def auto_classify(detections):
     return txids
 
 
+_warned_unmapped_rx = set()
+
+
 def classify_by_freqmap(detections, freqmap):
     """Assign txids from a frequency-map {rxid: {txid: (start, stop)}}."""
-    import sys
-
     freq = detections["carrier_bin"] + detections["carrier_offset"]
     txids = np.full(len(detections), UNIDENTIFIED, dtype=np.int32)
-    unmapped = set(np.unique(detections["rxid"])) - set(freqmap)
+    unmapped = set(int(r) for r in np.unique(detections["rxid"])) \
+        - set(freqmap) - _warned_unmapped_rx
     if unmapped:
         # A receiver without an '@rxid: offset' line would silently lose
-        # every detection to the unidentified filter.
+        # every detection to the unidentified filter.  Warn once per
+        # receiver (the live server calls this every poll).
+        _warned_unmapped_rx.update(unmapped)
         print("warning: no freq-map entry for receiver(s) {}; their "
               "detections will be dropped as unidentified".format(
-                  sorted(int(r) for r in unmapped)), file=sys.stderr)
+                  sorted(unmapped)), file=sys.stderr)
     for rxid, ranges in freqmap.items():
         rx_sel = detections["rxid"] == rxid
         for txid, (start, stop) in ranges.items():

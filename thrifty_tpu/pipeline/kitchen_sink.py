@@ -47,6 +47,16 @@ def detect_all(cards, detector: BatchDetector, batch_size: int = 256,
     ``txid_from_template`` maps the winning bank template to the txid.
     """
     parts = []
+
+    def drain(entry):
+        ts_c, idx_c, n, dev_out, rx = entry
+        out = {k: np.asarray(v)[:n] for k, v in dev_out.items()}
+        soa = detector.soa(idx_c, out["corr_sample"], out["corr_offset"])
+        return toad.from_detector_output(
+            ts_c, idx_c, soa, out, rxid=rx,
+            txid_from_template=txid_from_template)
+
+    pending = None
     for rxid, capture in cards.items():
         if isinstance(capture, str):
             ts, idx, blocks = card.read_card_blocks(capture)
@@ -54,7 +64,8 @@ def detect_all(cards, detector: BatchDetector, batch_size: int = 256,
             ts, idx, blocks = capture
         blocks = np.asarray(blocks, dtype=np.complex64)
         # Feed complex blocks directly (no lossy 8-bit round trip) in
-        # static-shape batches, padding the tail with silence.
+        # static-shape batches, padding the tail with silence; one batch
+        # stays in flight so host prep overlaps device compute.
         for i in range(0, len(ts), batch_size):
             chunk = blocks[i:i + batch_size]
             n = len(chunk)
@@ -62,13 +73,12 @@ def detect_all(cards, detector: BatchDetector, batch_size: int = 256,
                 chunk = np.concatenate([
                     chunk, np.zeros((batch_size - n, blocks.shape[1]),
                                     np.complex64)])
-            out = {k: np.asarray(v)[:n]
-                   for k, v in detector(chunk).items()}
-            soa = detector.soa(idx[i:i + n], out["corr_sample"],
-                               out["corr_offset"])
-            parts.append(toad.from_detector_output(
-                ts[i:i + n], idx[i:i + n], soa, out, rxid=rxid,
-                txid_from_template=txid_from_template))
+            dev_out = detector(chunk)  # async dispatch
+            if pending is not None:
+                parts.append(drain(pending))
+            pending = (ts[i:i + n], idx[i:i + n], n, dev_out, rxid)
+    if pending is not None:
+        parts.append(drain(pending))
     if not parts:
         return toad.empty(0)
     return np.concatenate(parts)

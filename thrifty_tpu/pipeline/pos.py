@@ -304,6 +304,8 @@ def _main(argv=None):
         sys.stdin if args.tdoa == "-" else args.tdoa)
     rx_pos = tdoa_mod.load_pos_config(args.rx_pos)
     if args.batched:
+        if args.weighted:
+            parser.error("--weighted is not supported with --batched yet")
         results = solve_batched(groups, rx_pos)
     else:
         results = solve(groups, rx_pos, weighted=args.weighted)

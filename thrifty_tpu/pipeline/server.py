@@ -60,7 +60,11 @@ class PositioningServer:
         self.settle_s = settle_s
         self.keep_txid = keep_txid
         self._detections = toad.empty(0)
-        self._solved = set()  # (txid, quantized group timestamp)
+        # Solved transmissions per txid as sorted timestamp lists: a
+        # group is a duplicate iff a solved fix for its transmitter lies
+        # within match_window (exact, no quantization-boundary artifacts
+        # and no suppression of distinct transmissions).
+        self._solved = {}  # txid -> sorted [timestamps]
 
     def feed(self, detections):
         """Add new detection records (any order, any receiver)."""
@@ -68,8 +72,19 @@ class PositioningServer:
             self._detections = np.concatenate(
                 [self._detections, detections])
 
-    def _group_key(self, timestamp, tx):
-        return (int(tx), int(round(timestamp / self.match_window)))
+    def _is_solved(self, timestamp, tx):
+        times = self._solved.get(int(tx))
+        if not times:
+            return False
+        import bisect
+        i = bisect.bisect_left(times, timestamp - self.match_window)
+        return i < len(times) and \
+            times[i] <= timestamp + self.match_window
+
+    def _mark_solved(self, timestamp, tx):
+        import bisect
+        times = self._solved.setdefault(int(tx), [])
+        bisect.insort(times, float(timestamp))
 
     def step(self, now=None):
         """Process the current window; return newly solved fixes."""
@@ -92,32 +107,32 @@ class PositioningServer:
             integrated, matches, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
 
-        # Solve only settled, not-yet-reported groups.  The quantized
-        # key is checked with +-1 tolerance: a late detection that
-        # becomes the new group seed can shift the timestamp across a
-        # quantization boundary, which must not produce a duplicate fix.
+        # Solve only settled, not-yet-reported groups: a late detection
+        # can move the group's seed timestamp by up to match_window, so
+        # the duplicate check is a +-match_window interval, not a key.
         fresh = []
         for g in groups:
-            tx, q = self._group_key(g.timestamp, g.tx)
-            if any((tx, q + d) in self._solved for d in (-1, 0, 1)):
+            if self._is_solved(g.timestamp, g.tx):
                 continue
             if g.timestamp > now - self.settle_s:
                 continue  # may still gain detections
-            fresh.append(((tx, q), g))
-        results = pos_mod.solve([g for _, g in fresh], self.rx_pos)
+            fresh.append(g)
+        results = pos_mod.solve(fresh, self.rx_pos)
         # Mark solved only what actually produced a fix: a group that
         # failed (e.g. underdetermined until a lagging receiver's
         # detections arrive) is retried on later steps.
         solved_ids = set(int(i) for i in results["group_id"]) \
             if len(results) else set()
-        for key, g in fresh:
+        for g in fresh:
             if g.group_id in solved_ids:
-                self._solved.add(key)
-        # Prune keys that scrolled out of the sliding window (a
+                self._mark_solved(g.timestamp, g.tx)
+        # Prune entries that scrolled out of the sliding window (a
         # long-running server would otherwise leak them forever).
-        horizon = (now - self.window_s - 10 * self.match_window) \
-            / self.match_window
-        self._solved = {k for k in self._solved if k[1] >= horizon}
+        horizon = now - self.window_s - 10 * self.match_window
+        self._solved = {
+            tx: [t for t in times if t >= horizon]
+            for tx, times in self._solved.items()
+        }
         return results
 
 
@@ -131,17 +146,22 @@ class ToadTailer:
     def __init__(self, paths):
         self._paths = list(paths)
         self._offsets = {p: 0 for p in self._paths}
+        self._inodes = {}
 
     def poll(self):
+        import os
+
         parts = []
         for path in self._paths:
             try:
                 with open(path, "rb") as f:
-                    f.seek(0, 2)
-                    size = f.tell()
-                    if size < self._offsets[path]:
-                        # File truncated/rotated: start over from the top.
+                    st = os.fstat(f.fileno())
+                    if (st.st_ino != self._inodes.get(path, st.st_ino)
+                            or st.st_size < self._offsets[path]):
+                        # Truncated or rotated (new inode, or shrunk):
+                        # start over from the top of the new file.
                         self._offsets[path] = 0
+                    self._inodes[path] = st.st_ino
                     f.seek(self._offsets[path])
                     data = f.read()
             except FileNotFoundError:

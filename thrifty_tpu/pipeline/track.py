@@ -71,25 +71,34 @@ class KalmanTracker:
         return self.state.copy()
 
 
+def update_states(trackers, fixes, accel_std=1.0, meas_std=5.0):
+    """Fold fixes into per-transmitter trackers, in timestamp order.
+
+    ``trackers`` is a mutable {txid: KalmanTracker}.  Yields
+    (timestamp, tx, state[4]) -- the shared core of the batch CLI and
+    the live server.
+    """
+    order = np.argsort(fixes["timestamp"], kind="stable")
+    for row in fixes[order]:
+        tx = int(row["tx"])
+        tracker = trackers.setdefault(
+            tx, KalmanTracker(accel_std, meas_std))
+        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
+        state = tracker.update(float(row["timestamp"]),
+                               [row["x"], row["y"]], dop)
+        yield float(row["timestamp"]), tx, state
+
+
 def track_positions(results, accel_std=1.0, meas_std=5.0):
     """Run per-transmitter trackers over a position result array.
 
     ``results`` is the structured array from pos.solve (2-D fixes).
     Returns a structured array with smoothed positions + velocities.
     """
-    trackers = {}
-    rows = []
-    order = np.argsort(results["timestamp"], kind="stable")
-    for row in results[order]:
-        tx = int(row["tx"])
-        if tx not in trackers:
-            trackers[tx] = KalmanTracker(accel_std, meas_std)
-        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
-        state = trackers[tx].update(
-            float(row["timestamp"]), [row["x"], row["y"]], dop)
-        rows.append((float(row["timestamp"]), tx, state[0], state[1],
-                     state[2], state[3], float(np.hypot(state[2],
-                                                        state[3]))))
+    rows = [
+        (ts, tx, s[0], s[1], s[2], s[3], float(np.hypot(s[2], s[3])))
+        for ts, tx, s in update_states({}, results, accel_std, meas_std)
+    ]
     return np.array(rows, dtype=[
         ("timestamp", "f8"), ("tx", "i4"), ("x", "f8"), ("y", "f8"),
         ("vx", "f8"), ("vy", "f8"), ("speed", "f8")])
@@ -103,21 +112,10 @@ def format_track_row(timestamp, tx, state):
 
 
 def live_update(trackers, fixes, accel_std=1.0, meas_std=5.0):
-    """Fold a batch of position fixes into per-transmitter trackers.
-
-    ``trackers`` is a mutable {txid: KalmanTracker} dict; fixes are
-    processed in timestamp order.  Yields formatted .track lines --
-    shared by the batch CLI and the live server.
-    """
-    order = np.argsort(fixes["timestamp"], kind="stable")
-    for row in fixes[order]:
-        tx = int(row["tx"])
-        tracker = trackers.setdefault(tx, KalmanTracker(accel_std,
-                                                        meas_std))
-        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
-        state = tracker.update(float(row["timestamp"]),
-                               [row["x"], row["y"]], dop)
-        yield format_track_row(row["timestamp"], tx, state)
+    """update_states, yielding formatted .track lines (live server)."""
+    for ts, tx, state in update_states(trackers, fixes, accel_std,
+                                       meas_std):
+        yield format_track_row(ts, tx, state)
 
 
 def save_tracks(stream_or_path, tracks):
@@ -125,9 +123,9 @@ def save_tracks(stream_or_path, tracks):
         with open(stream_or_path, "w") as f:
             return save_tracks(f, tracks)
     for row in tracks:
+        state = (row["x"], row["y"], row["vx"], row["vy"])
         stream_or_path.write(
-            "{:.6f} {} {:.3f} {:.3f} {:.3f} {:.3f} {:.3f}\n".format(
-                *[row[f] for f in TRACK_FIELDS]))
+            format_track_row(row["timestamp"], row["tx"], state) + "\n")
 
 
 def _main(argv=None):
