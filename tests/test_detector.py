@@ -158,6 +158,33 @@ def test_template_bank(capture):
         assert int(out["template_idx"][i]) == 0
 
 
+@pytest.mark.parametrize("seed,amplitude,noise", [
+    (101, 0.5, 0.05),
+    (202, 0.15, 0.08),
+    (303, 0.8, 0.02),
+])
+def test_oracle_agreement_across_captures(seed, amplitude, noise):
+    """Property: on arbitrary captures, the f32 batch path agrees with
+    the float64 oracle on verdicts and sub-sample SoAs."""
+    from thrifty_tpu.oracle.numpy_ref import OracleDetector
+
+    tpl = sim.make_template()
+    cap = sim.synth_capture(
+        num_blocks=12, bursts_every=3, template=tpl,
+        carrier_bin=55.4, amplitude=amplitude, noise_std=noise,
+        seed=seed)
+    det = BatchDetector(tpl, DetectorConfig(carrier_window=(7, 110)))
+    out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    oracle = OracleDetector(tpl, carrier_window=(7, 110))
+    for i in range(len(cap.blocks)):
+        ref = oracle.detect_block(cap.blocks[i])
+        assert bool(out["detected"][i]) == ref.detected, (seed, i)
+        if ref.detected:
+            assert int(out["corr_sample"][i]) == ref.corr_sample
+            ours = out["corr_sample"][i] + out["corr_offset"][i]
+            assert abs(ours - (ref.corr_sample + ref.corr_offset)) < 0.05
+
+
 def test_near_threshold_oracle_agreement():
     """At amplitudes near the 15*snr threshold, the f32 path may flip a
     verdict the f64 oracle decides the other way -- but only within a
