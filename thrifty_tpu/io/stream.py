@@ -34,20 +34,23 @@ def prefetch_iter(iterator, depth=2):
     DONE, ERROR = object(), object()
     stop = threading.Event()
 
+    def put_or_stop(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run():
         try:
             for item in iterator:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(DONE)
+            put_or_stop(DONE)
         except BaseException as e:  # noqa: BLE001 -- forwarded
-            q.put((ERROR, e))
+            put_or_stop((ERROR, e))
 
     thread = threading.Thread(target=run, daemon=True)
     thread.start()

@@ -123,7 +123,7 @@ def b64decode_batch_tolerant(encoded_strings):
     np.cumsum(lens[:-1] + 1, out=offsets[1:])
     probe = np.zeros((int(lens.max()) // 4 + 2) * 3, dtype=np.uint8)
     got = -1
-    for r in range(min(n, 8)):
+    for r in range(n):  # first row that decodes cleanly sets the size
         got = _lib.ttpu_b64_decode(
             encoded_strings[r].encode("ascii"), int(lens[r]),
             probe.ctypes.data, probe.size)
@@ -182,10 +182,10 @@ def parse_card_bytes(text: bytes):
         ts, idx, offs, lens = ts[keep], idx[keep], offs[keep], lens[keep]
         n = len(ts)
     # Probe the decoded block size from the first row that decodes
-    # cleanly (the very first could still be a junk line).
+    # cleanly (early rows could still be junk lines).
     probe = np.zeros((int(lens[0]) // 4 + 2) * 3, dtype=np.uint8)
     got = -1
-    for r in range(min(n, 8)):
+    for r in range(n):
         got = _lib.ttpu_b64_decode(
             text[offs[r]:offs[r] + lens[r]], int(lens[r]),
             probe.ctypes.data, probe.size)
