@@ -127,6 +127,20 @@ def test_full_cli_pipeline(detected):
         assert np.linalg.norm(est - MOBILE_POS[3]) < 60.0
 
 
+def test_summary_line_format(workdir):
+    """The per-block summary matches the reference's layout
+    (thrifty/detect.py:134-156): carrier freq/bin/offset + SNR dB, and
+    a corr section when the carrier fired."""
+    import re
+    res = run_cli(["detect", "rx0.card"], cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    hit = [l for l in res.stdout.splitlines() if "corr: yes" in l][0]
+    assert re.search(
+        r"blk=\d+; carrier: yes @ \s*-?[\d.]+ kHz / \s*\d+:[+-][\d.]+, "
+        r"SNR = \s*\d+ / \s*\d+ = \s*[\d.]+ dB; "
+        r"corr: yes @ \s*\d+[+-][\d.]+, SNR", hit), hit
+
+
 def test_template_generate_cli(workdir):
     res = run_cli(["template_generate", "11", "0", "-o", "tpl_gen.npy"],
                   cwd=str(workdir))
