@@ -31,6 +31,24 @@ def test_build_args_translation():
     assert "-o rx.card" in joined
 
 
+def test_capture_cli_missing_binary(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import sys; from thrifty_tpu.cli import main; "
+            "sys.exit(main(['capture', '--capture-cmd', "
+            "'definitely-not-a-binary-xyz', '-o', 'out.card']))")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         cwd=str(tmp_path), capture_output=True,
+                         text=True, timeout=120)
+    assert res.returncode == 1
+    assert "not found" in res.stderr
+
+
 def test_detect_loads_tpl_template(tmp_path):
     from thrifty_tpu.dsp import template as template_mod
     from thrifty_tpu.io import tpl
