@@ -114,6 +114,59 @@ def test_integer_sync_mode(capture):
         assert out["detected"][burst.block_idx]
 
 
+def test_integer_mode_matches_fastdet_oracle(capture):
+    """Integer sync mode must implement fastdet's exact numerics:
+    integer FFT roll, Gaussian corr offset clipped to +-0.5, parabolic
+    carrier offset clipped to +-0.5 (fastdet/corr_detector.cpp:
+    88-116,157-165,177-194), validated against a float64 oracle of
+    those equations."""
+    from thrifty_tpu.oracle.numpy_ref import FastdetOracleDetector
+
+    det = BatchDetector(
+        capture.template,
+        DetectorConfig(carrier_window=(7, 110), sync_mode="integer"))
+    assert det.corr_clip == 0.5
+    assert det.carrier_interp_resolved == "parabolic"
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    oracle = FastdetOracleDetector(capture.template, carrier_window=(7, 110))
+
+    checked = 0
+    for i, block in enumerate(capture.blocks):
+        ref = oracle.detect_block(block)
+        assert bool(out["carrier_detect"][i]) == ref.carrier_detect
+        if not ref.carrier_detect:
+            continue
+        assert int(out["carrier_bin"][i]) == ref.carrier_bin
+        assert float(out["carrier_offset"][i]) == pytest.approx(
+            ref.carrier_offset, abs=5e-3)
+        assert bool(out["detected"][i]) == ref.detected
+        if not ref.detected:
+            continue
+        checked += 1
+        assert int(out["corr_sample"][i]) == ref.corr_sample
+        assert float(out["corr_offset"][i]) == pytest.approx(
+            ref.corr_offset, abs=2e-2)
+        assert float(out["corr_energy"][i]) == pytest.approx(
+            ref.corr_energy, rel=1e-3)
+        assert float(out["corr_noise"][i]) == pytest.approx(
+            ref.corr_noise, rel=1e-2)
+    assert checked >= len(capture.bursts)
+
+
+def test_integer_mode_offsets_clip_at_half():
+    """Integer mode's residual fractional carrier error pushes corr
+    offsets toward the edges; they must never exceed fastdet's 0.5."""
+    tpl = sim.make_template()
+    cap = sim.synth_capture(
+        num_blocks=16, bursts_every=2, template=tpl,
+        carrier_bin=40.49, amplitude=0.5, noise_std=0.05, seed=7)
+    det = BatchDetector(
+        tpl, DetectorConfig(carrier_window=(7, 110), sync_mode="integer"))
+    out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    assert np.all(np.abs(out["corr_offset"]) <= 0.5 + 1e-6)
+    assert np.all(np.abs(out["carrier_offset"]) <= 0.5 + 1e-6)
+
+
 def test_preshift_sync_mode(capture, detector, output):
     """Preshift template bank: close to fractional-shift SoAs, no 2nd FFT."""
     det = BatchDetector(

@@ -16,6 +16,7 @@ windows, same clipping); see the per-stage modules for file:line cites.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
@@ -49,9 +50,14 @@ class DetectorConfig:
     # the reference's experimental xcorr_interpolators as first-class
     # batched options.
     corr_interp: str = "gaussian"
-    # Sub-bin carrier interpolator: 'dirichlet' (default, curve-fit
-    # semantics), 'parabolic', or 'polyfit'.
-    carrier_interp: str = "dirichlet"
+    # Sub-bin carrier interpolator: 'auto' (default) resolves to
+    # 'parabolic' in integer sync mode (fastdet computes the carrier
+    # offset with 3-point parabolic interpolation clipped to +-0.5,
+    # fastdet/corr_detector.cpp:88-101,190-194) and 'dirichlet'
+    # elsewhere (the Python reference's curve-fit,
+    # thrifty/carrier_sync.py:150-196).  Explicit values: 'dirichlet',
+    # 'parabolic', 'polyfit'.
+    carrier_interp: str = "auto"
     # Pallas fused peak/energy kernel ('on'/'off'/'auto').  Measured on
     # TPU v5e, XLA's own fusion of the |x|^2/argmax/sum reductions beats
     # the hand-written kernel (the separate real/imag planes cost an
@@ -125,35 +131,51 @@ class BatchDetector:
                 for s in shifts
             ]
             self._preshift_bank = np.stack(bank_rows).astype(np.complex64)
-        if config.carrier_interp == "dirichlet":
+        # Integer mode is fastdet: sub-sample offsets clip to +-0.5 and
+        # the carrier offset defaults to parabolic interpolation
+        # (fastdet/corr_detector.cpp:88-116,190-194); the other modes
+        # follow the Python reference (clip 0.6, Dirichlet fit --
+        # thrifty/soa_estimator.py:16-17, carrier_sync.py:103-118).
+        fastdet_mode = config.sync_mode == "integer"
+        self.corr_clip = 0.5 if fastdet_mode else 0.6
+        carrier_interp = config.carrier_interp
+        if carrier_interp == "auto":
+            carrier_interp = "parabolic" if fastdet_mode else "dirichlet"
+        self.carrier_interp_resolved = carrier_interp
+        if carrier_interp == "dirichlet":
             self._interp = dirichlet.make_dirichlet_interpolator(
                 block_len=n,
                 carrier_len=self.template_len,
                 width=config.interp_width,
                 iters=config.gn_iters,
             )
-        elif config.carrier_interp == "parabolic":
+        elif carrier_interp == "parabolic":
+            carrier_clip = 0.5 if fastdet_mode else None
             self._interp = (
                 lambda mag, idx, values=None:
-                dirichlet.parabolic_interpolate(mag, idx))
-        elif config.carrier_interp == "polyfit":
+                dirichlet.parabolic_interpolate(mag, idx, clip=carrier_clip))
+        elif carrier_interp == "polyfit":
             poly = dirichlet.make_polyfit_interpolator(config.interp_width)
             self._interp = lambda mag, idx, values=None: poly(mag, idx)
         else:
             raise ValueError(
                 "unknown carrier_interp: " + config.carrier_interp)
 
+        clip = self.corr_clip
         if config.corr_interp == "gaussian":
-            self._corr_interp = xcorr.gaussian_interpolate
+            self._corr_interp = functools.partial(
+                xcorr.gaussian_interpolate, clip=clip)
         elif config.corr_interp == "parabolic":
-            self._corr_interp = xcorr.parabolic_interpolate
+            self._corr_interp = functools.partial(
+                xcorr.parabolic_interpolate, clip=clip)
         elif config.corr_interp == "cosine":
-            self._corr_interp = xcorr.cosine_interpolate
+            self._corr_interp = functools.partial(
+                xcorr.cosine_interpolate, clip=clip)
         elif config.corr_interp == "autocorr":
             if self.bank:
                 raise ValueError(
                     "autocorr interpolation does not support banks yet")
-            ac = xcorr.make_autocorr_interpolator(tmpl2d[0])
+            ac = xcorr.make_autocorr_interpolator(tmpl2d[0], clip=clip)
             self._corr_interp = lambda mag, idx, **kw: ac(mag, idx)
         else:
             raise ValueError("unknown corr_interp: " + config.corr_interp)
@@ -173,7 +195,7 @@ class BatchDetector:
             # The mag-free pallas path gathers tiny neighborhoods and
             # needs interpolators that accept precomputed values.
             and cfg.corr_interp == "gaussian"
-            and cfg.carrier_interp == "dirichlet"
+            and self.carrier_interp_resolved == "dirichlet"
         )
         if cfg.use_pallas == "on":
             if not ok:
@@ -314,7 +336,8 @@ class BatchDetector:
         neigh3 = jnp.abs(jnp.take_along_axis(
             flat, (p_idx[:, None] + jnp.asarray([-1, 0, 1])) % n, axis=-1))
         p_off = xcorr.gaussian_interpolate(
-            None, p_idx, values=neigh3, length=self.corr_len)
+            None, p_idx, values=neigh3, length=self.corr_len,
+            clip=self.corr_clip)
         if self.bank:
             shape = (blocks.shape[0], self.num_templates)
             p_idx = p_idx.reshape(shape)

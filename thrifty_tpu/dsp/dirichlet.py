@@ -140,18 +140,23 @@ def make_dirichlet_interpolator(
     return interpolate
 
 
-def parabolic_interpolate(mag, peak_idx):
+def parabolic_interpolate(mag, peak_idx, clip=None):
     """Batched 3-point parabolic sub-bin interpolation.
 
     offset = (c - a) / (4b - 2a - 2c) on neighbours (a, b, c)
-    (reference thrifty/carrier_sync.py:199-204).
+    (reference thrifty/carrier_sync.py:199-204).  ``clip`` bounds the
+    offset to +-clip; fastdet clips its carrier offset to +-0.5
+    (fastdet/corr_detector.cpp:88-101), the Python reference does not.
     """
     offs = jnp.asarray([-1, 0, 1])
     y = _gather_neighborhood(mag, peak_idx, offs)
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     den = 4.0 * b - 2.0 * a - 2.0 * c
     den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
-    return (c - a) / den
+    offset = (c - a) / den
+    if clip is not None:
+        offset = jnp.clip(offset, -clip, clip)
+    return offset
 
 
 def make_polyfit_interpolator(width: int):

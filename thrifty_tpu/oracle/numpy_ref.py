@@ -170,3 +170,61 @@ class OracleDetector:
 
     def soa(self, block_idx, corr_sample, corr_offset):
         return self.new_len * block_idx + corr_sample + corr_offset
+
+
+class FastdetOracleDetector(OracleDetector):
+    """Float64 oracle for fastdet's (C++) detection semantics.
+
+    Differences from the Python-reference path implemented by
+    :class:`OracleDetector` (fastdet/corr_detector.cpp):
+
+    * frequency sync is an *integer* roll of the FFT by -argmax
+      (corr_detector.cpp:177-182) -- no fractional phase-ramp shift;
+    * the correlation sub-sample offset uses Gaussian interpolation on
+      log magnitudes clipped to +-0.5, not +-0.6
+      (corr_detector.cpp:103-116);
+    * the carrier sub-bin offset uses 3-point parabolic interpolation
+      on magnitudes, clipped to +-0.5 (corr_detector.cpp:88-101,
+      190-194), not the Dirichlet curve fit.
+    """
+
+    def carrier_interpolate(self, fft_mag, peak_idx):
+        n = len(fft_mag)
+        a = fft_mag[(peak_idx - 1) % n]
+        b = fft_mag[peak_idx]
+        c = fft_mag[(peak_idx + 1) % n]
+        offset = (c - a) / (4 * b - 2 * a - 2 * c)
+        return float(np.clip(offset, -0.5, 0.5))
+
+    def soa_estimate(self, shifted_fft, signal_energy):
+        det, p_idx, p_off, p_mag, p_noise = super().soa_estimate(
+            shifted_fft, signal_energy)
+        return det, p_idx, float(np.clip(p_off, -0.5, 0.5)), p_mag, p_noise
+
+    def detect_block(self, block) -> OracleResult:
+        block = np.asarray(block, dtype=np.complex128)
+        fft = np.fft.fft(block)
+        fft_mag = np.abs(fft)
+        c_det, c_idx, c_mag, c_noise = self.carrier_detect(fft_mag)
+
+        result = OracleResult(
+            carrier_detect=bool(c_det), carrier_bin=c_idx,
+            carrier_offset=0.0, carrier_energy=float(c_mag),
+            carrier_noise=float(c_noise))
+        if not c_det:
+            return result
+
+        result.carrier_offset = self.carrier_interpolate(fft_mag, c_idx)
+
+        # Integer-bin frequency sync (corr_detector.cpp:177-182).
+        shifted_fft = np.roll(fft, -c_idx)
+        signal_energy = np.sum(np.abs(block) ** 2)
+        det, p_idx, p_off, p_mag, p_noise = self.soa_estimate(
+            shifted_fft, signal_energy)
+
+        result.detected = bool(det)
+        result.corr_sample = int(p_idx)
+        result.corr_offset = float(p_off)
+        result.corr_energy = float(p_mag)
+        result.corr_noise = float(p_noise)
+        return result
