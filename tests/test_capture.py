@@ -1,9 +1,108 @@
-"""Capture wrapper flag translation + .tpl template loading in detect."""
+"""Capture: carrier-gated .card recorder, card tee, wrapper flags."""
 
 import numpy as np
+import pytest
 
+from thrifty_tpu import sim
 from thrifty_tpu.config import settings as st
+from thrifty_tpu.dsp import iq
+from thrifty_tpu.io import card, toad
 from thrifty_tpu.pipeline import capture
+
+
+HISTORY = 4920
+
+
+@pytest.fixture(scope="module")
+def raw_capture(tmp_path_factory):
+    """A synthetic capture + its contiguous raw uint8 stream on disk."""
+    tmp = tmp_path_factory.mktemp("rawcap")
+    tpl = sim.make_template()
+    cap = sim.synth_capture(
+        num_blocks=16, bursts_every=4, template=tpl,
+        carrier_bin=40.25, amplitude=0.5, noise_std=0.05, seed=21)
+    # The contiguous stream is the concatenation of each block's new
+    # samples (overlap-save inverse).
+    stream = cap.blocks[:, HISTORY:].reshape(-1)
+    raw_path = tmp / "rx.bin"
+    iq.iq_to_raw(stream).tofile(str(raw_path))
+    tpl_path = tmp / "template.npy"
+    np.save(str(tpl_path), tpl)
+    return cap, str(raw_path), str(tpl_path), tmp
+
+
+def test_capture_recorder_gates_card(raw_capture):
+    """raw stream -> carrier-gated .card: every burst block archived,
+    pure-noise blocks thinned out (fastcard_cli.c:156-196 behavior)."""
+    from thrifty_tpu.cli import main
+
+    cap, raw_path, _, tmp = raw_capture
+    out_path = str(tmp / "gated.card")
+    rc = main(["capture", "--raw-in", raw_path, "-o", out_path,
+               "--quiet", "--carrier-window", "7-110"])
+    assert rc == 0
+
+    with open(out_path) as f:
+        head = f.read(400)
+    assert head.startswith("# arguments: { carrier_bin: '7-110'")
+    assert "# tool: 'thrifty-tpu capture'" in head
+
+    ts, idx, raw = card.read_card(out_path)
+    burst_blocks = {b.block_idx for b in cap.bursts}
+    assert burst_blocks <= set(idx.tolist()), "a burst block was not archived"
+    assert len(idx) < 16, "no thinning happened (all blocks archived)"
+    # Archived rows must hold the exact raw bytes of those blocks.
+    for row_i, blk in enumerate(idx):
+        np.testing.assert_array_equal(
+            raw[row_i], iq.iq_to_raw(cap.blocks[blk]))
+
+
+def test_capture_recorder_roundtrip_detect(raw_capture):
+    """detect on the gated .card == detect on the raw stream (the
+    capture -> archive -> re-analyze workflow)."""
+    from thrifty_tpu.cli import main
+
+    cap, raw_path, tpl_path, tmp = raw_capture
+    card_path = str(tmp / "rt.card")
+    assert main(["capture", "--raw-in", raw_path, "-o", card_path,
+                 "--quiet", "--carrier-window", "7-110"]) == 0
+
+    toad_raw = str(tmp / "raw.toad")
+    toad_card = str(tmp / "card.toad")
+    common = ["--quiet", "--carrier-window", "7-110",
+              "--template", tpl_path]
+    assert main(["detect", raw_path, "--raw", "-o", toad_raw] + common) == 0
+    assert main(["detect", card_path, "-o", toad_card] + common) == 0
+
+    a, b = toad.load_toad(toad_raw), toad.load_toad(toad_card)
+    assert len(a) == len(b) and len(a) >= len(cap.bursts)
+    np.testing.assert_array_equal(a["block"], b["block"])
+    np.testing.assert_allclose(a["soa"], b["soa"], atol=1e-9)
+    np.testing.assert_allclose(a["energy"], b["energy"], rtol=1e-6)
+
+
+def test_detect_card_tee_roundtrip(raw_capture):
+    """detect --raw --card-out: the tee holds exactly the detected
+    blocks, and re-detecting the tee reproduces the detections
+    (fastdet/fastdet.cpp:210-219)."""
+    from thrifty_tpu.cli import main
+
+    cap, raw_path, tpl_path, tmp = raw_capture
+    tee_path = str(tmp / "tee.card")
+    toad_a = str(tmp / "a.toad")
+    toad_b = str(tmp / "b.toad")
+    common = ["--quiet", "--carrier-window", "7-110",
+              "--template", tpl_path]
+    assert main(["detect", raw_path, "--raw", "-o", toad_a,
+                 "--card-out", tee_path] + common) == 0
+    a = toad.load_toad(toad_a)
+    _, tee_idx, _ = card.read_card(tee_path)
+    np.testing.assert_array_equal(np.sort(tee_idx), np.sort(a["block"]))
+
+    assert main(["detect", tee_path, "-o", toad_b] + common) == 0
+    b = toad.load_toad(toad_b)
+    np.testing.assert_array_equal(a["block"], b["block"])
+    np.testing.assert_allclose(a["soa"], b["soa"], atol=1e-9)
 
 
 def test_build_args_translation():

@@ -1,11 +1,21 @@
-"""CLI: capture raw IQ from an SDR via an external capture binary.
+"""CLI: capture -- raw IQ stream -> carrier-gated .card archive.
 
-The reference spawns its native ``fastcard`` binary for capture
-(thrifty/fastcard_capture.py:35-93); SDR hardware and librtlsdr are out
-of scope for a TPU pod, so this wrapper drives any compatible capture
-command (``--capture-cmd``, e.g. ``rtl_sdr`` or a recorded-file cat) and
-forwards termination signals, writing the raw stream or .card output for
-``thrifty-tpu detect`` to consume.
+This is fastcard's actual job (capture thinning): run the carrier
+threshold detector over every overlap-save block of a raw uint8 I/Q
+stream and archive *only the blocks that pass* as base64 ``.card``
+lines (reference fastcard/fastcard_cli.c:156-196), turning a continuous
+2.4 MB/s stream into a sparse, re-analyzable capture.
+
+TPU-native redesign: instead of a per-block FFTW loop, blocks are
+batched [B, N] and gated by one jit-compiled XLA program (uint8->complex
+conversion fused into the FFT input read, batched FFT, windowed argmax +
+noise + threshold).  Only the pass/fail verdicts and peak stats cross
+back to the host; raw bytes of passing blocks are base64-encoded by the
+native SWAR encoder.
+
+The legacy mode (spawning an external SDR capture binary, reference
+thrifty/fastcard_capture.py:35-93) remains available via --capture-cmd
+when no --raw-in stream is given.
 """
 
 from __future__ import annotations
@@ -15,9 +25,119 @@ import shlex
 import signal
 import subprocess
 import sys
+import time as time_mod
+
+import numpy as np
 
 from thrifty_tpu.config import settings as settings_mod
 from thrifty_tpu.config.parsers import normalize_freq_range
+
+
+class CarrierGate:
+    """Batched carrier-threshold gate: raw uint8 [B, 2N] -> verdicts.
+
+    One compiled XLA program per batch shape: fused raw->complex
+    conversion, batched FFT, and the reference's carrier detector
+    (fastcard/cardet.c:7-41 semantics via thrifty_tpu.dsp.carrier).
+    Returns per-block (detected, argmax, magnitude, noise, threshold).
+    """
+
+    def __init__(self, block_len, carrier_window, carrier_thresh):
+        import jax
+
+        from thrifty_tpu.dsp import carrier
+
+        self.block_len = block_len
+        self._mask = carrier.window_mask(carrier_window, block_len)
+        self._thresh = tuple(carrier_thresh)
+        self._jit = jax.jit(self._program)
+
+    def _program(self, raw):
+        import jax.numpy as jnp
+
+        from thrifty_tpu.dsp import carrier, iq
+
+        blocks = iq.raw_to_iq_jax(raw)
+        mag = jnp.abs(jnp.fft.fft(blocks))
+        det, idx, peak_mag, noise = carrier.detect(
+            mag, self._mask, self._thresh)
+        c, s, d = self._thresh
+        thresh_sq = c + s * jnp.square(noise)
+        if d:
+            thresh_sq = thresh_sq + d * jnp.var(mag, axis=-1)
+        return det, idx, peak_mag, noise, jnp.sqrt(thresh_sq)
+
+    def __call__(self, raw):
+        import jax.numpy as jnp
+
+        return self._jit(jnp.asarray(raw))
+
+
+def card_header(config, window, tool="thrifty-tpu capture", sdr=False):
+    """Reference-format .card header (fastcard/fargs.c:194-214)."""
+    c, s, _ = config.carrier_threshold
+    lines = [
+        "arguments: {{ carrier_bin: '{}-{}', threshold: '{:g}c+{:g}s', "
+        "block_size: {}, history_size: {} }}".format(
+            window[0], window[1], c, s,
+            config.block_size, config.block_history),
+    ]
+    if sdr:
+        lines.append("tuner: {{ freq: {}; sample_rate: {}; gain: {} }}"
+                     .format(int(config.tuner_freq),
+                             int(config.sample_rate), config.tuner_gain))
+    lines.append("tool: '{}'".format(tool))
+    lines.append("start_time: {:.6f}".format(time_mod.time()))
+    return "\n".join(lines)
+
+
+def record_cards(gate, batches, batch_size, out_stream, info_out=None,
+                 skip=0):
+    """Drive the gate over raw batches, writing .card lines for hits.
+
+    ``batches`` yields (timestamps [b], indices [b], raw [b, 2N]).
+    The first ``skip`` blocks are discarded (SDR settling, reference
+    fastcard_cli.c:148-171).  Keeps one batch in flight so host IO and
+    base64 encoding overlap device compute.  Returns (blocks_read,
+    blocks_written).
+    """
+    from thrifty_tpu.io import card as card_io
+
+    pending = []
+    stats = {"read": 0, "written": 0}
+
+    def drain(entry):
+        ts, idx, n, raw, dev = entry
+        det, amax, mag, noise, thr = (np.asarray(a)[:n] for a in dev)
+        keep = det & (idx >= skip)
+        stats["read"] += n
+        if info_out is not None:
+            for i in np.nonzero(keep)[0]:
+                print("block #{}: mag[{}] = {:.1f} (thresh = {:.1f}, "
+                      "noise = {:.1f})".format(
+                          int(idx[i]), int(amax[i]), float(mag[i]),
+                          float(thr[i]), float(noise[i])), file=info_out)
+        if np.any(keep):
+            card_io.write_card(out_stream, ts[keep], idx[keep],
+                               raw[:n][keep])
+            out_stream.flush()
+            stats["written"] += int(np.count_nonzero(keep))
+
+    for ts, idx, raw in batches:
+        n = len(ts)
+        if n == 0:
+            continue
+        if n < batch_size:
+            pad = batch_size - n
+            raw = np.concatenate(
+                [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
+        dev = gate(raw)  # async dispatch
+        pending.append((ts, idx, n, raw, dev))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
+    return stats["read"], stats["written"]
 
 
 def build_args(config, output=None):
@@ -44,18 +164,93 @@ def build_args(config, output=None):
     return args
 
 
+def _record_main(config, args):
+    """The native carrier-gated raw -> .card recorder path."""
+    window = normalize_freq_range(
+        config.carrier_window, config.sample_rate / config.block_size)
+    gate = CarrierGate(config.block_size, window, config.carrier_threshold)
+
+    in_stream = sys.stdin.buffer if args.raw_in == "-" \
+        else open(args.raw_in, "rb")
+    if args.output and args.output != "-":
+        out_stream, close_out = open(args.output, "w"), True
+    else:
+        out_stream, close_out = sys.stdout, False
+    info_out = sys.stderr if out_stream is sys.stdout else sys.stdout
+    if args.quiet:
+        info_out = None
+
+    out_stream.write("# " + card_header(config, window).replace(
+        "\n", "\n# ") + "\n")
+
+    try:
+        from thrifty_tpu.io.stream import StreamPump
+        pump = StreamPump(in_stream, config.block_size,
+                          config.block_history, config.batch_size,
+                          sample_rate=config.sample_rate)
+        batches = pump.batches()
+    except ImportError:
+        from thrifty_tpu.io import blocks as blocks_io
+        pump = None
+        batches = blocks_io.raw_batches(
+            in_stream, config.block_size, config.block_history,
+            config.batch_size)
+
+    def _terminate(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _terminate)
+    except ValueError:
+        pass  # not the main thread
+
+    t_start = time_mod.perf_counter()
+    nread = nwritten = 0
+    try:
+        nread, nwritten = record_cards(
+            gate, batches, config.batch_size, out_stream,
+            info_out=info_out, skip=config.capture_skip)
+    except KeyboardInterrupt:
+        print("interrupted; output flushed", file=sys.stderr)
+    finally:
+        if close_out:
+            out_stream.close()
+        if in_stream is not sys.stdin.buffer:
+            in_stream.close()
+    elapsed = time_mod.perf_counter() - t_start
+    if info_out is not None:
+        new_len = config.block_size - config.block_history
+        rate = nread * new_len / max(elapsed, 1e-9)
+        print("\nRead {} blocks, wrote {} ({:.1f}x realtime @ {:.1f} Msps)"
+              .format(nread, nwritten, rate / config.sample_rate,
+                      config.sample_rate / 1e6), file=info_out)
+        if pump is not None:
+            print(pump.stats_line(), file=info_out)
+    return 0
+
+
 def _main(argv=None):
     parser = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--raw-in", type=str, default=None,
+                        help="raw interleaved uint8 I/Q stream to gate "
+                             "natively ('-' for stdin); without this, an "
+                             "external capture binary is spawned")
     parser.add_argument("-o", "--output", type=str, default=None,
-                        help="output .card file")
+                        help="output .card file ('-'/default: stdout in "
+                             "--raw-in mode)")
+    parser.add_argument("--quiet", action="store_true",
+                        help="suppress per-block detection lines")
     parser.add_argument("--capture-cmd", type=str, default="fastcard",
                         help="capture binary to spawn [default: fastcard]")
     keys = ["sample_rate", "tuner_freq", "tuner_gain", "block_size",
             "block_history", "carrier_window", "carrier_threshold",
-            "capture_skip"]
+            "capture_skip", "batch_size"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
+
+    if args.raw_in is not None:
+        return _record_main(config, args)
 
     cmd = shlex.split(args.capture_cmd) + build_args(config, args.output)
     print("capture:", " ".join(cmd), file=sys.stderr)

@@ -66,22 +66,29 @@ class SummaryFormatter:
 
 def detect_batches(detector, batches, batch_size, rxid=-1,
                    summary=None, summary_out=None,
-                   txid_from_template=False):
+                   txid_from_template=False, card_out=None):
     """Run the detector over an iterator of (ts, idx, raw) batches.
 
     Yields detection record arrays (toad.DETECTION_DTYPE) per batch.
     Batches shorter than ``batch_size`` are padded (and the padding
     masked out), keeping the compiled program's shape static.
+    ``card_out``: optional stream teeing the raw bytes of corr-detected
+    blocks as .card lines (reference fastdet/fastdet.cpp:210-219) --
+    the fused capture+detect path's sparse archive.
     """
-    pending = []  # [(ts, idx, n_valid, device_out)]
+    pending = []  # [(ts, idx, n_valid, raw, device_out)]
 
     def drain(entry):
-        ts, idx, n, dev_out = entry
+        ts, idx, n, raw, dev_out = entry
         out = {k: np.asarray(v)[:n] for k, v in dev_out.items()}
         soa = detector.soa(idx, out["corr_sample"], out["corr_offset"])
         if summary is not None and summary_out is not None:
             for i in range(n):
                 print(summary(int(idx[i]), out, i), file=summary_out)
+        if card_out is not None and np.any(out["detected"]):
+            keep = out["detected"]
+            card.write_card(card_out, ts[keep], idx[keep], raw[:n][keep])
+            card_out.flush()
         return toad.from_detector_output(
             ts, idx, soa, out, rxid=rxid,
             txid_from_template=txid_from_template)
@@ -97,7 +104,7 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
         # Upload raw uint8 (2 B/sample); conversion runs on device,
         # fused into the first FFT's input read.
         dev_out = detector.detect_raw(raw)  # async dispatch
-        pending.append((ts, idx, n, dev_out))
+        pending.append((ts, idx, n, raw, dev_out))
         # Keep one batch in flight: overlap host decode with device work.
         if len(pending) > 1:
             yield drain(pending.pop(0))
@@ -120,6 +127,9 @@ def _main(argv=None):
                        help="output .toad file ('-' for stdout)")
     group.add_argument("-a", "--append", type=str,
                        help="output .toad file to append to")
+    parser.add_argument("--card-out", type=str, default=None,
+                        help="tee corr-detected blocks to this .card file "
+                             "(the fastdet-style sparse capture archive)")
     parser.add_argument("--emit-txid", action="store_true",
                         help="write .toads lines with txid taken from the "
                              "winning template of a template bank (the "
@@ -183,6 +193,8 @@ def _main(argv=None):
     summary = None if args.quiet else SummaryFormatter(
         config.sample_rate, config.block_size)
 
+    card_out = open(args.card_out, "w") if args.card_out else None
+
     import signal
     import time as time_mod
 
@@ -210,7 +222,7 @@ def _main(argv=None):
         for records in detect_batches(
                 detector, counted(batches), config.batch_size,
                 rxid=config.rxid, summary=summary, summary_out=info_out,
-                txid_from_template=args.emit_txid):
+                txid_from_template=args.emit_txid, card_out=card_out):
             num += len(records)
             if out_stream is not None:
                 toad.save(out_stream, records, with_txid=args.emit_txid)
@@ -220,6 +232,8 @@ def _main(argv=None):
     finally:
         if close_out:
             out_stream.close()
+        if card_out is not None:
+            card_out.close()
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
     elapsed = time_mod.perf_counter() - t_start
