@@ -78,6 +78,41 @@ def result():
             identify.integrate, keep_txid=True, dedup_any_tx=True))
 
 
+@pytest.fixture(scope="module")
+def bank_capture():
+    """A small capture using code #1 of a 3-code bank."""
+    sps = FS / 0.999707e6
+    bank = template_mod.generate_bank(11, [0, 1, 2], sps)
+    cap = sim.synth_capture(
+        num_blocks=12, bursts_every=3, template=bank[1],
+        carrier_bin=40.25, amplitude=0.5, noise_std=0.05, seed=5)
+    return bank, cap
+
+
+@pytest.mark.parametrize("sync_mode", ["fractional", "integer", "preshift"])
+@pytest.mark.parametrize("corr_interp",
+                         ["gaussian", "parabolic", "cosine", "autocorr"])
+def test_bank_all_modes(bank_capture, sync_mode, corr_interp):
+    """Template banks work in every sync mode and corr interpolator:
+    the transmitted code is identified, SoA stays sub-sample accurate."""
+    bank, cap = bank_capture
+    det = BatchDetector(bank, DetectorConfig(
+        carrier_window=(7, 110), sync_mode=sync_mode,
+        corr_interp=corr_interp))
+    out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    soa = det.soa(cap.indices, out["corr_sample"], out["corr_offset"])
+    errs = []
+    for burst in cap.bursts:
+        i = burst.block_idx
+        assert out["detected"][i], (sync_mode, corr_interp, i)
+        assert int(out["template_idx"][i]) == 1, (sync_mode, corr_interp)
+        errs.append(soa[i] - burst.expected_soa)
+    # Integer-mode residual carrier error costs accuracy; still sub-sample.
+    tol = 0.6 if sync_mode == "integer" else 0.12
+    rms = float(np.sqrt(np.mean(np.square(errs))))
+    assert rms < tol, (sync_mode, corr_interp, rms)
+
+
 def test_codes_identified_on_shared_carrier(result):
     txids = set(np.unique(result.toads["txid"]))
     assert txids == {0, 2}

@@ -115,22 +115,24 @@ class BatchDetector:
         self._corr_mask_full[self.window[0]:self.window[1]] = True
 
         if config.sync_mode == "preshift":
-            if self.bank:
-                raise ValueError(
-                    "preshift mode does not support template banks yet")
             # Bank of conj template FFTs, each pre-shifted by a fractional
             # bin in [-0.5, 0.5]; selected per block by the residual
-            # fractional carrier offset after the integer roll.
+            # fractional carrier offset after the integer roll
+            # (reference experimental/detect_preshift.py:24-45).  With a
+            # template bank the array is [S, T, N]: every code gets all
+            # fractional shifts (a trace-time constant, S*T*N*8 bytes).
             shifts = np.linspace(-0.5, 0.5, config.num_preshift)
             freqs = np.arange(n) / n - 0.5
-            padded = np.zeros(n, dtype=np.complex128)
-            padded[: self.template_len] = tmpl2d[0]
-            bank_rows = [
+            padded = np.zeros((self.num_templates, n), dtype=np.complex128)
+            padded[:, : self.template_len] = tmpl2d
+            rows = np.stack([
                 np.conj(np.fft.fft(padded * np.exp(
                     -2j * np.pi * s * freqs)))
                 for s in shifts
-            ]
-            self._preshift_bank = np.stack(bank_rows).astype(np.complex64)
+            ])  # [S, T, N]
+            if not self.bank:
+                rows = rows[:, 0]
+            self._preshift_bank = rows.astype(np.complex64)
         # Integer mode is fastdet: sub-sample offsets clip to +-0.5 and
         # the carrier offset defaults to parabolic interpolation
         # (fastdet/corr_detector.cpp:88-116,190-194); the other modes
@@ -172,10 +174,8 @@ class BatchDetector:
             self._corr_interp = functools.partial(
                 xcorr.cosine_interpolate, clip=clip)
         elif config.corr_interp == "autocorr":
-            if self.bank:
-                raise ValueError(
-                    "autocorr interpolation does not support banks yet")
-            ac = xcorr.make_autocorr_interpolator(tmpl2d[0], clip=clip)
+            ac = xcorr.make_autocorr_interpolator(
+                tmpl2d if self.bank else tmpl2d[0], clip=clip)
             self._corr_interp = lambda mag, idx, **kw: ac(mag, idx)
         else:
             raise ValueError("unknown corr_interp: " + config.corr_interp)
@@ -289,7 +289,9 @@ class BatchDetector:
             shifted = shift.integer_roll_fft(fft, int_shift)
             sel = jnp.round(
                 (frac + 0.5) * (cfg.num_preshift - 1)).astype(jnp.int32)
-            tconj = jnp.asarray(self._preshift_bank)[sel]  # [B, N]
+            tconj = jnp.asarray(self._preshift_bank)[sel]  # [B,(T,)N]
+            if self.bank:
+                shifted = shifted[:, None, :]
             return jnp.fft.ifft(shifted * tconj)[..., :corr_len]
         raise ValueError("unknown sync_mode: " + cfg.sync_mode)
 

@@ -170,41 +170,60 @@ def make_autocorr_interpolator(template, oversample: int = 16,
     (thrifty/experimental/xcorr_interpolators.py make_autocorr_fit).
 
     Returns ``interp(corr_mag, peak_idx) -> offset`` for lags within
-    ``width`` of the peak.
+    ``width`` of the peak.  With a [T, L] template bank, expects
+    ``corr_mag`` shaped [..., T, corr_len] / ``peak_idx`` [..., T] and
+    fits each template against its own autocorrelation shape.
     """
     template = np.asarray(template, dtype=np.float64)
-    # The captured peak is xcorr(OOK signal, bipolar template): model its
-    # shape, oversampled via spectral zero-padding.
-    ook = template - np.min(template)
-    tlen = len(ook)
-    pad_ook = np.zeros(2 * tlen)
-    pad_ook[:tlen] = ook
-    pad_bip = np.zeros(2 * tlen)
-    pad_bip[:tlen] = template
-    spec = np.fft.fft(pad_ook) * np.conj(np.fft.fft(pad_bip))
-    fine_spec = np.zeros(2 * tlen * oversample, dtype=complex)
-    half = tlen  # keep both spectrum halves (zero-pad the middle)
-    fine_spec[:half] = spec[:half]
-    fine_spec[-half:] = spec[-half:]
-    fine = np.abs(np.fft.ifft(fine_spec)) * oversample
-    # r(tau) for tau in [-width-2, width+2] at 1/oversample resolution.
-    span = (width + 2) * oversample
-    taus = np.concatenate([fine[-span:], fine[:span + 1]])
-    taus = taus / np.max(taus)
-    # Derivative table (central differences on the fine grid).
-    dtaus = np.gradient(taus, 1.0 / oversample)
+    single = template.ndim == 1
+    rows = np.atleast_2d(template)
 
-    table = jnp.asarray(taus, dtype=jnp.float32)
-    dtable = jnp.asarray(dtaus, dtype=jnp.float32)
+    def shape_tables(tmpl):
+        # The captured peak is xcorr(OOK signal, bipolar template):
+        # model its shape, oversampled via spectral zero-padding.
+        ook = tmpl - np.min(tmpl)
+        tlen = len(ook)
+        pad_ook = np.zeros(2 * tlen)
+        pad_ook[:tlen] = ook
+        pad_bip = np.zeros(2 * tlen)
+        pad_bip[:tlen] = tmpl
+        spec = np.fft.fft(pad_ook) * np.conj(np.fft.fft(pad_bip))
+        fine_spec = np.zeros(2 * tlen * oversample, dtype=complex)
+        half = tlen  # keep both spectrum halves (zero-pad the middle)
+        fine_spec[:half] = spec[:half]
+        fine_spec[-half:] = spec[-half:]
+        fine = np.abs(np.fft.ifft(fine_spec)) * oversample
+        # r(tau) for tau in [-width-2, width+2] at 1/oversample res.
+        span = (width + 2) * oversample
+        taus = np.concatenate([fine[-span:], fine[:span + 1]])
+        taus = taus / np.max(taus)
+        # Derivative table (central differences on the fine grid).
+        return taus, np.gradient(taus, 1.0 / oversample)
+
+    pairs = [shape_tables(r) for r in rows]
+    taus_all = np.stack([p[0] for p in pairs])     # [T, M]
+    dtaus_all = np.stack([p[1] for p in pairs])
+    num_entries = taus_all.shape[1]
+    if single:
+        taus_all, dtaus_all = taus_all[0], dtaus_all[0]
+    table = jnp.asarray(taus_all, dtype=jnp.float32)
+    dtable = jnp.asarray(dtaus_all, dtype=jnp.float32)
     ks = np.arange(-width, width + 1)
 
     def lookup(tbl, u):
         # u in samples relative to the peak; nearest fine-grid entry.
         pos = jnp.clip((u + (width + 2)) * oversample, 0,
-                       len(taus) - 1.001)
+                       num_entries - 1.001)
         i0 = jnp.floor(pos).astype(jnp.int32)
         frac = pos - i0
-        return tbl[i0] * (1 - frac) + tbl[i0 + 1] * frac
+        if tbl.ndim == 2:
+            # Per-template tables: u is [..., T, K]; row t of the table
+            # serves axis -2's slot t (numpy advanced-index broadcast).
+            t_idx = jnp.arange(tbl.shape[0])[:, None]
+            v0, v1 = tbl[t_idx, i0], tbl[t_idx, i0 + 1]
+        else:
+            v0, v1 = tbl[i0], tbl[i0 + 1]
+        return v0 * (1 - frac) + v1 * frac
 
     def interpolate(corr_mag, peak_idx):
         n = corr_mag.shape[-1]
