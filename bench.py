@@ -24,17 +24,11 @@ import numpy as np
 
 def _enable_compile_cache():
     """Persist compiled executables across bench runs (best effort)."""
-    try:
-        import jax
-        cache_dir = os.environ.get(
-            "THRIFTY_TPU_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"))
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:  # noqa: BLE001 -- cache is an optimization only
-        pass
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from thrifty_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache(default_dir=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def time_tpu(detector, blocks_list, iters, raw_input=False):

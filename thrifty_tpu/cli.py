@@ -80,6 +80,11 @@ def main(argv=None):
               "See 'thrifty-tpu --help'.".format(command), file=sys.stderr)
         return 1
 
+    # Wisdom analog: every command reuses previously compiled XLA
+    # programs from the persistent cache (fastcard/fastcard.c:32-37).
+    from thrifty_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     module = importlib.import_module(COMMANDS[command])
     return module._main(argv) or 0
 
