@@ -138,6 +138,40 @@ class TestSolveBatchedGroups:
         np.testing.assert_allclose(got["y"], ref["y"], atol=0.5)
         np.testing.assert_allclose(got["dop"], ref["dop"], rtol=1e-3)
 
+    def test_weighted_matches_scipy_path(self):
+        """Batched + weighted agrees with the scipy weighted solver
+        (reference TODO thrifty/pos_est.py:59, batched here)."""
+        rng = np.random.default_rng(4)
+        groups = []
+        for i, tx in enumerate(rng.uniform(0, 8000, size=(10, 2))):
+            tdoas = forward_tdoas(np.asarray(tx), RX4, PAIRS4, snr=10000.0)
+            # Corrupt one pair per group and mark it low-SNR.
+            bad = i % len(PAIRS4)
+            tdoas["tdoa"][bad] += rng.uniform(100.0, 400.0) / C
+            tdoas["snr"][bad] = 1.0
+            groups.append(tdoa.TdoaGroup(
+                group_id=i, timestamp=float(i), tx=3, tdoas=tdoas))
+        ref = pos.solve(groups, RX4, weighted=True)
+        got = pos.solve_batched(groups, RX4, weighted=True)
+        assert len(got) == len(ref) == 10
+        np.testing.assert_allclose(got["x"], ref["x"], atol=0.5)
+        np.testing.assert_allclose(got["y"], ref["y"], atol=0.5)
+
+    def test_weighted_batched_downweights_noisy_tdoa(self):
+        tx = np.array([5000.0, 3000.0])
+        tdoas = forward_tdoas(tx, RX4, PAIRS4, snr=10000.0)
+        tdoas["tdoa"][2] += 300.0 / C
+        tdoas["snr"][2] = 1.0
+        groups = [tdoa.TdoaGroup(0, 0.0, 3, tdoas)]
+        unweighted = pos.solve_batched(groups, RX4)
+        weighted = pos.solve_batched(groups, RX4, weighted=True)
+        err_u = np.hypot(unweighted["x"][0] - tx[0],
+                         unweighted["y"][0] - tx[1])
+        err_w = np.hypot(weighted["x"][0] - tx[0],
+                         weighted["y"][0] - tx[1])
+        assert err_w < err_u / 5
+        assert err_w < 2.0
+
     def test_underdetermined_skipped(self):
         tx = np.array([3000.0, 3000.0])
         groups = [

@@ -117,14 +117,17 @@ def dop(pos, rx_pos, rx_pairs):
     return float(np.sqrt(np.trace(m)))
 
 
-def solve_batched(tdoa_groups, rx_pos, iters=30):
+def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False):
     """Solve many TDOA groups at once with the JAX Gauss-Newton solver.
 
     Groups are padded to a common pair count and solved as one jitted
     program (one device dispatch for thousands of fixes); DOP and SNR
     are filled in on host.  Underdetermined groups are skipped like in
     :func:`solve`.  Accuracy matches the scipy path to well under the
-    measurement noise (see tests).
+    measurement noise (see tests).  With ``weighted``, residuals are
+    scaled by sqrt(SNR) normalized to unit mean per group -- the same
+    maximum-likelihood weighting as :func:`solve_group` (reference TODO
+    thrifty/pos_est.py:59).
     """
     dims = len(next(iter(rx_pos.values())))
     usable = []
@@ -145,12 +148,18 @@ def solve_batched(tdoa_groups, rx_pos, iters=30):
     n = len(usable)
     tdoa_pad = np.zeros((n, pmax))
     mask = np.zeros((n, pmax), dtype=bool)
+    weights = np.zeros((n, pmax))
     rx0 = np.zeros((n, pmax, dims))
     rx1 = np.zeros((n, pmax, dims))
     for i, g in enumerate(usable):
         k = len(g.tdoas)
         tdoa_pad[i, :k] = g.tdoas["tdoa"]
         mask[i, :k] = True
+        if weighted:
+            w = np.sqrt(np.maximum(g.tdoas["snr"], 1e-12))
+            weights[i, :k] = w / np.mean(w)
+        else:
+            weights[i, :k] = 1.0
         rx0[i, :k] = [rx_pos[int(a)] for a in g.tdoas["rx0"]]
         rx1[i, :k] = [rx_pos[int(b)] for b in g.tdoas["rx1"]]
         # Padded rows reuse the first pair's geometry (masked anyway,
@@ -161,7 +170,8 @@ def solve_batched(tdoa_groups, rx_pos, iters=30):
     coords = np.array(list(rx_pos.values()), dtype=np.float64)
     bounds = (coords.min(axis=0) - MAX_DIST, coords.max(axis=0) + MAX_DIST)
     positions = np.asarray(solve_groups_batched(
-        tdoa_pad, mask, rx0, rx1, bounds, iters=iters))
+        tdoa_pad, mask, rx0, rx1, bounds, iters=iters,
+        weights=weights if weighted else None))
 
     results = []
     for i, g in enumerate(usable):
@@ -204,7 +214,7 @@ def solve(tdoa_groups, rx_pos, weighted=False):
 
 
 def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
-                         iters=25, damping=1e-2):
+                         iters=25, damping=1e-2, weights=None):
     """Batched damped Gauss-Newton multilateration in JAX.
 
     All arrays are padded to [G, Pmax]: ``tdoa_padded`` in seconds,
@@ -212,6 +222,8 @@ def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
     receiver coordinates, ``bounds`` = (lo [D], hi [D]).  Returns
     positions [G, D].  Fixed iteration count, no data-dependent control
     flow -- runs as one fused XLA program for thousands of groups.
+    ``weights`` ([G, Pmax], zero on padding) scales residual and
+    Jacobian rows (sqrt-SNR maximum-likelihood weighting).
     """
     import jax
     import jax.numpy as jnp
@@ -221,6 +233,8 @@ def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
     mask_f = jnp.asarray(mask, dtype=jnp.float64) \
         if measured.dtype == jnp.float64 else jnp.asarray(
             mask, dtype=jnp.float32)
+    wgt = mask_f if weights is None \
+        else jnp.asarray(weights, dtype=mask_f.dtype) * mask_f
     r0 = jnp.asarray(rx0_pos)
     r1 = jnp.asarray(rx1_pos)
     dims = r0.shape[-1]
@@ -230,9 +244,9 @@ def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
         p1 = r1 - pos[:, None, :]
         d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
         d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
-        resid = (measured - (d0 - d1)) * mask_f
+        resid = (measured - (d0 - d1)) * wgt
         jacmat = (p0 / d0[..., None] - p1 / d1[..., None]) \
-            * mask_f[..., None]
+            * wgt[..., None]
         jtj = jnp.einsum("gpi,gpj->gij", jacmat, jacmat)
         # Levenberg-Marquardt diagonal damping keeps steps in-basin.
         diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
@@ -304,9 +318,7 @@ def _main(argv=None):
         sys.stdin if args.tdoa == "-" else args.tdoa)
     rx_pos = tdoa_mod.load_pos_config(args.rx_pos)
     if args.batched:
-        if args.weighted:
-            parser.error("--weighted is not supported with --batched yet")
-        results = solve_batched(groups, rx_pos)
+        results = solve_batched(groups, rx_pos, weighted=args.weighted)
     else:
         results = solve(groups, rx_pos, weighted=args.weighted)
     print("Estimated {} position(s)".format(len(results)))
