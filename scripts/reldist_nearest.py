@@ -95,6 +95,13 @@ def main(argv=None):
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots()
         ax.plot(tx_soa[keep, 0], meters, ".")
+        if len(meters) >= 3:
+            # Lowess trend overlay (reference reldist_nearest.py:223-225).
+            smooth = stats.lowess(tx_soa[keep, 0], meters, frac=0.025)
+            order = np.argsort(tx_soa[keep, 0])
+            ax.plot(tx_soa[keep, 0][order], smooth[order], "-",
+                    color="C1", label="lowess")
+            ax.legend()
         ax.set_xlabel("SoA at rx{}".format(args.rx0))
         ax.set_ylabel("relative distance (m)")
         ax.grid(True)

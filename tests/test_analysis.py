@@ -113,3 +113,8 @@ def test_detect_analysis_export_pdf(world, tmp_path):
         "--carrier-window", "7 - 110"])
     import os
     assert os.path.getsize(pdf) > 1000
+    # A detected block renders every view (reference detect_analysis
+    # exposes ~18 plot commands; all have analogs here).
+    with open(pdf, "rb") as f:
+        pages = f.read().count(b"/Type /Page ")
+    assert pages >= len(detect_analysis.PLOTS)

@@ -23,6 +23,16 @@ def test_detect_cli_populates_cache(tmp_path, monkeypatch):
     (reference wisdom files, fastcard/fastcard.c:32-37)."""
     cache_dir = str(tmp_path / "wisdom")
     monkeypatch.setenv("THRIFTY_TPU_JAX_CACHE", cache_dir)
+    # Earlier tests may have initialized the persistent cache at another
+    # location and populated the in-memory executable cache; reset both
+    # so this cold start actually compiles into the new directory.
+    import jax
+    jax.clear_caches()
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except (ImportError, AttributeError):
+        pass
 
     tpl = sim.make_template(bits=7)  # unique geometry -> fresh compile
     cap = sim.synth_capture(

@@ -184,6 +184,25 @@ def test_preshift_sync_mode(capture, detector, output):
         assert abs(soa_pre[i] - burst.expected_soa) < 0.1
 
 
+def test_peak_filter_option(capture, output):
+    """The Dirichlet peak filter (reference carrier_detect.py:128-154)
+    is a first-class config option: detection verdicts and carrier bins
+    survive filtering at these SNRs."""
+    det = BatchDetector(
+        capture.template,
+        DetectorConfig(carrier_window=(7, 110), peak_filter_len=-1))
+    assert det._peak_filter is not None
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    for burst in capture.bursts:
+        i = burst.block_idx
+        assert out["detected"][i]
+        assert int(out["carrier_bin"][i]) == int(output["carrier_bin"][i])
+        # Frequency recovery is unaffected by the filter (the argmax is
+        # delay-realigned): sub-bin accuracy preserved.
+        est = out["carrier_bin"][i] + out["carrier_offset"][i]
+        assert est == pytest.approx(burst.carrier_bin, abs=0.02)
+
+
 def test_single_row_bank_keeps_bank_semantics(capture):
     """A [1, L] bank must behave as a bank (template_idx present)."""
     det = BatchDetector(

@@ -125,3 +125,23 @@ def test_reldist_nearest(network_files):
                       "--beacon", "9"], str(network_files))
     assert res.returncode == 0, res.stderr
     assert "std=" in res.stdout
+
+
+def test_reldist_export_with_lowess(network_files):
+    res = run_script("reldist_nearest.py",
+                     ["data.toads", "data.match", "--tx", "3",
+                      "--beacon", "9", "--export", "reldist.png"],
+                     str(network_files))
+    assert res.returncode == 0, res.stderr
+    assert os.path.getsize(str(network_files / "reldist.png")) > 1000
+
+
+def test_lowess_recovers_trend():
+    """The local-regression smoother tracks a known slow trend."""
+    from thrifty_tpu import stats
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 10, 400)
+    trend = 2.0 * np.sin(x / 3.0)
+    y = trend + rng.normal(0, 0.3, len(x))
+    smooth = stats.lowess(x, y, frac=0.15)
+    assert np.sqrt(np.mean((smooth - trend) ** 2)) < 0.15

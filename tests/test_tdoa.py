@@ -51,6 +51,26 @@ class TestEstimate:
             # sub-nanosecond agreement on noiseless SoAs
             assert got == pytest.approx(want, abs=1e-9)
 
+    def test_non_default_block_geometry(self):
+        """synth_network derives block/sample split from the block
+        geometry parameters, not the default 16384/4920."""
+        schedule = [(9, t) for t in np.arange(0.5, 20.0, 1.0)]
+        schedule += [(3, t) for t in (4.0, 9.0)]
+        det = sim.synth_network(
+            RX_POS, {**BEACON_POS, **MOBILE_POS}, schedule, FS,
+            block_len=4096, history_len=1000)
+        new_len = 4096 - 1000
+        np.testing.assert_allclose(
+            det["block"] * new_len + det["sample"], det["soa"],
+            atol=1.0)
+        matches, _, _ = matchmaker.match_detections(det)
+        groups, failures = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS)
+        assert not failures
+        want = expected_tdoa(MOBILE_POS[3])
+        for g in groups:
+            assert g.tdoas["tdoa"][0] == pytest.approx(want, abs=1e-9)
+
     def test_large_clock_drift_still_recovered(self):
         det, matches = build_scenario(drift1=5e-5, offset1=1e9)
         groups, _ = tdoa.estimate_tdoas(

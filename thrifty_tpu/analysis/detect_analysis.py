@@ -24,9 +24,16 @@ from thrifty_tpu.io import card
 from thrifty_tpu.io import tpl as tpl_io
 from thrifty_tpu.oracle.numpy_ref import OracleDetector, dirichlet_kernel
 
-PLOTS = ["hist", "iq", "fft", "psd", "carrier_zoom", "carrier_interp",
-         "corr", "corr_log", "corr_interp", "template_overlay",
-         "autocorr_compare", "phase"]
+PLOTS = ["hist", "iq", "mag", "fft", "fft_window", "psd",
+         "carrier_zoom", "carrier_interp", "filtered_fft",
+         "iq_synced", "mag_synced", "fft_synced", "psd_synced",
+         "corr", "corr_log", "corr_interp", "corr_shifted",
+         "template_overlay", "autocorr_compare", "phase"]
+
+# Views that need a carrier hit / correlation intermediates.
+NEEDS_CARRIER = ("iq_synced", "mag_synced", "fft_synced", "psd_synced")
+NEEDS_CORR = ("corr", "corr_log", "corr_interp", "corr_shifted",
+              "template_overlay", "autocorr_compare", "phase")
 
 
 class BlockDiagnostics:
@@ -42,17 +49,24 @@ class BlockDiagnostics:
          self.carrier_noise) = oracle.carrier_detect(self.fft_mag)
         self.carrier_offset = 0.0
         self.corr_mag = None
+        self.synced = None
+        self.shifted_fft = None
         if self.carrier_detected:
             self.carrier_offset = float(
                 oracle.carrier_interpolate(self.fft_mag, self.carrier_bin))
-            shifted = oracle.freq_shift_fft(
-                self.block, -(self.carrier_bin + self.carrier_offset))
+            shift = -(self.carrier_bin + self.carrier_offset)
+            shifted = oracle.freq_shift_fft(self.block, shift)
+            self.shifted_fft = shifted
+            n = len(self.block)
+            self.synced = self.block * np.exp(
+                2j * np.pi * shift * (np.arange(n) / n - 0.5))
             energy = np.sum(np.abs(self.block) ** 2)
             (self.detected, self.corr_sample, self.corr_offset,
              self.corr_energy, self.corr_noise) = oracle.soa_estimate(
                 shifted, energy)
             corr = np.fft.ifft(shifted * oracle.template_fft_conj)
-            self.corr_mag = np.abs(corr[:oracle.corr_len])
+            self.corr_complex = corr[:oracle.corr_len]
+            self.corr_mag = np.abs(self.corr_complex)
         else:
             self.detected = False
 
@@ -129,6 +143,78 @@ class BlockDiagnostics:
                 "o-")
         ax.axvline(self.corr_offset, color="k", lw=0.5)
         ax.set_title("corr peak (offset {:+.3f})".format(self.corr_offset))
+
+    def _plot_mag(self, ax):
+        ax.plot(np.abs(self.block), lw=0.3)
+        ax.set_title("|x(t)| (unsynced)")
+
+    def _plot_iq_synced(self, ax):
+        ax.plot(self.synced.real, lw=0.3, label="I")
+        ax.plot(self.synced.imag, lw=0.3, label="Q")
+        ax.legend()
+        ax.set_title("IQ samples (carrier removed)")
+
+    def _plot_mag_synced(self, ax):
+        ax.plot(np.abs(self.synced), lw=0.3)
+        ax.set_title("|x(t)| (carrier removed)")
+
+    def _plot_fft_window(self, ax):
+        ax.plot(self.fft_mag, lw=0.4)
+        win = self.oracle.carrier_idx
+        ax.plot(win, self.fft_mag[win], lw=0.6, color="C1",
+                label="carrier search window")
+        ax.set_yscale("log")
+        ax.legend()
+        ax.set_title("|FFT| with carrier window")
+
+    def _plot_fft_synced(self, ax):
+        ax.plot(np.fft.fftshift(np.abs(self.shifted_fft)), lw=0.4)
+        ax.set_yscale("log")
+        ax.set_title("|FFT| after carrier removal (shifted)")
+
+    def _plot_filtered_fft(self, ax):
+        # Dirichlet matched peak filter on the magnitude spectrum
+        # (reference carrier_detect.py:128-154): energy-domain FIR of
+        # the unit-energy peak-shaped weights.
+        from thrifty_tpu.dsp.dirichlet import dirichlet_weights
+        n = self.oracle.block_len
+        w = dirichlet_weights((n // self.oracle.carrier_len - 1) * 2,
+                              n, self.oracle.carrier_len)
+        power = self.fft_mag ** 2
+        filt = np.sqrt(np.convolve(power, (w ** 2)[::-1],
+                                   mode="full")[len(w) - 1:len(w) - 1 + n])
+        delay = len(w) - int(np.argmax(w)) - 1
+        ax.plot(self.fft_mag, lw=0.3, label="|FFT|")
+        ax.plot(np.roll(filt, -delay), lw=0.5, label="peak-filtered")
+        ax.set_yscale("log")
+        ax.legend()
+        ax.set_title("Dirichlet peak-filtered spectrum")
+
+    def _plot_psd_synced(self, ax):
+        n = len(self.block)
+        psd = np.abs(self.shifted_fft) ** 2 / n
+        ax.plot(np.fft.fftshift(np.fft.fftfreq(n)),
+                10 * np.log10(np.fft.fftshift(psd) + 1e-30), lw=0.4)
+        ax.set_xlabel("normalized frequency")
+        ax.set_ylabel("PSD (dB)")
+        ax.set_title("power spectral density (carrier removed)")
+
+    def _plot_corr_shifted(self, ax):
+        # Time-shift the correlation by -offset so the true peak lands
+        # on an integer sample (reference plot_corr_peak_shifted).
+        m = len(self.corr_complex)
+        spec = np.fft.fft(self.corr_complex)
+        ramp = np.exp(-2j * np.pi * self.corr_offset
+                      * np.fft.fftfreq(m))
+        shifted = np.abs(np.fft.ifft(spec * ramp))
+        idx = int(np.clip(self.corr_sample, 5, m - 6))
+        rel = np.arange(-5, 6)
+        ax.plot(rel, self.corr_mag[idx + rel], "o-", label="raw",
+                lw=0.6)
+        ax.plot(rel, shifted[idx + rel], "s--", label="shifted by "
+                "{:+.3f}".format(-self.corr_offset), lw=0.6)
+        ax.legend()
+        ax.set_title("corr peak, sub-sample aligned")
 
     def _plot_psd(self, ax):
         n = len(self.block)
@@ -263,11 +349,10 @@ def _main(argv=None):
         from matplotlib.backends.backend_pdf import PdfPages
         with PdfPages(args.export) as pdf:
             for bidx, diag in diagnostics:
-                needs_corr = ("corr", "corr_log", "corr_interp",
-                              "template_overlay", "autocorr_compare",
-                              "phase")
                 for name in plot_names:
-                    if name in needs_corr and diag.corr_mag is None:
+                    if name in NEEDS_CORR and diag.corr_mag is None:
+                        continue
+                    if name in NEEDS_CARRIER and diag.synced is None:
                         continue
                     fig, ax = plt.subplots(figsize=(9, 4))
                     diag.plot(name, ax)

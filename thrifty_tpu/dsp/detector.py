@@ -58,6 +58,13 @@ class DetectorConfig:
     # thrifty/carrier_sync.py:150-196).  Explicit values: 'dirichlet',
     # 'parabolic', 'polyfit'.
     carrier_interp: str = "auto"
+    # Dirichlet-shaped matched filter on the magnitude spectrum before
+    # the carrier peak search (reference thrifty/carrier_detect.py:
+    # 128-154, carrier_sync.py:121-147): 0 = off (the reference's
+    # default), -1 = the reference's suggested auto width
+    # (block_len//carrier_len - 1)*2 (carrier_sync.py:106-108), or an
+    # explicit odd filter length.
+    peak_filter_len: int = 0
     # Pallas fused peak/energy kernel ('on'/'off'/'auto').  Measured on
     # TPU v5e, XLA's own fusion of the |x|^2/argmax/sum reductions beats
     # the hand-written kernel (the separate real/imag planes cost an
@@ -109,6 +116,14 @@ class BatchDetector:
         self._tmpl_fft_conj = xcorr.template_fft_conj(template, n)
         self._tmpl_energy = xcorr.template_energy(template)
         self._carrier_mask = carrier.window_mask(config.carrier_window, n)
+        if config.peak_filter_len:
+            flen = config.peak_filter_len
+            if flen == -1:
+                flen = (n // self.template_len - 1) * 2
+            self._peak_filter = dirichlet.dirichlet_weights(
+                flen, n, self.template_len)
+        else:
+            self._peak_filter = None
         # Unique-lag window as a full-length mask (pallas path searches
         # the unsliced circular correlation with lags >= corr_len masked).
         self._corr_mask_full = np.zeros(n, dtype=bool)
@@ -196,6 +211,9 @@ class BatchDetector:
             # needs interpolators that accept precomputed values.
             and cfg.corr_interp == "gaussian"
             and self.carrier_interp_resolved == "dirichlet"
+            # The fused kernel searches raw power; a magnitude-domain
+            # peak filter needs the XLA path.
+            and cfg.peak_filter_len == 0
         )
         if cfg.use_pallas == "on":
             if not ok:
@@ -218,7 +236,8 @@ class BatchDetector:
         fft = jnp.fft.fft(blocks)
         mag = jnp.abs(fft)
         c_det, c_idx, c_mag, c_noise = carrier.detect(
-            mag, self._carrier_mask, cfg.carrier_thresh
+            mag, self._carrier_mask, cfg.carrier_thresh,
+            peak_filter=self._peak_filter
         )
 
         # Stage 2: sub-bin interpolation (only reported when detected).

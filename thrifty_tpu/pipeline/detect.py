@@ -127,6 +127,11 @@ def _main(argv=None):
                        help="output .toad file ('-' for stdout)")
     group.add_argument("-a", "--append", type=str,
                        help="output .toad file to append to")
+    parser.add_argument("--peak-filter", type=int, default=0,
+                        metavar="LEN",
+                        help="Dirichlet matched filter length for the "
+                             "carrier peak search (-1 = auto width, "
+                             "0 = off) [default: 0]")
     parser.add_argument("--card-out", type=str, default=None,
                         help="tee corr-detected blocks to this .card file "
                              "(the fastdet-style sparse capture archive)")
@@ -154,6 +159,7 @@ def _main(argv=None):
         carrier_window=window,
         corr_thresh=config.corr_threshold,
         sync_mode=config.sync_mode,
+        peak_filter_len=args.peak_filter,
     ))
 
     in_stream = sys.stdin.buffer if args.input == "-" \

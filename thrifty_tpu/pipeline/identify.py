@@ -72,20 +72,25 @@ def auto_classify(detections):
     return txids
 
 
-_warned_unmapped_rx = set()
+def classify_by_freqmap(detections, freqmap, warned=None):
+    """Assign txids from a frequency-map {rxid: {txid: (start, stop)}}.
 
-
-def classify_by_freqmap(detections, freqmap):
-    """Assign txids from a frequency-map {rxid: {txid: (start, stop)}}."""
+    ``warned`` is an optional caller-owned set of rxids already warned
+    about; repeated callers (the live server) pass a persistent set so
+    each unmapped receiver is reported once.  Without it every call
+    warns (stateless library behavior).
+    """
     freq = detections["carrier_bin"] + detections["carrier_offset"]
     txids = np.full(len(detections), UNIDENTIFIED, dtype=np.int32)
     unmapped = set(int(r) for r in np.unique(detections["rxid"])) \
-        - set(freqmap) - _warned_unmapped_rx
+        - set(freqmap)
+    if warned is not None:
+        unmapped -= warned
     if unmapped:
         # A receiver without an '@rxid: offset' line would silently lose
-        # every detection to the unidentified filter.  Warn once per
-        # receiver (the live server calls this every poll).
-        _warned_unmapped_rx.update(unmapped)
+        # every detection to the unidentified filter.
+        if warned is not None:
+            warned.update(unmapped)
         print("warning: no freq-map entry for receiver(s) {}; their "
               "detections will be dropped as unidentified".format(
                   sorted(unmapped)), file=sys.stderr)
@@ -97,12 +102,13 @@ def classify_by_freqmap(detections, freqmap):
     return txids
 
 
-def identify_transmitters(detections, freqmap=None):
+def identify_transmitters(detections, freqmap=None, warned=None):
     """Set the txid field in-place; returns the array for chaining."""
     if freqmap is None:
         detections["txid"] = auto_classify(detections)
     else:
-        detections["txid"] = classify_by_freqmap(detections, freqmap)
+        detections["txid"] = classify_by_freqmap(detections, freqmap,
+                                                 warned=warned)
     return detections
 
 
@@ -145,15 +151,16 @@ def duplicate_mask(detections, ignore_txid=False):
 
 
 def integrate(detections, freqmap=None, keep_txid=False,
-              dedup_any_tx=False):
+              dedup_any_tx=False, warned=None):
     """Identify transmitters, drop duplicates, sort by timestamp.
 
     ``keep_txid`` skips classification (txids already assigned, e.g. by
     a template bank); ``dedup_any_tx`` widens duplicate removal across
-    transmitter IDs (see :func:`duplicate_mask`).
+    transmitter IDs (see :func:`duplicate_mask`); ``warned`` threads a
+    caller-owned warn-once set to :func:`classify_by_freqmap`.
     """
     if not keep_txid:
-        identify_transmitters(detections, freqmap)
+        identify_transmitters(detections, freqmap, warned=warned)
     filtered = detections[duplicate_mask(detections,
                                          ignore_txid=dedup_any_tx)]
     return filtered[np.argsort(filtered["timestamp"], kind="stable")]

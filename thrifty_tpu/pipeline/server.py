@@ -59,6 +59,8 @@ class PositioningServer:
         self.window_s = window_s
         self.settle_s = settle_s
         self.keep_txid = keep_txid
+        # Warn-once set for unmapped receivers (step() runs every poll).
+        self._warned_rx = set()
         self._detections = toad.empty(0)
         # Solved transmissions per txid as sorted timestamp lists: a
         # group is a duplicate iff a solved fix for its transmitter lies
@@ -100,7 +102,7 @@ class PositioningServer:
 
         integrated = identify_mod.integrate(
             dets, self.freqmap, keep_txid=self.keep_txid,
-            dedup_any_tx=self.keep_txid)
+            dedup_any_tx=self.keep_txid, warned=self._warned_rx)
         matches, _, _ = matchmaker_mod.match_detections(
             integrated, self.match_window)
         groups, _ = tdoa_mod.estimate_tdoas(

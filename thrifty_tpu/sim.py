@@ -55,6 +55,8 @@ def synth_network(
     clock_drifts: dict = None,
     soa_noise: float = 0.0,
     seed: int = 0,
+    block_len: int = 16384,
+    history_len: int = 4920,
 ):
     """Simulate detection records for a receiver network (no DSP).
 
@@ -73,6 +75,7 @@ def synth_network(
     rng = np.random.default_rng(seed)
     clock_offsets = clock_offsets or {}
     clock_drifts = clock_drifts or {}
+    new_len = block_len - history_len  # samples per block advance
     rows = []
     for txid, t in tx_schedule:
         for rxid, rpos in rx_pos.items():
@@ -84,7 +87,7 @@ def synth_network(
             soa = toa * fs + clock_offsets.get(rxid, 0.0)
             if soa_noise:
                 soa += rng.normal(0.0, soa_noise)
-            rows.append((rxid, txid, toa, int(soa // 11464), soa))
+            rows.append((rxid, txid, toa, int(soa // new_len), soa))
     rows.sort(key=lambda r: r[2])
 
     det = toad.empty(len(rows))
@@ -94,7 +97,7 @@ def synth_network(
         det[i]["timestamp"] = ts
         det[i]["block"] = block
         det[i]["soa"] = soa
-        det[i]["sample"] = int(soa % 11464)
+        det[i]["sample"] = int(soa % new_len)
         det[i]["energy"] = 1000.0
         det[i]["noise"] = 10.0
         det[i]["carrier_bin"] = 10 + 15 * txid

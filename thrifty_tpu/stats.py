@@ -20,3 +20,37 @@ def is_outlier(points: np.ndarray, thresh: float = 3.5) -> np.ndarray:
     if mad == 0:
         return np.zeros(len(points), dtype=bool)
     return 0.6745 * diff / mad > thresh
+
+
+def lowess(x, y, frac: float = 0.025, min_points: int = 3):
+    """Locally weighted linear regression (tricube weights).
+
+    Self-contained stand-in for statsmodels' lowess (used by the
+    reference's scripts/reldist_nearest.py:224 to overlay a smoothed
+    trend); single robustness pass omitted (it=0 there too).  Returns
+    the smoothed y evaluated at the (sorted) x values.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    order = np.argsort(x)
+    xs, ys = x[order], y[order]
+    n = len(xs)
+    k = max(int(np.ceil(frac * n)), min_points)
+    k = min(k, n)
+    out = np.empty(n)
+    for i in range(n):
+        lo = np.clip(i - k // 2, 0, n - k)
+        xi, yi = xs[lo:lo + k], ys[lo:lo + k]
+        d = np.abs(xi - xs[i])
+        dmax = d.max()
+        w = (1 - (d / dmax) ** 3) ** 3 if dmax > 0 else np.ones_like(d)
+        sw = w.sum()
+        xm = (w * xi).sum() / sw
+        ym = (w * yi).sum() / sw
+        cov = (w * (xi - xm) * (yi - ym)).sum()
+        var = (w * (xi - xm) ** 2).sum()
+        slope = cov / var if var > 0 else 0.0
+        out[i] = ym + slope * (xs[i] - xm)
+    smoothed = np.empty(n)
+    smoothed[order] = out
+    return smoothed
