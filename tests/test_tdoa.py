@@ -51,6 +51,34 @@ class TestEstimate:
             # sub-nanosecond agreement on noiseless SoAs
             assert got == pytest.approx(want, abs=1e-9)
 
+    def test_batched_matches_sequential(self):
+        """The vectorized estimator reproduces the per-pair polyfit
+        path: same groups, same TDOAs (sub-picosecond), same
+        qualities, same failure multiset."""
+        det, matches = build_scenario(soa_noise=0.05, duration=40.0,
+                                      mobile_times=tuple(
+                                          np.arange(3.0, 38.0, 0.7)))
+        seq_groups, seq_fail = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS, batched=False)
+        bat_groups, bat_fail = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS, batched=True)
+        assert len(bat_groups) == len(seq_groups)
+        assert sorted(map(tuple, bat_fail)) == sorted(map(tuple, seq_fail))
+        for sg, bg in zip(seq_groups, bat_groups):
+            assert bg.group_id == sg.group_id
+            assert bg.tx == sg.tx
+            assert bg.timestamp == sg.timestamp
+            np.testing.assert_array_equal(bg.tdoas["rx0"], sg.tdoas["rx0"])
+            np.testing.assert_array_equal(
+                bg.tdoas["det0_idx"], sg.tdoas["det0_idx"])
+            np.testing.assert_allclose(
+                bg.tdoas["tdoa"], sg.tdoas["tdoa"], atol=1e-12)
+            np.testing.assert_allclose(
+                bg.tdoas["snr"], sg.tdoas["snr"], rtol=1e-12)
+            np.testing.assert_allclose(
+                bg.tdoas["model_quality"], sg.tdoas["model_quality"],
+                rtol=1e-9)
+
     def test_non_default_block_geometry(self):
         """synth_network derives block/sample split from the block
         geometry parameters, not the default 16384/4920."""

@@ -213,6 +213,53 @@ def solve(tdoa_groups, rx_pos, weighted=False):
     return np.array(results, dtype=dtype)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _make_batched_solver(dims, iters, damping):
+    """Jitted fixed-iteration GN solver, cached per (dims, iters,
+    damping) so repeated calls (the live server, one per step) reuse
+    the compiled executable for each padded shape bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(measured, wgt, mask_f, r0, r1, lo, hi):
+        def step(pos, _):
+            p0 = r0 - pos[:, None, :]
+            p1 = r1 - pos[:, None, :]
+            d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
+            d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
+            resid = (measured - (d0 - d1)) * wgt
+            jacmat = (p0 / d0[..., None] - p1 / d1[..., None]) \
+                * wgt[..., None]
+            jtj = jnp.einsum("gpi,gpj->gij", jacmat, jacmat)
+            # Levenberg-Marquardt diagonal damping keeps steps in-basin.
+            diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
+            jtj = jtj + damping * (diag + 1e-9)[..., None] \
+                * jnp.eye(dims)
+            jtr = jnp.einsum("gpi,gp->gi", jacmat, resid)
+            # jacmat is d(residual)/d(pos), so the Gauss-Newton step is
+            # pos - (J^T J)^-1 J^T r.
+            delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
+            return jnp.clip(pos - delta, lo, hi), None
+
+        # Initialize at the centroid of the involved receivers -- well
+        # inside the solution basin for any surrounded transmitter.
+        denom = jnp.maximum(jnp.sum(mask_f, axis=-1), 1.0)[..., None]
+        init = jnp.sum(
+            0.5 * (r0 + r1) * mask_f[..., None], axis=1) / denom
+        init = init.astype(measured.dtype)
+        pos, _ = jax.lax.scan(step, init, None, length=iters)
+        return pos
+
+    return jax.jit(run)
+
+
+def _next_pow2(n):
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
 def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
                          iters=25, damping=1e-2, weights=None):
     """Batched damped Gauss-Newton multilateration in JAX.
@@ -224,48 +271,35 @@ def solve_groups_batched(tdoa_padded, mask, rx0_pos, rx1_pos, bounds,
     flow -- runs as one fused XLA program for thousands of groups.
     ``weights`` ([G, Pmax], zero on padding) scales residual and
     Jacobian rows (sqrt-SNR maximum-likelihood weighting).
-    """
-    import jax
-    import jax.numpy as jnp
 
+    Shapes are padded up to power-of-2 buckets so a long-running caller
+    (the live positioning server) hits the jit cache instead of
+    recompiling for every distinct group count.
+    """
     lo, hi = bounds
-    measured = jnp.asarray(tdoa_padded) * SPEED_OF_LIGHT
-    mask_f = jnp.asarray(mask, dtype=jnp.float64) \
-        if measured.dtype == jnp.float64 else jnp.asarray(
-            mask, dtype=jnp.float32)
+    measured = np.asarray(tdoa_padded, dtype=np.float64) * SPEED_OF_LIGHT
+    mask_f = np.asarray(mask, dtype=np.float64)
     wgt = mask_f if weights is None \
-        else jnp.asarray(weights, dtype=mask_f.dtype) * mask_f
-    r0 = jnp.asarray(rx0_pos)
-    r1 = jnp.asarray(rx1_pos)
+        else np.asarray(weights, dtype=np.float64) * mask_f
+    r0 = np.asarray(rx0_pos, dtype=np.float64)
+    r1 = np.asarray(rx1_pos, dtype=np.float64)
     dims = r0.shape[-1]
 
-    def step(pos, _):
-        p0 = r0 - pos[:, None, :]
-        p1 = r1 - pos[:, None, :]
-        d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
-        d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
-        resid = (measured - (d0 - d1)) * wgt
-        jacmat = (p0 / d0[..., None] - p1 / d1[..., None]) \
-            * wgt[..., None]
-        jtj = jnp.einsum("gpi,gpj->gij", jacmat, jacmat)
-        # Levenberg-Marquardt diagonal damping keeps steps in-basin.
-        diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
-        jtj = jtj + damping * (diag + 1e-9)[..., None] * jnp.eye(dims)
-        jtr = jnp.einsum("gpi,gp->gi", jacmat, resid)
-        # jacmat is d(residual)/d(pos), so the Gauss-Newton step is
-        # pos - (J^T J)^-1 J^T r.
-        delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
-        new_pos = jnp.clip(pos - delta, jnp.asarray(lo), jnp.asarray(hi))
-        return new_pos, None
+    g, p = measured.shape
+    gp, pp = _next_pow2(g), _next_pow2(p)
+    if (gp, pp) != (g, p):
+        pad2 = ((0, gp - g), (0, pp - p))
+        measured = np.pad(measured, pad2)
+        mask_f = np.pad(mask_f, pad2)
+        wgt = np.pad(wgt, pad2)
+        r0 = np.pad(r0, pad2 + ((0, 0),))
+        r1 = np.pad(r1, pad2 + ((0, 0),))
 
-    # Initialize at the centroid of the involved receivers -- well inside
-    # the solution basin for any surrounded transmitter.
-    denom = jnp.maximum(jnp.sum(mask_f, axis=-1), 1.0)[..., None]
-    init = jnp.sum(
-        0.5 * (r0 + r1) * mask_f[..., None], axis=1) / denom
-    init = init.astype(measured.dtype)
-    pos, _ = jax.lax.scan(step, init, None, length=iters)
-    return pos
+    solver = _make_batched_solver(dims, int(iters), float(damping))
+    pos = solver(measured, wgt, mask_f, r0, r1,
+                 np.asarray(lo, dtype=np.float64),
+                 np.asarray(hi, dtype=np.float64))
+    return np.asarray(pos)[:g]
 
 
 def save_positions(stream_or_path, results):

@@ -49,7 +49,7 @@ class PositioningServer:
     def __init__(self, rx_pos, beacon_pos, freqmap=None,
                  sample_rate=2.4e6, match_window=0.2,
                  tdoa_est_window=8.0, window_s=30.0, settle_s=1.0,
-                 keep_txid=False):
+                 keep_txid=False, solver="auto"):
         self.rx_pos = rx_pos
         self.beacon_pos = beacon_pos
         self.freqmap = freqmap
@@ -59,6 +59,13 @@ class PositioningServer:
         self.window_s = window_s
         self.settle_s = settle_s
         self.keep_txid = keep_txid
+        # 'scipy' solves each group with the trust-region solver;
+        # 'batched' uses the vmapped Gauss-Newton program; 'auto'
+        # switches to batched once a step carries >= 16 fresh groups
+        # (high-rate operation).
+        if solver not in ("auto", "scipy", "batched"):
+            raise ValueError("unknown solver: " + solver)
+        self.solver = solver
         # Warn-once set for unmapped receivers (step() runs every poll).
         self._warned_rx = set()
         self._detections = toad.empty(0)
@@ -105,21 +112,35 @@ class PositioningServer:
             dedup_any_tx=self.keep_txid, warned=self._warned_rx)
         matches, _, _ = matchmaker_mod.match_detections(
             integrated, self.match_window)
-        groups, _ = tdoa_mod.estimate_tdoas(
-            integrated, matches, self.tdoa_est_window,
+
+        # Estimate TDOAs only for settled, not-yet-reported mobile
+        # groups (beacon groups always flow to the clock models): a
+        # late detection can move the group's seed timestamp by up to
+        # match_window, so the duplicate check is a +-match_window
+        # interval, not a key.  Filtering BEFORE estimation keeps the
+        # per-step cost proportional to new traffic, not window size.
+        work = []
+        for m in matches:
+            tx = int(integrated[m[0]]["txid"])
+            if tx in self.beacon_pos:
+                work.append(m)
+                continue
+            ts = float(integrated[m[0]]["timestamp"])
+            if self._is_solved(ts, tx):
+                continue
+            if ts > now - self.settle_s:
+                continue  # may still gain detections
+            work.append(m)
+        fresh, _ = tdoa_mod.estimate_tdoas(
+            integrated, work, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
 
-        # Solve only settled, not-yet-reported groups: a late detection
-        # can move the group's seed timestamp by up to match_window, so
-        # the duplicate check is a +-match_window interval, not a key.
-        fresh = []
-        for g in groups:
-            if self._is_solved(g.timestamp, g.tx):
-                continue
-            if g.timestamp > now - self.settle_s:
-                continue  # may still gain detections
-            fresh.append(g)
-        results = pos_mod.solve(fresh, self.rx_pos)
+        use_batched = self.solver == "batched" or (
+            self.solver == "auto" and len(fresh) >= 16)
+        if use_batched:
+            results = pos_mod.solve_batched(fresh, self.rx_pos)
+        else:
+            results = pos_mod.solve(fresh, self.rx_pos)
         # Mark solved only what actually produced a fix: a group that
         # failed (e.g. underdetermined until a lagging receiver's
         # detections arrive) is retried on later steps.

@@ -160,11 +160,24 @@ def model_quality(pairs):
 
 def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
                    sample_rate, model_builder=build_model_poly,
-                   model_params=None):
+                   model_params=None, batched=None):
     """Estimate TDOAs for every mobile match group and receiver pair.
 
     Returns (tdoa_groups, failures).
+
+    With the default polynomial clock model this dispatches to the
+    vectorized implementation (:func:`estimate_tdoas_batched`): same
+    math, all windows fitted as batched 3x3 least-squares solves
+    instead of one np.polyfit per (group, pair).  ``batched=False``
+    forces the sequential reference path (other model builders always
+    use it).
     """
+    if batched is None:
+        batched = model_builder is build_model_poly and not model_params
+    if batched:
+        return estimate_tdoas_batched(
+            detections, matches, window_size, beacon_pos, rx_pos,
+            sample_rate)
     model_params = model_params or {}
     beacon_matches = [m for m in matches
                       if int(detections[m[0]]["txid"]) in beacon_pos]
@@ -223,6 +236,201 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
             groups.append(TdoaGroup(
                 group_id=group_idx, timestamp=group_ts, tx=tx,
                 tdoas=np.array(tdoas, dtype=TDOA_DTYPE)))
+    return groups, failures
+
+
+def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
+                           rx_pos, sample_rate):
+    """Vectorized TDOA estimation with the deg-2 polynomial clock model.
+
+    Numerically equivalent to :func:`estimate_tdoas` with
+    :func:`build_model_poly` (cross-checked in tests), restructured for
+    production rates: instead of one np.polyfit + np.poly1d per
+    (mobile group x receiver pair), all distinct beacon windows are
+    gathered into padded [W, Kmax] arrays, MAD outlier rejection and
+    centered/scaled quadratic fits run as one batched 3x3
+    normal-equation solve, and every TDOA evaluates in one vector pass.
+    """
+    beacon_matches = [m for m in matches
+                      if int(detections[m[0]]["txid"]) in beacon_pos]
+    mobile_matches = [(i, m) for i, m in enumerate(matches)
+                      if int(detections[m[0]]["txid"]) not in beacon_pos]
+
+    sdoa_memo = {}  # pure geometry: constant per (rx0, rx1, beacon)
+
+    def expected_sdoa(rx0, rx1, beacon_id):
+        k = (rx0, rx1, beacon_id)
+        v = sdoa_memo.get(k)
+        if v is None:
+            v = (_dist(rx_pos[rx0], beacon_pos[beacon_id])
+                 - _dist(rx_pos[rx1], beacon_pos[beacon_id])) \
+                / SPEED_OF_LIGHT * sample_rate
+            sdoa_memo[k] = v
+        return v
+
+    # -- per receiver-pair sorted beacon arrays ------------------------------
+    by_key = collections.defaultdict(list)
+    for group in beacon_matches:
+        for i0, i1 in itertools.combinations(group, 2):
+            if detections[i0]["rxid"] > detections[i1]["rxid"]:
+                i0, i1 = i1, i0
+            by_key[(int(detections[i0]["rxid"]),
+                    int(detections[i1]["rxid"]))].append((i0, i1))
+    beacon_arrays = {}
+    for key, plist in by_key.items():
+        b0 = detections[[p[0] for p in plist]]
+        b1 = detections[[p[1] for p in plist]]
+        order = np.argsort(b0["timestamp"], kind="stable")
+        b0, b1 = b0[order], b1[order]
+        txs = b0["txid"].astype(np.int64)
+        uniq_tx = np.unique(txs)
+        tx_sdoa = {int(t): expected_sdoa(key[0], key[1], int(t))
+                   for t in uniq_tx}
+        sdoa_exp = np.array([tx_sdoa[int(t)] for t in txs])
+        beacon_arrays[key] = {
+            "t": b0["timestamp"].astype(np.float64),
+            "soa0": b0["soa"].astype(np.float64),
+            "soa1": b1["soa"].astype(np.float64),
+            "x": b1["soa"].astype(np.float64) + sdoa_exp,
+            "snr": ((b0["energy"] / b0["noise"]) ** 2
+                    + (b1["energy"] / b1["noise"]) ** 2) / 2.0,
+        }
+
+    # -- gather all (mobile group, pair) rows --------------------------------
+    rows_gid, rows_key = [], []
+    rows_i0, rows_i1 = [], []
+    failures = []
+    group_meta = {}  # group_idx -> (timestamp, tx)
+    for group_idx, group in mobile_matches:
+        group_meta[group_idx] = (
+            float(detections[group[0]]["timestamp"]),
+            int(detections[group[0]]["txid"]))
+        for i0, i1 in itertools.combinations(group, 2):
+            if detections[i0]["rxid"] > detections[i1]["rxid"]:
+                i0, i1 = i1, i0
+            key = (int(detections[i0]["rxid"]),
+                   int(detections[i1]["rxid"]))
+            if key not in beacon_arrays:
+                failures.append((i0, i1))
+                continue
+            rows_gid.append(group_idx)
+            rows_key.append(key)
+            rows_i0.append(i0)
+            rows_i1.append(i1)
+    if not rows_gid:
+        return [], failures
+
+    det0 = detections[rows_i0]
+    det1 = detections[rows_i1]
+    n_rows = len(rows_gid)
+    row_tdoa = np.full(n_rows, np.nan)
+    row_quality = np.zeros(n_rows)
+    row_ok = np.zeros(n_rows, dtype=bool)
+
+    # -- per pair key: window extraction + batched fits + evaluation ---------
+    keys = sorted(set(rows_key))
+    rows_key = np.array(
+        [keys.index(k) for k in rows_key], dtype=np.int64)
+    for key_id, key in enumerate(keys):
+        sel = np.nonzero(rows_key == key_id)[0]
+        arr = beacon_arrays[key]
+        t = arr["t"]
+        ts0 = det0["timestamp"][sel]
+        left = np.searchsorted(t, ts0 - window_size, side="left")
+        right = np.searchsorted(t, ts0 + window_size, side="right")
+        # Distinct windows (the model memoization, vectorized).
+        win, inv = np.unique(
+            np.stack([left, right], axis=1), axis=0, return_inverse=True)
+        wl, wr = win[:, 0], win[:, 1]
+        counts = wr - wl
+        kmax = int(counts.max()) if len(counts) else 0
+        if kmax < 3:
+            # No window can constrain a quadratic fit.
+            failures.extend(
+                (int(rows_i0[i]), int(rows_i1[i])) for i in sel)
+            continue
+        idx = wl[:, None] + np.arange(kmax)[None, :]
+        valid = idx < wr[:, None]
+        idx = np.minimum(idx, len(t) - 1)
+        x = arr["x"][idx]
+        y = arr["soa0"][idx]
+        snr_b = arr["snr"][idx]
+        # MAD outlier rejection on the raw SDOA within each window
+        # (reference tdoa_est.py:43-73), batched with NaN padding.
+        sdoa_raw = np.where(valid, arr["soa0"][idx] - arr["soa1"][idx],
+                            np.nan)
+        med = np.nanmedian(sdoa_raw, axis=1, keepdims=True)
+        diff = np.abs(sdoa_raw - med)
+        mad = np.nanmedian(diff, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            outlier = (0.6745 * diff / mad) > 3.5
+        outlier &= mad > 0
+        keep = valid & ~np.where(np.isnan(sdoa_raw), True, outlier)
+        kcount = keep.sum(axis=1)
+        fit_ok = kcount >= 3
+        m = keep.astype(np.float64)
+        # Centered/scaled quadratic least squares: identical fitted
+        # polynomial to np.polyfit, conditioned for soa ~ 1e9.
+        denom = np.maximum(kcount, 1)[:, None]
+        xm = (x * m).sum(1, keepdims=True) / denom
+        ym = (y * m).sum(1, keepdims=True) / denom
+        xs = np.sqrt(((x - xm) ** 2 * m).sum(1, keepdims=True) / denom)
+        xs = np.where(xs > 0, xs, 1.0)
+        xn = (x - xm) / xs * m
+        yn = (y - ym) * m
+        v = np.stack([xn * xn, xn, m], axis=-1)  # [W, K, 3]
+        a = np.einsum("wki,wkj->wij", v, v)
+        b = np.einsum("wki,wk->wi", v, yn)
+        # Tiny Tikhonov floor only to keep the batched solve finite for
+        # unusable windows (excluded by fit_ok anyway).
+        a = a + np.eye(3) * 1e-9 * np.where(fit_ok, 0.0, 1.0)[:, None,
+                                                              None]
+        try:
+            coef = np.linalg.solve(a, b[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            a = a + np.eye(3) * 1e-9
+            coef = np.linalg.solve(a, b[..., None])[..., 0]
+        quality = (snr_b * m).sum(1) / np.maximum(kcount, 1)
+
+        # Evaluate every row against its window's model.
+        r_ok = fit_ok[inv]
+        xe = (det1["soa"][sel] - xm[inv, 0]) / xs[inv, 0]
+        pred = ym[inv, 0] + (coef[inv, 0] * xe + coef[inv, 1]) * xe \
+            + coef[inv, 2]
+        tdoa_v = (det0["soa"][sel] - pred) / sample_rate
+        row_tdoa[sel] = tdoa_v
+        row_quality[sel] = quality[inv]
+        row_ok[sel] = r_ok
+        for i in sel[~r_ok]:
+            failures.append((int(rows_i0[i]), int(rows_i1[i])))
+
+    # -- reject non-physical TDOAs and assemble groups -----------------------
+    too_far = row_ok & ~(np.abs(row_tdoa) < MAX_TDOA)
+    for i in np.nonzero(too_far)[0]:
+        failures.append((int(rows_i0[i]), int(rows_i1[i])))
+    row_ok &= ~too_far
+
+    snr = ((det0["energy"] / det0["noise"]) ** 2
+           + (det1["energy"] / det1["noise"]) ** 2) / 2.0
+    groups = []
+    rows_gid = np.asarray(rows_gid)
+    rx0s = det0["rxid"]
+    rx1s = det1["rxid"]
+    for group_idx, _ in mobile_matches:
+        sel = np.nonzero((rows_gid == group_idx) & row_ok)[0]
+        if len(sel) == 0:
+            continue
+        tdoas = np.zeros(len(sel), dtype=TDOA_DTYPE)
+        tdoas["rx0"] = rx0s[sel]
+        tdoas["rx1"] = rx1s[sel]
+        tdoas["tdoa"] = row_tdoa[sel]
+        tdoas["snr"] = snr[sel]
+        tdoas["model_quality"] = row_quality[sel]
+        tdoas["det0_idx"] = [rows_i0[i] for i in sel]
+        tdoas["det1_idx"] = [rows_i1[i] for i in sel]
+        ts, tx = group_meta[group_idx]
+        groups.append(TdoaGroup(
+            group_id=group_idx, timestamp=ts, tx=tx, tdoas=tdoas))
     return groups, failures
 
 
