@@ -50,6 +50,38 @@ class TestFusedPowerPeak:
             x, mask, row_tile=8, chunk=256, interpret=True)
         assert np.all(np.asarray(idx) == 1000)
 
+    @pytest.mark.parametrize("layout", ["interleaved", "planes"])
+    def test_layouts_match_reference(self, layout):
+        """Both kernel layouts reproduce the reference exactly."""
+        x, mask = make_data(seed=7)
+        import jax.numpy as jnp
+        ref = pk.fused_power_peak_reference(
+            jnp.real(x), jnp.imag(x), jnp.asarray(mask))
+        got = pk.fused_power_peak(x, mask, row_tile=8, chunk=512,
+                                  interpret=True, layout=layout)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                                   rtol=1e-5)
+
+    def test_interleaved_peak_at_chunk_edges(self):
+        """Pairs at chunk boundaries: the roll wraps within a chunk but
+        only garbage odd lanes are affected; peaks at the first/last
+        complex sample of a chunk must survive."""
+        b, n, chunk = 8, 2048, 512
+        for peak_pos in (0, chunk // 2 - 1, chunk // 2,
+                         n - chunk // 2, n - 1):
+            x = np.full((b, n), 0.01 + 0.01j, dtype=np.complex64)
+            x[:, peak_pos] = 7.0 - 2.0j
+            mask = np.ones(n, dtype=bool)
+            idx, peak, total = pk.fused_power_peak(
+                x, mask, row_tile=8, chunk=chunk, interpret=True,
+                layout="interleaved")
+            assert np.all(np.asarray(idx) == peak_pos), peak_pos
+            np.testing.assert_allclose(np.asarray(peak), 53.0, rtol=1e-6)
+
     def test_unaligned_shapes_fall_back(self):
         rng = np.random.default_rng(2)
         x = rng.normal(size=(3, 1000)).astype(np.complex64)  # unaligned

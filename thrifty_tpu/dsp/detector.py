@@ -65,11 +65,16 @@ class DetectorConfig:
     # (block_len//carrier_len - 1)*2 (carrier_sync.py:106-108), or an
     # explicit odd filter length.
     peak_filter_len: int = 0
-    # Pallas fused peak/energy kernel ('on'/'off'/'auto').  Measured on
-    # TPU v5e, XLA's own fusion of the |x|^2/argmax/sum reductions beats
-    # the hand-written kernel (the separate real/imag planes cost an
-    # extra HBM pass), so 'auto' currently resolves to off; the kernel
-    # remains available for experimentation.
+    # Pallas fused peak/energy kernel ('on'/'off'/'auto').  The
+    # interleaved-complex kernel (zero-copy bitcast; power at even
+    # lanes via x^2 + roll(x^2,-1)) measures 1.24x over XLA's own
+    # fusion on TPU v5e for the complex-input path (median 4.32e10 vs
+    # 3.48e10 IQ samples/s, 5-trial A/B; see docs/performance.md) and
+    # is neutral on the input-bandwidth-bound raw path, so 'auto'
+    # resolves to ON on TPU (when the static constraints below hold)
+    # and OFF on CPU.  Round 1's separate-plane kernel lost ~30% to
+    # the extra HBM materialization pass -- kept as layout='planes'
+    # in pallas_kernels for comparison.
     use_pallas: str = "auto"
 
 
@@ -223,7 +228,12 @@ class BatchDetector:
                     "threshold term, corr_interp='gaussian' and "
                     "carrier_interp='dirichlet'".format(batch))
             return True
-        return False  # 'auto': XLA fusion measured faster; see config
+        # 'auto': the interleaved kernel wins on TPU; on CPU the
+        # kernels fall back to the jnp reference anyway, so keep the
+        # straight-line XLA program there.
+        import jax
+
+        return ok and jax.default_backend() != "cpu"
 
     def _detect_batch(self, blocks):
         if self._pallas_enabled(blocks.shape[0]):

@@ -8,9 +8,20 @@ the total power sum -- the exact inputs the carrier and correlation
 threshold formulas need (peak_mag = sqrt(peak_power), noise from the
 energy sum).  HBM traffic drops from ~4 passes over the array to 1.
 
-Complex data is passed as separate real/imag float32 planes (TPU Pallas
-has no complex dtype).  A jnp reference implementation is provided for
-CPU tests and as numerical documentation.
+TPU Pallas has no complex dtype; two layouts are implemented:
+
+* ``interleaved`` (default): the complex64 array is bitcast in place
+  to float32 [B, 2N] (re, im interleaved) -- ZERO extra HBM traffic on
+  the way in.  In-kernel, power at even lanes is x^2 + roll(x^2, -1)
+  and the window mask lives only on even lanes; the argmax is halved
+  on the way out.
+* ``planes``: separate jnp.real/jnp.imag float32 planes.  Simple, but
+  materializing the planes costs an extra read+2x write pass over the
+  array before the kernel runs (measured ~30% slower end-to-end on
+  TPU v5e in round 1).
+
+A jnp reference implementation is provided for CPU tests and as
+numerical documentation.
 """
 
 from __future__ import annotations
@@ -99,35 +110,114 @@ def _fused_call(re, im, mask_f32, row_tile, chunk, interpret=False):
     return idx[:, 0], peak[:, 0], total[:, 0]
 
 
-def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None):
+def _kernel_interleaved(y_ref, mask_ref, idx_ref, peak_ref, sum_ref,
+                        *, chunk):
+    """Single-pass reduction over one [TB, chunk] tile of interleaved
+    float32 (re, im) data.
+
+    power_k sits at even lane 2k as y^2 + roll(y^2, -1); odd lanes hold
+    garbage pair sums and are masked out (the mask is non-zero only on
+    even lanes, so pairs never straddle the roll's chunk wrap).
+    """
+    j = pl.program_id(1)
+
+    y = y_ref[...]
+    p = y * y
+    q = p + pltpu.roll(p, shift=chunk - 1, axis=1)  # == roll(p, -1)
+    masked = jnp.where(mask_ref[...] != 0, q, -1.0)
+
+    local_arg = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    local_max = jnp.max(masked, axis=-1)
+    local_sum = jnp.sum(p, axis=-1)  # re^2 + im^2 across the two lanes
+    local_arg = local_arg + j * chunk
+
+    @pl.when(j == 0)
+    def _():
+        idx_ref[...] = local_arg[:, None]
+        peak_ref[...] = local_max[:, None]
+        sum_ref[...] = local_sum[:, None]
+
+    @pl.when(j != 0)
+    def _():
+        better = local_max > peak_ref[..., 0]
+        idx_ref[...] = jnp.where(better, local_arg, idx_ref[..., 0])[:, None]
+        peak_ref[...] = jnp.where(
+            better, local_max, peak_ref[..., 0])[:, None]
+        sum_ref[...] = (sum_ref[..., 0] + local_sum)[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_tile", "chunk", "interpret"))
+def _fused_call_interleaved(y, mask_f32, row_tile, chunk,
+                            interpret=False):
+    b, n2 = y.shape
+    grid = (b // row_tile, n2 // chunk)
+
+    data_spec = pl.BlockSpec(
+        (row_tile, chunk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (1, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (row_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+
+    idx, peak, total = pl.pallas_call(
+        functools.partial(_kernel_interleaved, chunk=chunk),
+        grid=grid,
+        in_specs=[data_spec, mask_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y, mask_f32)
+    # The argmax lives on even interleaved lanes: halve to sample index.
+    return jnp.right_shift(idx[:, 0], 1), peak[:, 0], total[:, 0]
+
+
+def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None,
+                     layout="interleaved"):
     """One-pass windowed power argmax + peak + energy over [B, N] complex.
 
     Parameters
     ----------
     x : [B, N] complex array (device)
     mask : [N] bool numpy array (window; True = searchable)
+    layout : 'interleaved' (bitcast in place, default) or 'planes'
+        (separate re/im float32 arrays; costs an extra HBM pass).
     Returns (peak_idx int32 [B], peak_power f32 [B], total_power f32 [B]).
 
     Falls back to the jnp reference when shapes do not tile cleanly.
     """
     b, n = x.shape
     mask = np.asarray(mask)
+
+    if interpret is None:
+        if jax.devices()[0].platform == "cpu":
+            # Compiled CPU path: interpreter is slow; use the reference.
+            re = jnp.real(x).astype(jnp.float32)
+            im = jnp.imag(x).astype(jnp.float32)
+            return fused_power_peak_reference(re, im, jnp.asarray(mask))
+        interpret = False
+
+    if layout == "interleaved" and x.dtype == jnp.complex64 \
+            and (2 * n) % chunk == 0 and b % row_tile == 0 \
+            and chunk % LANE == 0:
+        y = jnp.asarray(x).view(jnp.float32)  # [B, 2N], zero-copy view
+        mask_ilv = np.zeros(2 * n, dtype=np.float32)
+        mask_ilv[0::2] = mask
+        return _fused_call_interleaved(
+            y, jnp.asarray(mask_ilv)[None, :], row_tile, chunk,
+            interpret=interpret)
+
     re = jnp.real(x).astype(jnp.float32)
     im = jnp.imag(x).astype(jnp.float32)
-
     usable = (
         n % chunk == 0 and b % row_tile == 0 and chunk % LANE == 0
     )
     if not usable:
         return fused_power_peak_reference(re, im, jnp.asarray(mask))
-
-    if interpret is None:
-        on_tpu = jax.devices()[0].platform != "cpu"
-        if not on_tpu:
-            # Compiled CPU path: interpreter is slow; use the reference.
-            return fused_power_peak_reference(re, im, jnp.asarray(mask))
-        interpret = False
-
     mask_f32 = jnp.asarray(mask.astype(np.float32))[None, :]
     return _fused_call(re, im, mask_f32, row_tile, chunk,
                        interpret=interpret)
