@@ -188,6 +188,9 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=256,
                         help="blocks per device batch [default: 256]")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timing runs; the median is reported "
+                             "[default: 3]")
     parser.add_argument("--oracle-blocks", type=int, default=8,
                         help="blocks timed on the numpy baseline (8 blocks "
                              "= two burst periods, so the baseline sees the "
@@ -261,7 +264,14 @@ def main(argv=None):
         with jax.profiler.trace(args.profile):
             sec_per_batch = timer()
     else:
-        sec_per_batch = timer()
+        # Per-run spread through this environment's relay is +-20%
+        # (docs/performance.md): report the median of several timing
+        # runs so the recorded figure is stable run-to-run.
+        runs = sorted(timer() for _ in range(args.repeats))
+        sec_per_batch = runs[len(runs) // 2]
+        if args.verbose and len(runs) > 1:
+            print("timing runs (s/batch): {}".format(
+                ["{:.5f}".format(r) for r in runs]), file=sys.stderr)
     samples_per_s = args.batch * new_len / sec_per_batch
 
     # Baseline: float64 numpy implementation of the reference equations.
