@@ -21,6 +21,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define TTPU_X86 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -58,12 +63,98 @@ static void b64_init() {
     b64_init_done = true;
 }
 
+#ifdef TTPU_X86
+// AVX2 fast path: 32 base64 chars -> 24 bytes per iteration.
+//
+// Character classification is done with plain signed byte compares
+// against the five alphabet ranges (A-Z, a-z, 0-9, '+', '/') and the
+// per-range ASCII->value delta is blended in; any byte outside every
+// range aborts to the scalar path (which also handles '=' padding).
+// The 6-bit values are packed with the two-step maddubs/madd merge:
+//   16-bit lane = v_even<<6 | v_odd, 32-bit lane = quad<<12 merge,
+// giving the 24-bit group in bytes [2,1,0] of each dword; an in-lane
+// pshufb + cross-lane permute compacts the 4x3 bytes per 128-bit lane
+// into 24 contiguous output bytes.
+__attribute__((target("avx2")))
+static int64_t b64_decode_avx2(const char* in, int64_t in_len,
+                               uint8_t* out, int64_t out_cap,
+                               int64_t* out_written) {
+    int64_t i = 0, o = 0;
+    const __m256i c_A = _mm256_set1_epi8('A' - 1);
+    const __m256i c_Z = _mm256_set1_epi8('Z' + 1);
+    const __m256i c_a = _mm256_set1_epi8('a' - 1);
+    const __m256i c_z = _mm256_set1_epi8('z' + 1);
+    const __m256i c_0 = _mm256_set1_epi8('0' - 1);
+    const __m256i c_9 = _mm256_set1_epi8('9' + 1);
+    const __m256i c_plus = _mm256_set1_epi8('+');
+    const __m256i c_slash = _mm256_set1_epi8('/');
+    const __m256i d_upper = _mm256_set1_epi8(-65);   // 'A' -> 0
+    const __m256i d_lower = _mm256_set1_epi8(-71);   // 'a' -> 26
+    const __m256i d_digit = _mm256_set1_epi8(4);     // '0' -> 52
+    const __m256i d_plus = _mm256_set1_epi8(19);     // '+' -> 62
+    const __m256i d_slash = _mm256_set1_epi8(16);    // '/' -> 63
+    const __m256i merge16 = _mm256_set1_epi32(0x01400140);
+    const __m256i merge32 = _mm256_set1_epi32(0x00011000);
+    const __m256i pack = _mm256_setr_epi8(
+        2, 1, 0, 6, 5, 4, 10, 9, 8, 14, 13, 12, -1, -1, -1, -1,
+        2, 1, 0, 6, 5, 4, 10, 9, 8, 14, 13, 12, -1, -1, -1, -1);
+    const __m256i lanes = _mm256_setr_epi32(0, 1, 2, 4, 5, 6, 7, 7);
+
+    while (i + 32 <= in_len && o + 32 <= out_cap) {
+        __m256i x = _mm256_loadu_si256((const __m256i*)(in + i));
+        __m256i up = _mm256_and_si256(_mm256_cmpgt_epi8(x, c_A),
+                                      _mm256_cmpgt_epi8(c_Z, x));
+        __m256i lo = _mm256_and_si256(_mm256_cmpgt_epi8(x, c_a),
+                                      _mm256_cmpgt_epi8(c_z, x));
+        __m256i di = _mm256_and_si256(_mm256_cmpgt_epi8(x, c_0),
+                                      _mm256_cmpgt_epi8(c_9, x));
+        __m256i pl = _mm256_cmpeq_epi8(x, c_plus);
+        __m256i sl = _mm256_cmpeq_epi8(x, c_slash);
+        __m256i any = _mm256_or_si256(
+            _mm256_or_si256(_mm256_or_si256(up, lo), di),
+            _mm256_or_si256(pl, sl));
+        if (_mm256_movemask_epi8(any) != -1)
+            break;  // padding / junk: scalar tail handles it
+        __m256i delta = _mm256_or_si256(
+            _mm256_or_si256(_mm256_and_si256(up, d_upper),
+                            _mm256_and_si256(lo, d_lower)),
+            _mm256_or_si256(
+                _mm256_and_si256(di, d_digit),
+                _mm256_or_si256(_mm256_and_si256(pl, d_plus),
+                                _mm256_and_si256(sl, d_slash))));
+        __m256i v = _mm256_add_epi8(x, delta);  // 6-bit values
+        __m256i m16 = _mm256_maddubs_epi16(v, merge16);
+        __m256i m32 = _mm256_madd_epi16(m16, merge32);
+        __m256i packed = _mm256_shuffle_epi8(m32, pack);
+        __m256i outv = _mm256_permutevar8x32_epi32(packed, lanes);
+        _mm256_storeu_si256((__m256i*)(out + o), outv);
+        i += 32;
+        o += 24;
+    }
+    *out_written = o;
+    return i;
+}
+
+static bool b64_have_avx2() {
+    static int cached = -1;
+    if (cached < 0) cached = __builtin_cpu_supports("avx2") ? 1 : 0;
+    return cached == 1;
+}
+#endif  // TTPU_X86
+
 // Decode one base64 string; returns decoded byte count or -1 on error.
 int ttpu_b64_decode(const char* in, int64_t in_len, uint8_t* out,
                     int64_t out_cap) {
     b64_init();
     int64_t o = 0;
     int64_t i = 0;
+#ifdef TTPU_X86
+    if (b64_have_avx2()) {
+        int64_t wrote = 0;
+        i = b64_decode_avx2(in, in_len, out, out_cap, &wrote);
+        o = wrote;
+    }
+#endif
 #if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
     // Fast path (little-endian only: the 32-bit store's byte order is
     // part of the table encoding): whole 4-char groups with >=4 bytes
