@@ -13,8 +13,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.parametrize("command", sorted(COMMANDS))
 def test_help(command):
-    if command == "scope":
-        pytest.skip("stub prints guidance instead of argparse help")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     code = (

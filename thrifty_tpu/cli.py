@@ -35,7 +35,7 @@ Utilities:
     template_generate Generate a new (ideal) Gold-code template
     template_extract  Extract a template from captured data
     gold              Generate Gold codes / print code stats
-    scope             Live signal scope (not supported; stub)
+    scope             Live time/freq/histogram scope with triggers
     bench             Run the detector benchmark
 
 Use 'thrifty-tpu help <command>' for a command's arguments."""
