@@ -72,7 +72,7 @@ class StreamPump:
 
     def __init__(self, stream, block_size, history, batch_size,
                  capacity_bytes=1 << 25, chunk_bytes=1 << 18,
-                 timestamper=None, sample_rate=2.4e6):
+                 timestamper=None, sample_rate=2.4e6, t0=None):
         from thrifty_tpu import native  # ImportError -> caller falls back
 
         self._native = native
@@ -84,6 +84,11 @@ class StreamPump:
         self._chunk = chunk_bytes
         self._timestamper = timestamper or time_mod.time
         self._sample_rate = sample_rate
+        # With t0 set, timestamps are synthesized deterministically from
+        # the stream position (t0 + block_idx * block_dt) instead of the
+        # wall clock -- for re-analyzing recorded raw streams whose
+        # start time is known.
+        self._t0 = t0
         self._ring = native.RingBuffer(capacity_bytes)
         self._reader = threading.Thread(target=self._pump, daemon=True)
         self._reader_error = None
@@ -130,7 +135,10 @@ class StreamPump:
             # 0.2 s window (the reference stamps every block at capture).
             block_dt = (self._block_bytes - self._hist_bytes) / 2 \
                 / self._sample_rate
-            ts = stamp - (n_blocks - 1 - np.arange(n_blocks)) * block_dt
+            if self._t0 is not None:
+                ts = self._t0 + idx * block_dt
+            else:
+                ts = stamp - (n_blocks - 1 - np.arange(n_blocks)) * block_dt
             yield ts.astype(np.float64), idx, raw
             if len(data) < want:
                 break

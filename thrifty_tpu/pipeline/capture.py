@@ -187,14 +187,26 @@ def _record_main(config, args):
         from thrifty_tpu.io.stream import StreamPump
         pump = StreamPump(in_stream, config.block_size,
                           config.block_history, config.batch_size,
-                          sample_rate=config.sample_rate)
+                          sample_rate=config.sample_rate, t0=args.t0)
         batches = pump.batches()
     except ImportError:
         from thrifty_tpu.io import blocks as blocks_io
         pump = None
-        batches = blocks_io.raw_batches(
-            in_stream, config.block_size, config.block_history,
-            config.batch_size)
+        if args.t0 is not None:
+            block_dt = (config.block_size - config.block_history) \
+                / config.sample_rate
+            counter = {"n": 0}
+
+            def stamper():
+                counter["n"] += 1
+                return args.t0 + (counter["n"] - 1) * block_dt
+            batches = blocks_io.raw_batches(
+                in_stream, config.block_size, config.block_history,
+                config.batch_size, timestamper=stamper)
+        else:
+            batches = blocks_io.raw_batches(
+                in_stream, config.block_size, config.block_history,
+                config.batch_size)
 
     def _terminate(signum, frame):
         raise KeyboardInterrupt
@@ -242,6 +254,11 @@ def _main(argv=None):
                              "--raw-in mode)")
     parser.add_argument("--quiet", action="store_true",
                         help="suppress per-block detection lines")
+    parser.add_argument("--t0", type=float, default=None,
+                        help="stamp blocks deterministically as "
+                             "t0 + block_idx*block_dt instead of the "
+                             "wall clock (re-analyzing recorded raw "
+                             "streams with a known start time)")
     parser.add_argument("--capture-cmd", type=str, default="fastcard",
                         help="capture binary to spawn [default: fastcard]")
     keys = ["sample_rate", "tuner_freq", "tuner_gain", "block_size",
