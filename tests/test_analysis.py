@@ -105,6 +105,21 @@ def test_detect_analysis_stats_and_npz(world, capsys, tmp_path):
     assert "b4_corr_mag" in data
 
 
+def test_detect_analysis_fastdet_mode(world, capsys):
+    """--fastdet analyzes with fastdet's exact numerics: offsets are
+    clipped to +-0.5 and the carrier offset is parabolic."""
+    detect_analysis._main([
+        str(world / "rx0.card"), "--blocks", "4", "--fastdet",
+        "--template", str(world / "template.npy"),
+        "--carrier-window", "7 - 110"])
+    out = capsys.readouterr().out
+    assert "block 4: carrier: yes" in out
+    import re
+    offs = [float(x) for x in re.findall(r"@ (?:bin )?-?\d+([+-]\d+\.\d+)",
+                                         out)]
+    assert offs and all(abs(o) <= 0.5 for o in offs)
+
+
 def test_detect_analysis_export_pdf(world, tmp_path):
     pdf = str(tmp_path / "diag.pdf")
     detect_analysis._main([

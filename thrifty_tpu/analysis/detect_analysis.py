@@ -22,7 +22,8 @@ from thrifty_tpu.config import settings as settings_mod
 from thrifty_tpu.config.parsers import normalize_freq_range
 from thrifty_tpu.io import card
 from thrifty_tpu.io import tpl as tpl_io
-from thrifty_tpu.oracle.numpy_ref import OracleDetector, dirichlet_kernel
+from thrifty_tpu.oracle.numpy_ref import (
+    FastdetOracleDetector, OracleDetector, dirichlet_kernel)
 
 PLOTS = ["hist", "iq", "mag", "fft", "fft_window", "psd",
          "carrier_zoom", "carrier_interp", "filtered_fft",
@@ -54,12 +55,10 @@ class BlockDiagnostics:
         if self.carrier_detected:
             self.carrier_offset = float(
                 oracle.carrier_interpolate(self.fft_mag, self.carrier_bin))
-            shift = -(self.carrier_bin + self.carrier_offset)
-            shifted = oracle.freq_shift_fft(self.block, shift)
+            shifted = oracle.sync_fft(
+                self.block, self.fft, self.carrier_bin, self.carrier_offset)
             self.shifted_fft = shifted
-            n = len(self.block)
-            self.synced = self.block * np.exp(
-                2j * np.pi * shift * (np.arange(n) / n - 0.5))
+            self.synced = np.fft.ifft(shifted)
             energy = np.sum(np.abs(self.block) ** 2)
             (self.detected, self.corr_sample, self.corr_offset,
              self.corr_energy, self.corr_noise) = oracle.soa_estimate(
@@ -264,10 +263,7 @@ class BlockDiagnostics:
         # when the carrier estimate is good.
         start = self.corr_sample
         tlen = len(self.template)
-        n = len(self.block)
-        shift = -(self.carrier_bin + self.carrier_offset)
-        ramp = np.exp(2j * np.pi * shift * (np.arange(n) / n - 0.5))
-        seg = (self.block * ramp)[start:start + tlen]
+        seg = self.synced[start:start + tlen]
         ax.plot(np.unwrap(np.angle(seg[np.abs(seg) > 0.1 * np.max(
             np.abs(seg))])), lw=0.4)
         ax.set_ylabel("phase (rad)")
@@ -276,10 +272,7 @@ class BlockDiagnostics:
     def _plot_template_overlay(self, ax):
         start = self.corr_sample
         tlen = len(self.template)
-        shifted = self.block * np.exp(
-            2j * np.pi * (-(self.carrier_bin + self.carrier_offset))
-            * (np.arange(len(self.block)) / len(self.block) - 0.5))
-        cut = np.abs(shifted[start:start + tlen])
+        cut = np.abs(self.synced[start:start + tlen])
         cut = cut / np.max(cut)
         ax.plot(cut, lw=0.3, label="|captured|")
         ax.plot((self.template > 0) * np.max(cut), lw=0.3, alpha=0.7,
@@ -298,6 +291,10 @@ def _main(argv=None):
                              "[default: all detected]")
     parser.add_argument("--force", action="store_true",
                         help="zero the thresholds (analyze all blocks)")
+    parser.add_argument("--fastdet", action="store_true",
+                        help="analyze with fastdet's numerics (integer "
+                             "roll, parabolic carrier offset, 0.5 clips) "
+                             "instead of the Python reference's")
     parser.add_argument("--plots", type=str, default=",".join(PLOTS),
                         help="comma-separated plot names [default: all]")
     parser.add_argument("--export", type=str, default=None,
@@ -313,7 +310,8 @@ def _main(argv=None):
         config.carrier_window, config.sample_rate / config.block_size)
     thresh_c = (0.0, 0.0, 0.0) if args.force else config.carrier_threshold
     thresh_u = (0.0, 0.0, 0.0) if args.force else config.corr_threshold
-    oracle = OracleDetector(
+    oracle_cls = FastdetOracleDetector if args.fastdet else OracleDetector
+    oracle = oracle_cls(
         template, block_len=config.block_size,
         history_len=config.block_history, carrier_thresh=thresh_c,
         carrier_window=window, corr_thresh=thresh_u)

@@ -114,6 +114,10 @@ class OracleDetector:
         freqs = np.arange(n) / n - 0.5
         return np.fft.fft(block * np.exp(2j * np.pi * shift * freqs))
 
+    def sync_fft(self, block, fft, c_bin, c_off):
+        """Carrier-removed FFT for the analysis tooling (fractional)."""
+        return self.freq_shift_fft(block, -(c_bin + c_off))
+
     # SoA stage (thrifty/soa_estimator.py:78-170)
     def soa_estimate(self, shifted_fft, signal_energy):
         corr = np.fft.ifft(shifted_fft * self.template_fft_conj)
@@ -200,6 +204,10 @@ class FastdetOracleDetector(OracleDetector):
         det, p_idx, p_off, p_mag, p_noise = super().soa_estimate(
             shifted_fft, signal_energy)
         return det, p_idx, float(np.clip(p_off, -0.5, 0.5)), p_mag, p_noise
+
+    def sync_fft(self, block, fft, c_bin, c_off):
+        """Integer-bin roll (fastdet/corr_detector.cpp:177-182)."""
+        return np.roll(fft, -c_bin)
 
     def detect_block(self, block) -> OracleResult:
         block = np.asarray(block, dtype=np.complex128)
