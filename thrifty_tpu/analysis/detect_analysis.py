@@ -173,18 +173,17 @@ class BlockDiagnostics:
 
     def _plot_filtered_fft(self, ax):
         # Dirichlet matched peak filter on the magnitude spectrum
-        # (reference carrier_detect.py:128-154): energy-domain FIR of
-        # the unit-energy peak-shaped weights.
+        # (reference carrier_detect.py:128-154), via the same FIR the
+        # detector uses so the displayed alignment matches detection.
+        from thrifty_tpu.dsp.carrier import apply_peak_filter
         from thrifty_tpu.dsp.dirichlet import dirichlet_weights
         n = self.oracle.block_len
         w = dirichlet_weights((n // self.oracle.carrier_len - 1) * 2,
                               n, self.oracle.carrier_len)
-        power = self.fft_mag ** 2
-        filt = np.sqrt(np.convolve(power, (w ** 2)[::-1],
-                                   mode="full")[len(w) - 1:len(w) - 1 + n])
-        delay = len(w) - int(np.argmax(w)) - 1
+        filt, delay = apply_peak_filter(self.fft_mag[None, :], w)
+        filt = np.roll(np.asarray(filt)[0], -delay)
         ax.plot(self.fft_mag, lw=0.3, label="|FFT|")
-        ax.plot(np.roll(filt, -delay), lw=0.5, label="peak-filtered")
+        ax.plot(filt, lw=0.5, label="peak-filtered")
         ax.set_yscale("log")
         ax.legend()
         ax.set_title("Dirichlet peak-filtered spectrum")
@@ -203,7 +202,9 @@ class BlockDiagnostics:
         # on an integer sample (reference plot_corr_peak_shifted).
         m = len(self.corr_complex)
         spec = np.fft.fft(self.corr_complex)
-        ramp = np.exp(-2j * np.pi * self.corr_offset
+        # Advance by +offset so the true peak (at sample + offset)
+        # lands on the integer sample.
+        ramp = np.exp(2j * np.pi * self.corr_offset
                       * np.fft.fftfreq(m))
         shifted = np.abs(np.fft.ifft(spec * ramp))
         idx = int(np.clip(self.corr_sample, 5, m - 6))

@@ -160,7 +160,7 @@ class OracleDetector:
         c_off = float(self.carrier_interpolate(fft_mag, c_idx))
         result.carrier_offset = c_off
 
-        shifted_fft = self.freq_shift_fft(block, -(c_idx + c_off))
+        shifted_fft = self.sync_fft(block, fft, c_idx, c_off)
         signal_energy = np.sum(np.abs(block) ** 2)
         det, p_idx, p_off, p_mag, p_noise = self.soa_estimate(
             shifted_fft, signal_energy)
@@ -197,8 +197,10 @@ class FastdetOracleDetector(OracleDetector):
         a = fft_mag[(peak_idx - 1) % n]
         b = fft_mag[peak_idx]
         c = fft_mag[(peak_idx + 1) % n]
-        offset = (c - a) / (4 * b - 2 * a - 2 * c)
-        return float(np.clip(offset, -0.5, 0.5))
+        den = 4 * b - 2 * a - 2 * c
+        if den == 0:  # flat neighborhood: no sub-bin information
+            return 0.0
+        return float(np.clip((c - a) / den, -0.5, 0.5))
 
     def soa_estimate(self, shifted_fft, signal_energy):
         det, p_idx, p_off, p_mag, p_noise = super().soa_estimate(
@@ -208,31 +210,3 @@ class FastdetOracleDetector(OracleDetector):
     def sync_fft(self, block, fft, c_bin, c_off):
         """Integer-bin roll (fastdet/corr_detector.cpp:177-182)."""
         return np.roll(fft, -c_bin)
-
-    def detect_block(self, block) -> OracleResult:
-        block = np.asarray(block, dtype=np.complex128)
-        fft = np.fft.fft(block)
-        fft_mag = np.abs(fft)
-        c_det, c_idx, c_mag, c_noise = self.carrier_detect(fft_mag)
-
-        result = OracleResult(
-            carrier_detect=bool(c_det), carrier_bin=c_idx,
-            carrier_offset=0.0, carrier_energy=float(c_mag),
-            carrier_noise=float(c_noise))
-        if not c_det:
-            return result
-
-        result.carrier_offset = self.carrier_interpolate(fft_mag, c_idx)
-
-        # Integer-bin frequency sync (corr_detector.cpp:177-182).
-        shifted_fft = np.roll(fft, -c_idx)
-        signal_energy = np.sum(np.abs(block) ** 2)
-        det, p_idx, p_off, p_mag, p_noise = self.soa_estimate(
-            shifted_fft, signal_energy)
-
-        result.detected = bool(det)
-        result.corr_sample = int(p_idx)
-        result.corr_offset = float(p_off)
-        result.corr_energy = float(p_mag)
-        result.corr_noise = float(p_noise)
-        return result
