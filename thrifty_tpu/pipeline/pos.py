@@ -173,14 +173,30 @@ def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False):
         tdoa_pad, mask, rx0, rx1, bounds, iters=iters,
         weights=weights if weighted else None))
 
+    dops = _dop_batched(positions, rx0, rx1, mask)
     results = []
     for i, g in enumerate(usable):
-        pairs = list(zip(g.tdoas["rx0"], g.tdoas["rx1"]))
         results.append(
-            (g.group_id, g.timestamp, g.tx,
-             dop(positions[i], rx_pos, pairs),
+            (g.group_id, g.timestamp, g.tx, dops[i],
              float(np.mean(g.tdoas["snr"]))) + tuple(positions[i]))
     return np.array(results, dtype=dtype)
+
+
+def _dop_batched(positions, rx0, rx1, mask):
+    """Vectorized DOP over padded groups; -1 where GtG is singular."""
+    p0 = rx0 - positions[:, None, :]
+    p1 = rx1 - positions[:, None, :]
+    d0 = np.maximum(np.linalg.norm(p0, axis=-1), 1e-12)
+    d1 = np.maximum(np.linalg.norm(p1, axis=-1), 1e-12)
+    g = (p0 / d0[..., None] - p1 / d1[..., None]) * mask[..., None]
+    gtg = np.einsum("gpi,gpj->gij", g, g)
+    dets = np.linalg.det(gtg)
+    ok = np.abs(dets) > 1e-12
+    dims = gtg.shape[-1]
+    safe = np.where(ok[:, None, None], gtg, np.eye(dims))
+    inv = np.linalg.inv(safe)
+    traces = np.trace(inv, axis1=-2, axis2=-1)
+    return np.where(ok, np.sqrt(np.maximum(traces, 0.0)), -1.0)
 
 
 def solve(tdoa_groups, rx_pos, weighted=False):

@@ -356,16 +356,27 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         y = arr["soa0"][idx]
         snr_b = arr["snr"][idx]
         # MAD outlier rejection on the raw SDOA within each window
-        # (reference tdoa_est.py:43-73), batched with NaN padding.
-        sdoa_raw = np.where(valid, arr["soa0"][idx] - arr["soa1"][idx],
-                            np.nan)
-        med = np.nanmedian(sdoa_raw, axis=1, keepdims=True)
+        # (reference tdoa_est.py:43-73), batched.  Masked medians via
+        # inf-padded sorts: np.nanmedian routes through numpy.ma and
+        # costs ~25% of the whole serve step at production rates.
+        kcnt = valid.sum(axis=1)
+        rows_w = np.arange(len(wl))
+
+        def masked_median(x, cnt):
+            srt = np.sort(np.where(valid, x, np.inf), axis=1)
+            lo = np.maximum((cnt - 1) // 2, 0)
+            hi = cnt // 2 if kmax > 0 else lo
+            hi = np.minimum(np.maximum(hi, 0), srt.shape[1] - 1)
+            return 0.5 * (srt[rows_w, lo] + srt[rows_w, hi])
+
+        sdoa_raw = arr["soa0"][idx] - arr["soa1"][idx]
+        med = masked_median(sdoa_raw, kcnt)[:, None]
         diff = np.abs(sdoa_raw - med)
-        mad = np.nanmedian(diff, axis=1, keepdims=True)
+        mad = masked_median(diff, kcnt)[:, None]
         with np.errstate(invalid="ignore", divide="ignore"):
             outlier = (0.6745 * diff / mad) > 3.5
         outlier &= mad > 0
-        keep = valid & ~np.where(np.isnan(sdoa_raw), True, outlier)
+        keep = valid & ~outlier
         kcount = keep.sum(axis=1)
         fit_ok = kcount >= 3
         m = keep.astype(np.float64)
