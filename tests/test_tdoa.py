@@ -51,17 +51,24 @@ class TestEstimate:
             # sub-nanosecond agreement on noiseless SoAs
             assert got == pytest.approx(want, abs=1e-9)
 
-    def test_batched_matches_sequential(self):
-        """The vectorized estimator reproduces the per-pair polyfit
-        path: same groups, same TDOAs (sub-picosecond), same
-        qualities, same failure multiset."""
+    @pytest.mark.parametrize("builder", [
+        tdoa.build_model_poly,
+        tdoa.build_model_nearest,
+        tdoa.build_model_weighted_poly,
+    ])
+    def test_batched_matches_sequential(self, builder):
+        """The vectorized estimator reproduces the sequential path for
+        every standard clock model: same groups, same TDOAs
+        (sub-picosecond), same qualities, same failure multiset."""
         det, matches = build_scenario(soa_noise=0.05, duration=40.0,
                                       mobile_times=tuple(
                                           np.arange(3.0, 38.0, 0.7)))
         seq_groups, seq_fail = tdoa.estimate_tdoas(
-            det, matches, 8, BEACON_POS, RX_POS, FS, batched=False)
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=builder, batched=False)
         bat_groups, bat_fail = tdoa.estimate_tdoas(
-            det, matches, 8, BEACON_POS, RX_POS, FS, batched=True)
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=builder, batched=True)
         assert len(bat_groups) == len(seq_groups)
         assert sorted(map(tuple, bat_fail)) == sorted(map(tuple, seq_fail))
         for sg, bg in zip(seq_groups, bat_groups):

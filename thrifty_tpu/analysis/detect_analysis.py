@@ -116,14 +116,22 @@ class BlockDiagnostics:
 
     def _plot_carrier_interp(self, ax):
         idx = self.carrier_bin
+        n = len(self.fft_mag)
         rel = np.arange(-8, 9)
-        ax.plot(rel, self.fft_mag[(idx + rel) % len(self.fft_mag)], "o",
-                label="FFT bins")
-        xs = np.linspace(-8, 8, 400)
-        model = self.carrier_energy * np.abs(dirichlet_kernel(
-            xs - self.carrier_offset, self.oracle.block_len,
-            self.oracle.carrier_len))
-        ax.plot(xs, model, "-", label="Dirichlet fit")
+        ax.plot(rel, self.fft_mag[(idx + rel) % n], "o", label="FFT bins")
+        if isinstance(self.oracle, FastdetOracleDetector):
+            # Parabola through the 3 points around the peak
+            # (fastdet/corr_detector.cpp:88-101).
+            y3 = self.fft_mag[(idx + np.arange(-1, 2)) % n]
+            coef = np.polyfit([-1.0, 0.0, 1.0], y3, 2)
+            xs = np.linspace(-2, 2, 200)
+            ax.plot(xs, np.polyval(coef, xs), "-", label="parabolic fit")
+        else:
+            xs = np.linspace(-8, 8, 400)
+            model = self.carrier_energy * np.abs(dirichlet_kernel(
+                xs - self.carrier_offset, self.oracle.block_len,
+                self.oracle.carrier_len))
+            ax.plot(xs, model, "-", label="Dirichlet fit")
         ax.axvline(self.carrier_offset, color="k", lw=0.5)
         ax.legend()
         ax.set_title("carrier sub-bin interpolation")

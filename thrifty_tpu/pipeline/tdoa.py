@@ -165,19 +165,24 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
 
     Returns (tdoa_groups, failures).
 
-    With the default polynomial clock model this dispatches to the
-    vectorized implementation (:func:`estimate_tdoas_batched`): same
-    math, all windows fitted as batched 3x3 least-squares solves
-    instead of one np.polyfit per (group, pair).  ``batched=False``
-    forces the sequential reference path (other model builders always
-    use it).
+    With the standard clock models (poly / nearest / weighted-poly,
+    no custom parameters) this dispatches to the vectorized
+    implementation (:func:`estimate_tdoas_batched`): same math, all
+    windows/rows fitted as batched least-squares solves instead of one
+    np.polyfit per (group, pair).  ``batched=False`` forces the
+    sequential reference path (custom model builders always use it).
     """
+    batched_models = {
+        build_model_poly: "poly",
+        build_model_nearest: "nearest",
+        build_model_weighted_poly: "weighted_poly",
+    }
     if batched is None:
-        batched = model_builder is build_model_poly and not model_params
+        batched = model_builder in batched_models and not model_params
     if batched:
         return estimate_tdoas_batched(
             detections, matches, window_size, beacon_pos, rx_pos,
-            sample_rate)
+            sample_rate, model=batched_models.get(model_builder, "poly"))
     model_params = model_params or {}
     beacon_matches = [m for m in matches
                       if int(detections[m[0]]["txid"]) in beacon_pos]
@@ -240,17 +245,26 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
 
 
 def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
-                           rx_pos, sample_rate):
-    """Vectorized TDOA estimation with the deg-2 polynomial clock model.
+                           rx_pos, sample_rate, model="poly"):
+    """Vectorized TDOA estimation with the standard clock models.
 
-    Numerically equivalent to :func:`estimate_tdoas` with
-    :func:`build_model_poly` (cross-checked in tests), restructured for
-    production rates: instead of one np.polyfit + np.poly1d per
-    (mobile group x receiver pair), all distinct beacon windows are
-    gathered into padded [W, Kmax] arrays, MAD outlier rejection and
-    centered/scaled quadratic fits run as one batched 3x3
-    normal-equation solve, and every TDOA evaluates in one vector pass.
+    Numerically equivalent to :func:`estimate_tdoas` with the
+    corresponding model builder (cross-checked in tests), restructured
+    for production rates: all distinct beacon windows are gathered into
+    padded [W, Kmax] arrays, MAD outlier rejection runs batched, and
+
+    * ``model='poly'``: one centered/scaled quadratic fit per distinct
+      window as a batched 3x3 normal-equation solve
+      (:func:`build_model_poly`);
+    * ``model='nearest'``: per-row nearest-beacon difference
+      (:func:`build_model_nearest`);
+    * ``model='weighted_poly'``: per-row proximity-weighted quadratic
+      fits (:func:`build_model_weighted_poly` -- weights depend on the
+      mobile detection, so the solve is per row, still batched).
     """
+    if model not in ("poly", "nearest", "weighted_poly"):
+        raise ValueError("unknown model: " + model)
+    min_pairs = 1 if model == "nearest" else 3
     beacon_matches = [m for m in matches
                       if int(detections[m[0]]["txid"]) in beacon_pos]
     mobile_matches = [(i, m) for i, m in enumerate(matches)
@@ -344,8 +358,8 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         wl, wr = win[:, 0], win[:, 1]
         counts = wr - wl
         kmax = int(counts.max()) if len(counts) else 0
-        if kmax < 3:
-            # No window can constrain a quadratic fit.
+        if kmax < min_pairs:
+            # No window can constrain the model.
             failures.extend(
                 (int(rows_i0[i]), int(rows_i1[i])) for i in sel)
             continue
@@ -378,37 +392,93 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         outlier &= mad > 0
         keep = valid & ~outlier
         kcount = keep.sum(axis=1)
-        fit_ok = kcount >= 3
+        fit_ok = kcount >= min_pairs
         m = keep.astype(np.float64)
-        # Centered/scaled quadratic least squares: identical fitted
-        # polynomial to np.polyfit, conditioned for soa ~ 1e9.
-        denom = np.maximum(kcount, 1)[:, None]
-        xm = (x * m).sum(1, keepdims=True) / denom
-        ym = (y * m).sum(1, keepdims=True) / denom
-        xs = np.sqrt(((x - xm) ** 2 * m).sum(1, keepdims=True) / denom)
-        xs = np.where(xs > 0, xs, 1.0)
-        xn = (x - xm) / xs * m
-        yn = (y - ym) * m
-        v = np.stack([xn * xn, xn, m], axis=-1)  # [W, K, 3]
-        a = np.einsum("wki,wkj->wij", v, v)
-        b = np.einsum("wki,wk->wi", v, yn)
-        # Tiny Tikhonov floor only to keep the batched solve finite for
-        # unusable windows (excluded by fit_ok anyway).
-        a = a + np.eye(3) * 1e-9 * np.where(fit_ok, 0.0, 1.0)[:, None,
-                                                              None]
-        try:
-            coef = np.linalg.solve(a, b[..., None])[..., 0]
-        except np.linalg.LinAlgError:
-            a = a + np.eye(3) * 1e-9
-            coef = np.linalg.solve(a, b[..., None])[..., 0]
         quality = (snr_b * m).sum(1) / np.maximum(kcount, 1)
-
-        # Evaluate every row against its window's model.
         r_ok = fit_ok[inv]
-        xe = (det1["soa"][sel] - xm[inv, 0]) / xs[inv, 0]
-        pred = ym[inv, 0] + (coef[inv, 0] * xe + coef[inv, 1]) * xe \
-            + coef[inv, 2]
-        tdoa_v = (det0["soa"][sel] - pred) / sample_rate
+
+        if model == "poly":
+            # Centered/scaled quadratic least squares: identical fitted
+            # polynomial to np.polyfit, conditioned for soa ~ 1e9.
+            denom = np.maximum(kcount, 1)[:, None]
+            xm = (x * m).sum(1, keepdims=True) / denom
+            ym = (y * m).sum(1, keepdims=True) / denom
+            xs = np.sqrt(((x - xm) ** 2 * m).sum(1, keepdims=True)
+                         / denom)
+            xs = np.where(xs > 0, xs, 1.0)
+            xn = (x - xm) / xs * m
+            yn = (y - ym) * m
+            v = np.stack([xn * xn, xn, m], axis=-1)  # [W, K, 3]
+            a = np.einsum("wki,wkj->wij", v, v)
+            b = np.einsum("wki,wk->wi", v, yn)
+            # Tiny Tikhonov floor only to keep the batched solve finite
+            # for unusable windows (excluded by fit_ok anyway).
+            a = a + np.eye(3) * 1e-9 * np.where(
+                fit_ok, 0.0, 1.0)[:, None, None]
+            try:
+                coef = np.linalg.solve(a, b[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                a = a + np.eye(3) * 1e-9
+                coef = np.linalg.solve(a, b[..., None])[..., 0]
+            xe = (det1["soa"][sel] - xm[inv, 0]) / xs[inv, 0]
+            pred = ym[inv, 0] + (coef[inv, 0] * xe + coef[inv, 1]) * xe \
+                + coef[inv, 2]
+            tdoa_v = (det0["soa"][sel] - pred) / sample_rate
+        elif model == "nearest":
+            # Difference against the nearest kept beacon transmission
+            # (build_model_nearest), one masked argmin per row.
+            keep_r = keep[inv]
+            dist = np.abs(arr["t"][idx][inv] - ts0[:, None])
+            dist = np.where(keep_r, dist, np.inf)
+            j = np.argmin(dist, axis=1)
+            rr = np.arange(len(sel))
+            soa0_b = y[inv][rr, j]
+            soa1_w = arr["soa1"][idx]
+            soa1_b = soa1_w[inv][rr, j]
+            sdoa_b = (x - soa1_w)[inv][rr, j]  # expected beacon SDOA
+            dsoa0 = det0["soa"][sel] - soa0_b
+            dsoa1 = det1["soa"][sel] - soa1_b
+            tdoa_v = (dsoa0 - dsoa1 + sdoa_b) / sample_rate
+        else:  # weighted_poly
+            # Per-row proximity-weighted fit (build_model_weighted_poly:
+            # weights depend on det0.soa, so every row is its own
+            # weighted least squares -- still one batched 3x3 solve).
+            keep_r = keep[inv]
+            m_r = keep_r.astype(np.float64)
+            x_r, y_r = x[inv], y[inv]
+            kcnt_r = np.maximum(kcount[inv], 1)[:, None]
+            with np.errstate(divide="ignore"):
+                w = np.sqrt(1.0 / np.abs(y_r - det0["soa"][sel][:, None]))
+            w = np.where(np.isfinite(w), w, 1.0)
+            wmax = np.maximum(
+                np.where(keep_r, w, 0.0).max(axis=1, keepdims=True),
+                1e-300)
+            w = np.sqrt(w / wmax)
+            w = (w + 2.0) / 3.0
+            w = w * m_r
+            xm = (x_r * m_r).sum(1, keepdims=True) / kcnt_r
+            ym = (y_r * m_r).sum(1, keepdims=True) / kcnt_r
+            xs = np.sqrt(((x_r - xm) ** 2 * m_r).sum(1, keepdims=True)
+                         / kcnt_r)
+            xs = np.where(xs > 0, xs, 1.0)
+            xn = (x_r - xm) / xs
+            v = np.stack([xn * xn, xn, np.ones_like(xn)], axis=-1) \
+                * w[..., None]
+            yn = (y_r - ym) * w
+            a = np.einsum("rki,rkj->rij", v, v)
+            b = np.einsum("rki,rk->ri", v, yn)
+            a = a + np.eye(3) * 1e-9 * np.where(
+                r_ok, 0.0, 1.0)[:, None, None]
+            try:
+                coef = np.linalg.solve(a, b[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                a = a + np.eye(3) * 1e-9
+                coef = np.linalg.solve(a, b[..., None])[..., 0]
+            xe = (det1["soa"][sel] - xm[:, 0]) / xs[:, 0]
+            pred = ym[:, 0] + (coef[:, 0] * xe + coef[:, 1]) * xe \
+                + coef[:, 2]
+            tdoa_v = (det0["soa"][sel] - pred) / sample_rate
+
         row_tdoa[sel] = tdoa_v
         row_quality[sel] = quality[inv]
         row_ok[sel] = r_ok
@@ -514,6 +584,9 @@ def _main(argv=None):
     parser.add_argument("-w", "--window-size", type=float, default=8,
                         help="beacon eligibility window (s) [default: 8]")
     parser.add_argument("-s", "--sample-rate", type=float, default=2.4e6)
+    parser.add_argument("--model", type=str, default="poly",
+                        choices=["poly", "nearest", "weighted-poly"],
+                        help="beacon clock model [default: poly]")
     args = parser.parse_args(argv)
 
     detections = toad.load_toads(
@@ -521,9 +594,14 @@ def _main(argv=None):
     matches = matchmaker.load_matches(args.matches)
     rx_pos = load_pos_config(args.rx_pos)
     beacon_pos = load_pos_config(args.beacon_pos)
+    builder = {
+        "poly": build_model_poly,
+        "nearest": build_model_nearest,
+        "weighted-poly": build_model_weighted_poly,
+    }[args.model]
     groups, failures = estimate_tdoas(
         detections, matches, args.window_size, beacon_pos, rx_pos,
-        args.sample_rate)
+        args.sample_rate, model_builder=builder)
     print("Number of TDOA estimations:", len(groups))
     print("Number of TDOA estimation failures:", len(failures))
     if args.output == "-":
