@@ -81,6 +81,46 @@ def test_capture_recorder_roundtrip_detect(raw_capture):
     np.testing.assert_allclose(a["energy"], b["energy"], rtol=1e-6)
 
 
+def test_capture_skip_discards_settle_blocks(raw_capture):
+    """capture_skip drops the first blocks (SDR settling, reference
+    fastcard_cli.c:148-171) -- none of them may reach the archive."""
+    from thrifty_tpu.cli import main
+
+    cap, raw_path, _, tmp = raw_capture
+    out_path = str(tmp / "skipped.card")
+    rc = main(["capture", "--raw-in", raw_path, "-o", out_path,
+               "--quiet", "--carrier-window", "7-110", "-k", "6"])
+    assert rc == 0
+    _, idx, _ = card.read_card(out_path)
+    assert len(idx) > 0
+    assert idx.min() >= 6
+
+
+def test_capture_from_pipe(raw_capture):
+    """The recorder consumes a pipe (the FIFO deployment mode)."""
+    import subprocess
+    import sys
+    import os
+
+    cap, raw_path, _, tmp = raw_capture
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out_path = str(tmp / "piped.card")
+    code = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            "import sys; from thrifty_tpu.cli import main; "
+            "sys.exit(main(['capture', '--raw-in', '-', '-o', {!r}, "
+            "'--quiet', '--carrier-window', '7-110']))".format(out_path))
+    with open(raw_path, "rb") as raw_in:
+        res = subprocess.run([sys.executable, "-c", code], env=env,
+                             stdin=raw_in, capture_output=True,
+                             text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-800:]
+    _, idx, _ = card.read_card(out_path)
+    burst_blocks = {b.block_idx for b in cap.bursts}
+    assert burst_blocks <= set(idx.tolist())
+
+
 def test_detect_card_tee_roundtrip(raw_capture):
     """detect --raw --card-out: the tee holds exactly the detected
     blocks, and re-detecting the tee reproduces the detections
