@@ -38,6 +38,14 @@ def time_tpu(detector, blocks_list, iters, raw_input=False):
     output, so executions cannot overlap, be coalesced, or be fanned out
     behind the runtime's back -- the measured time is a sound (slightly
     conservative: one extra elementwise pass) per-batch execution time.
+    The perturbation scale (1e-9 of the carry) is chosen to be VISIBLE
+    in float32: iterations therefore have genuinely different input
+    values, so not even a value-level result cache between the host and
+    the chip could shortcut the chain (a sub-epsilon perturbation
+    leaves inputs bit-identical and was observed to report
+    above-HBM-bandwidth numbers at large batches on the tunnelled
+    backend here; see docs/performance.md).  The perturbation is still
+    ~1e-6 of the signal, far below detection noise.
 
     With ``raw_input`` the batches are uint8 interleaved I/Q and the
     conversion runs on device (the production ingestion path: 2 bytes
@@ -52,7 +60,7 @@ def time_tpu(detector, blocks_list, iters, raw_input=False):
     def step(data, carry):
         blocks = iq_mod.raw_to_iq_jax(data) if raw_input else data
         perturbed = blocks + jax.lax.complex(
-            carry * 1e-20, jnp.zeros_like(carry))[:, None]
+            carry * 1e-9, jnp.zeros_like(carry))[:, None]
         out = detector._detect_batch(perturbed)
         return out, out["corr_energy"]
 
@@ -104,8 +112,11 @@ def time_stream(detector, caps, iters):
 
     @jax.jit
     def step(stream, carry):
+        # Value-visible perturbation (see time_tpu): carry is a sum
+        # over the whole batch (~1e5-1e6), so 1e-10 lands ~1e-4 --
+        # above f32 epsilon of the signal, below detection noise.
         out = fn(stream + jax.lax.complex(
-            carry * 1e-20, jnp.float32(0.0)))
+            carry * 1e-10, jnp.float32(0.0)))
         return out, jnp.sum(out["corr_energy"])
 
     dev = [sharded.shard_stream(s, m) for s in streams]
