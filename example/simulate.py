@@ -42,12 +42,19 @@ def main():
         clock_drifts={1: 3e-6, 2: -2e-6}, seed=20)
 
     os.makedirs("cards", exist_ok=True)
+    os.makedirs("raw", exist_ok=True)
+    history = 4920
     for rxid, cap in captures.items():
         path = "cards/rx{}.card".format(rxid)
         card.write_card(path, cap.timestamps, cap.indices,
                         iq.iq_to_raw(cap.blocks),
                         header="synthetic capture rx{}".format(rxid))
         print("wrote", path)
+        # The contiguous raw stream, for the capture-thinning demo
+        # (make capture): each block's new samples concatenated.
+        raw_path = "raw/rx{}.bin".format(rxid)
+        iq.iq_to_raw(cap.blocks[:, history:].reshape(-1)).tofile(raw_path)
+        print("wrote", raw_path)
 
     with open("freq-map.cfg", "w") as f:
         f.write("9: 25 - 35\n3: 65 - 75\n@0: 0\n@1: 0\n@2: 0\n")

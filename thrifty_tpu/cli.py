@@ -80,6 +80,19 @@ def main(argv=None):
               "See 'thrifty-tpu --help'.".format(command), file=sys.stderr)
         return 1
 
+    # Optional platform override: some environments force a platform
+    # via site customization (JAX_PLATFORMS env alone is ignored there);
+    # THRIFTY_TPU_PLATFORM wins because it is applied in-process before
+    # any backend initializes.
+    import os
+    platform = os.environ.get("THRIFTY_TPU_PLATFORM")
+    if platform:
+        try:
+            import jax
+            jax.config.update("jax_platforms", platform)
+        except Exception:  # noqa: BLE001 -- fall back to the default
+            pass
+
     # Wisdom analog: every command reuses previously compiled XLA
     # programs from the persistent cache (fastcard/fastcard.c:32-37).
     from thrifty_tpu.compile_cache import enable_compile_cache
