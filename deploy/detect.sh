@@ -36,13 +36,13 @@ trap cleanup EXIT INT TERM
 # capture -> FIFO -> detect (append mode: restartable mid-capture).
 # CARD_OUT (optional): also archive corr-detected blocks as a sparse
 # .card capture for later re-analysis (fastdet's tee).
-EXTRA=""
+EXTRA=()
 if [ -n "$CARD_OUT" ]; then
-    EXTRA="--card-out $CARD_OUT"
+    EXTRA=(--card-out "$CARD_OUT")
 fi
 $CAPTURE_CMD > "$FIFO" &
 python -m thrifty_tpu.cli detect "$FIFO" --raw -a "$OUTPUT" \
-    -c "$CONFIG" --quiet $EXTRA &
+    -c "$CONFIG" --quiet "${EXTRA[@]}" &
 
 wait -n
 echo "pipeline stage exited; shutting down" >&2

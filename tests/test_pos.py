@@ -172,6 +172,38 @@ class TestSolveBatchedGroups:
         assert err_w < err_u / 5
         assert err_w < 2.0
 
+    def test_near_singular_geometry_reports_huge_dop(self):
+        """Near-degenerate geometry must yield a huge *finite* DOP (so
+        downstream weighting distrusts the fix) -- only exact
+        singularity reports -1 (matching the per-group dop())."""
+        rx0 = np.array([[[0.0, 0.0], [0.0, 0.0], [9000.0, 500.0]]])
+        rx1 = np.array([[[9000.0, 500.0], [4000.0, 8000.0],
+                         [4000.0, 8000.0]]])
+        mask = np.ones((1, 3))
+        # Position astronomically far away: all unit vectors nearly
+        # parallel -> G rows ~ 0 -> tiny but nonzero det -> huge DOP.
+        far = np.array([[1e9, 1e9]])
+        d_far = pos._dop_batched(far, rx0, rx1, mask)
+        assert np.isfinite(d_far[0]) and d_far[0] > 1e3
+        # Exactly singular (det == 0 in floats: collinear on-axis
+        # geometry, GtG = [[8,0],[0,0]]) -> -1, like the per-group
+        # dop() whose np.linalg.inv raises there.
+        rx0s = np.array([[[0.0, 0.0], [0.0, 0.0]]])
+        rx1s = np.array([[[8000.0, 0.0], [8000.0, 0.0]]])
+        on_axis = np.array([[4000.0, 0.0]])
+        d_sing = pos._dop_batched(on_axis, rx0s, rx1s, np.ones((1, 2)))
+        assert d_sing[0] == -1.0
+        ref_sing = pos.dop(on_axis[0], {0: rx0s[0, 0], 1: rx1s[0, 0]},
+                           [(0, 1), (0, 1)])
+        assert ref_sing == -1.0
+        # Healthy geometry stays consistent with the per-group dop().
+        good = np.array([[4000.0, 3000.0]])
+        d_good = pos._dop_batched(good, rx0, rx1, mask)
+        ref = pos.dop(good[0], {0: rx0[0, 0], 1: rx1[0, 0],
+                                2: rx1[0, 1]},
+                      [(0, 1), (0, 2), (1, 2)])
+        assert d_good[0] == pytest.approx(ref, rel=1e-9)
+
     def test_underdetermined_skipped(self):
         tx = np.array([3000.0, 3000.0])
         groups = [

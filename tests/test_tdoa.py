@@ -86,6 +86,30 @@ class TestEstimate:
                 bg.tdoas["model_quality"], sg.tdoas["model_quality"],
                 rtol=1e-9)
 
+    def test_corrupt_beacon_record_drops_one_pair(self):
+        """A NaN soa in one beacon record must not poison its whole
+        window: the other beacons still fit and mobile TDOAs stay
+        finite and accurate."""
+        det, matches = build_scenario()
+        beacon_rows = np.nonzero(det["txid"] == 9)[0]
+        det["soa"][beacon_rows[3]] = np.nan
+        groups, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS, batched=True)
+        assert len(groups) == 3
+        want = expected_tdoa(MOBILE_POS[3])
+        for g in groups:
+            assert np.all(np.isfinite(g.tdoas["tdoa"]))
+            assert g.tdoas["tdoa"][0] == pytest.approx(want, abs=1e-8)
+
+    def test_batched_rejects_custom_model(self):
+        def custom(pairs, sdoa, fs):
+            return None
+        with pytest.raises(ValueError):
+            det, matches = build_scenario(duration=5.0,
+                                          mobile_times=(2.0,))
+            tdoa.estimate_tdoas(det, matches, 8, BEACON_POS, RX_POS,
+                                FS, model_builder=custom, batched=True)
+
     def test_non_default_block_geometry(self):
         """synth_network derives block/sample split from the block
         geometry parameters, not the default 16384/4920."""

@@ -90,8 +90,10 @@ def main(argv=None):
         try:
             import jax
             jax.config.update("jax_platforms", platform)
-        except Exception:  # noqa: BLE001 -- fall back to the default
-            pass
+        except Exception as e:  # noqa: BLE001 -- continue on the default
+            print("warning: THRIFTY_TPU_PLATFORM={!r} not applied ({}); "
+                  "using the ambient JAX platform".format(platform, e),
+                  file=sys.stderr)
 
     # Wisdom analog: every command reuses previously compiled XLA
     # programs from the persistent cache (fastcard/fastcard.c:32-37).

@@ -183,20 +183,29 @@ def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False):
 
 
 def _dop_batched(positions, rx0, rx1, mask):
-    """Vectorized DOP over padded groups; -1 where GtG is singular."""
+    """Vectorized DOP over padded groups; -1 where GtG is singular.
+
+    Semantics match :func:`dop`: only an *exactly* singular /
+    non-finite geometry reports -1 -- near-singular geometry returns
+    the (huge) finite DOP so downstream weighting (e.g. the Kalman
+    tracker's R = (std*dop)^2) de-weights the fix instead of trusting
+    it.
+    """
     p0 = rx0 - positions[:, None, :]
     p1 = rx1 - positions[:, None, :]
     d0 = np.maximum(np.linalg.norm(p0, axis=-1), 1e-12)
     d1 = np.maximum(np.linalg.norm(p1, axis=-1), 1e-12)
     g = (p0 / d0[..., None] - p1 / d1[..., None]) * mask[..., None]
     gtg = np.einsum("gpi,gpj->gij", g, g)
-    dets = np.linalg.det(gtg)
-    ok = np.abs(dets) > 1e-12
+    with np.errstate(all="ignore"):
+        dets = np.linalg.det(gtg)
+    ok = np.isfinite(dets) & (dets != 0.0)
     dims = gtg.shape[-1]
     safe = np.where(ok[:, None, None], gtg, np.eye(dims))
     inv = np.linalg.inv(safe)
     traces = np.trace(inv, axis1=-2, axis2=-1)
-    return np.where(ok, np.sqrt(np.maximum(traces, 0.0)), -1.0)
+    ok &= np.isfinite(traces) & (traces >= 0.0)
+    return np.where(ok, np.sqrt(np.where(ok, traces, 1.0)), -1.0)
 
 
 def solve(tdoa_groups, rx_pos, weighted=False):

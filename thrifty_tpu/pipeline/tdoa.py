@@ -177,12 +177,18 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
         build_model_nearest: "nearest",
         build_model_weighted_poly: "weighted_poly",
     }
+    batchable = model_builder in batched_models and not model_params
     if batched is None:
-        batched = model_builder in batched_models and not model_params
+        batched = batchable
     if batched:
+        if not batchable:
+            raise ValueError(
+                "batched=True requires one of the standard model "
+                "builders (poly/nearest/weighted_poly) without custom "
+                "model_params; use batched=False for custom models")
         return estimate_tdoas_batched(
             detections, matches, window_size, beacon_pos, rx_pos,
-            sample_rate, model=batched_models.get(model_builder, "poly"))
+            sample_rate, model=batched_models[model_builder])
     model_params = model_params or {}
     beacon_matches = [m for m in matches
                       if int(detections[m[0]]["txid"]) in beacon_pos]
@@ -242,6 +248,42 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
                 group_id=group_idx, timestamp=group_ts, tx=tx,
                 tdoas=np.array(tdoas, dtype=TDOA_DTYPE)))
     return groups, failures
+
+
+def _fit_quadratic_batched(x, y, m, w, ok):
+    """Weighted centered/scaled quadratic least squares per batch row.
+
+    ``x``/``y``/``w`` are [B, K] with ``w`` zero on masked entries and
+    ``m`` the 0/1 validity mask used for centering; ``ok`` [B] marks
+    rows with enough points.  Identical fitted polynomial to
+    np.polyfit(x, y, 2, w=w) -- centering/scaling only conditions the
+    normal equations for soa ~ 1e9.  Returns (xm, xs, ym, coef[B, 3]);
+    predict with ym + polyval(coef, (x_eval - xm) / xs).
+    """
+    # Masked entries can hold padding garbage or NaNs (dropped corrupt
+    # records); zero them so 0 * NaN cannot reach the normal equations.
+    x = np.where(m > 0, x, 0.0)
+    y = np.where(m > 0, y, 0.0)
+    cnt = np.maximum(m.sum(1), 1.0)[:, None]
+    xm = (x * m).sum(1, keepdims=True) / cnt
+    ym = (y * m).sum(1, keepdims=True) / cnt
+    xs = np.sqrt(((x - xm) ** 2 * m).sum(1, keepdims=True) / cnt)
+    xs = np.where(xs > 0, xs, 1.0)
+    xn = (x - xm) / xs
+    v = np.stack([xn * xn, xn, np.ones_like(xn)], axis=-1) \
+        * w[..., None]
+    yn = (y - ym) * w
+    a = np.einsum("bki,bkj->bij", v, v)
+    b = np.einsum("bki,bk->bi", v, yn)
+    # Tiny Tikhonov floor only to keep the batched solve finite for
+    # unusable rows (excluded by ``ok`` anyway).
+    a = a + np.eye(3) * 1e-9 * np.where(ok, 0.0, 1.0)[:, None, None]
+    try:
+        coef = np.linalg.solve(a, b[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        a = a + np.eye(3) * 1e-9
+        coef = np.linalg.solve(a, b[..., None])[..., 0]
+    return xm[:, 0], xs[:, 0], ym[:, 0], coef
 
 
 def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
@@ -373,17 +415,19 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         # (reference tdoa_est.py:43-73), batched.  Masked medians via
         # inf-padded sorts: np.nanmedian routes through numpy.ma and
         # costs ~25% of the whole serve step at production rates.
+        # Pairs with non-finite SoAs (corrupt .toads rows) are dropped
+        # up front so one bad record cannot poison a whole window.
+        sdoa_raw = arr["soa0"][idx] - arr["soa1"][idx]
+        valid &= np.isfinite(sdoa_raw)
         kcnt = valid.sum(axis=1)
         rows_w = np.arange(len(wl))
 
-        def masked_median(x, cnt):
-            srt = np.sort(np.where(valid, x, np.inf), axis=1)
+        def masked_median(values, cnt):
+            srt = np.sort(np.where(valid, values, np.inf), axis=1)
             lo = np.maximum((cnt - 1) // 2, 0)
-            hi = cnt // 2 if kmax > 0 else lo
-            hi = np.minimum(np.maximum(hi, 0), srt.shape[1] - 1)
+            hi = np.minimum(np.maximum(cnt // 2, 0), srt.shape[1] - 1)
             return 0.5 * (srt[rows_w, lo] + srt[rows_w, hi])
 
-        sdoa_raw = arr["soa0"][idx] - arr["soa1"][idx]
         med = masked_median(sdoa_raw, kcnt)[:, None]
         diff = np.abs(sdoa_raw - med)
         mad = masked_median(diff, kcnt)[:, None]
@@ -398,46 +442,23 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         r_ok = fit_ok[inv]
 
         if model == "poly":
-            # Centered/scaled quadratic least squares: identical fitted
-            # polynomial to np.polyfit, conditioned for soa ~ 1e9.
-            denom = np.maximum(kcount, 1)[:, None]
-            xm = (x * m).sum(1, keepdims=True) / denom
-            ym = (y * m).sum(1, keepdims=True) / denom
-            xs = np.sqrt(((x - xm) ** 2 * m).sum(1, keepdims=True)
-                         / denom)
-            xs = np.where(xs > 0, xs, 1.0)
-            xn = (x - xm) / xs * m
-            yn = (y - ym) * m
-            v = np.stack([xn * xn, xn, m], axis=-1)  # [W, K, 3]
-            a = np.einsum("wki,wkj->wij", v, v)
-            b = np.einsum("wki,wk->wi", v, yn)
-            # Tiny Tikhonov floor only to keep the batched solve finite
-            # for unusable windows (excluded by fit_ok anyway).
-            a = a + np.eye(3) * 1e-9 * np.where(
-                fit_ok, 0.0, 1.0)[:, None, None]
-            try:
-                coef = np.linalg.solve(a, b[..., None])[..., 0]
-            except np.linalg.LinAlgError:
-                a = a + np.eye(3) * 1e-9
-                coef = np.linalg.solve(a, b[..., None])[..., 0]
-            xe = (det1["soa"][sel] - xm[inv, 0]) / xs[inv, 0]
-            pred = ym[inv, 0] + (coef[inv, 0] * xe + coef[inv, 1]) * xe \
+            # One fit per distinct window, evaluated per row via inv.
+            xm, xs, ym, coef = _fit_quadratic_batched(x, y, m, m, fit_ok)
+            xe = (det1["soa"][sel] - xm[inv]) / xs[inv]
+            pred = ym[inv] + (coef[inv, 0] * xe + coef[inv, 1]) * xe \
                 + coef[inv, 2]
             tdoa_v = (det0["soa"][sel] - pred) / sample_rate
         elif model == "nearest":
             # Difference against the nearest kept beacon transmission
             # (build_model_nearest), one masked argmin per row.
-            keep_r = keep[inv]
-            dist = np.abs(arr["t"][idx][inv] - ts0[:, None])
-            dist = np.where(keep_r, dist, np.inf)
+            dist = np.where(keep[inv],
+                            np.abs(arr["t"][idx][inv] - ts0[:, None]),
+                            np.inf)
             j = np.argmin(dist, axis=1)
-            rr = np.arange(len(sel))
-            soa0_b = y[inv][rr, j]
             soa1_w = arr["soa1"][idx]
-            soa1_b = soa1_w[inv][rr, j]
-            sdoa_b = (x - soa1_w)[inv][rr, j]  # expected beacon SDOA
-            dsoa0 = det0["soa"][sel] - soa0_b
-            dsoa1 = det1["soa"][sel] - soa1_b
+            dsoa0 = det0["soa"][sel] - y[inv, j]
+            dsoa1 = det1["soa"][sel] - soa1_w[inv, j]
+            sdoa_b = (x - soa1_w)[inv, j]  # expected beacon SDOA
             tdoa_v = (dsoa0 - dsoa1 + sdoa_b) / sample_rate
         else:  # weighted_poly
             # Per-row proximity-weighted fit (build_model_weighted_poly:
@@ -446,7 +467,6 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
             keep_r = keep[inv]
             m_r = keep_r.astype(np.float64)
             x_r, y_r = x[inv], y[inv]
-            kcnt_r = np.maximum(kcount[inv], 1)[:, None]
             with np.errstate(divide="ignore"):
                 w = np.sqrt(1.0 / np.abs(y_r - det0["soa"][sel][:, None]))
             w = np.where(np.isfinite(w), w, 1.0)
@@ -454,29 +474,11 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
                 np.where(keep_r, w, 0.0).max(axis=1, keepdims=True),
                 1e-300)
             w = np.sqrt(w / wmax)
-            w = (w + 2.0) / 3.0
-            w = w * m_r
-            xm = (x_r * m_r).sum(1, keepdims=True) / kcnt_r
-            ym = (y_r * m_r).sum(1, keepdims=True) / kcnt_r
-            xs = np.sqrt(((x_r - xm) ** 2 * m_r).sum(1, keepdims=True)
-                         / kcnt_r)
-            xs = np.where(xs > 0, xs, 1.0)
-            xn = (x_r - xm) / xs
-            v = np.stack([xn * xn, xn, np.ones_like(xn)], axis=-1) \
-                * w[..., None]
-            yn = (y_r - ym) * w
-            a = np.einsum("rki,rkj->rij", v, v)
-            b = np.einsum("rki,rk->ri", v, yn)
-            a = a + np.eye(3) * 1e-9 * np.where(
-                r_ok, 0.0, 1.0)[:, None, None]
-            try:
-                coef = np.linalg.solve(a, b[..., None])[..., 0]
-            except np.linalg.LinAlgError:
-                a = a + np.eye(3) * 1e-9
-                coef = np.linalg.solve(a, b[..., None])[..., 0]
-            xe = (det1["soa"][sel] - xm[:, 0]) / xs[:, 0]
-            pred = ym[:, 0] + (coef[:, 0] * xe + coef[:, 1]) * xe \
-                + coef[:, 2]
+            w = ((w + 2.0) / 3.0) * m_r
+            xm, xs, ym, coef = _fit_quadratic_batched(
+                x_r, y_r, m_r, w, r_ok)
+            xe = (det1["soa"][sel] - xm) / xs
+            pred = ym + (coef[:, 0] * xe + coef[:, 1]) * xe + coef[:, 2]
             tdoa_v = (det0["soa"][sel] - pred) / sample_rate
 
         row_tdoa[sel] = tdoa_v
