@@ -100,3 +100,21 @@ def test_capture_t0_timestamps(workdir):
     ts, idx, _ = card.read_card(str(d / "rx0.card"))
     block_dt = (16384 - HISTORY) / FS
     np.testing.assert_allclose(ts, T0 + idx * block_dt, atol=1e-6)
+
+
+def test_detect_raw_t0_timestamps(workdir, tmp_path):
+    """detect --raw --t0 stamps like the recorder (offline re-analysis
+    of a recorded stream is reproducible)."""
+    from thrifty_tpu.io import toad as toad_mod
+
+    d = workdir
+    out = str(tmp_path / "t0.toad")
+    assert main(["detect", str(d / "rx0.bin"), "--raw", "-o", out,
+                 "--quiet", "--t0", str(T0),
+                 "--template", str(d / "template.npy"),
+                 "--carrier-window", "7-110"]) == 0
+    recs = toad_mod.load_toad(out)
+    assert len(recs) > 0
+    block_dt = (16384 - HISTORY) / FS
+    np.testing.assert_allclose(
+        recs["timestamp"], T0 + recs["block"] * block_dt, atol=1e-6)

@@ -120,6 +120,11 @@ def _main(argv=None):
                         help="input .card file ('-' streams from stdin)")
     parser.add_argument("--raw", action="store_true",
                         help="input is raw interleaved uint8 I/Q")
+    parser.add_argument("--t0", type=float, default=None,
+                        help="with --raw: stamp blocks deterministically "
+                             "as t0 + block_idx*block_dt instead of the "
+                             "wall clock (recorded streams with a known "
+                             "start time)")
     parser.add_argument("--quiet", action="store_true",
                         help="do not print per-block summary lines")
     group = parser.add_mutually_exclusive_group()
@@ -170,7 +175,7 @@ def _main(argv=None):
             from thrifty_tpu.io.stream import StreamPump
             pump = StreamPump(in_stream, config.block_size,
                               config.block_history, config.batch_size,
-                              sample_rate=config.sample_rate)
+                              sample_rate=config.sample_rate, t0=args.t0)
             batches = pump.batches()
         except ImportError:
             batches = blocks_io.raw_batches(
