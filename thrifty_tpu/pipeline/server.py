@@ -225,6 +225,11 @@ def _main(argv=None):
                              "(for testing/batch use)")
     parser.add_argument("--track", type=str, default=None, metavar="FILE",
                         help="also Kalman-track fixes into FILE")
+    parser.add_argument("--solver", type=str, default="auto",
+                        choices=["auto", "scipy", "batched"],
+                        help="position solver: 'auto' switches to the "
+                             "batched Gauss-Newton program at high fix "
+                             "rates [default: auto]")
     args = parser.parse_args(argv)
 
     if args.interval >= args.history - 1.0:
@@ -239,7 +244,8 @@ def _main(argv=None):
         match_window=args.match_window,
         tdoa_est_window=args.tdoa_window,
         window_s=args.history,
-        settle_s=0.0 if args.once else 1.0)
+        settle_s=0.0 if args.once else 1.0,
+        solver=args.solver)
     tailer = ToadTailer(args.toad_files)
 
     trackers = {}
