@@ -86,6 +86,38 @@ class TestEstimate:
                 bg.tdoas["model_quality"], sg.tdoas["model_quality"],
                 rtol=1e-9)
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_batched_equivalence_random_scenarios(self, seed):
+        """Property: on randomized traffic (irregular beacon cadence,
+        bursty mobiles, noise), all three batched models match the
+        sequential path."""
+        rng = np.random.default_rng(seed)
+        beacon_times = np.cumsum(rng.uniform(0.3, 2.5, 40))
+        mobile_times = np.cumsum(rng.uniform(0.2, 1.5, 30))
+        horizon = min(beacon_times[-1], mobile_times[-1])
+        schedule = [(9, float(t)) for t in beacon_times if t < horizon]
+        schedule += [(3, float(t)) for t in mobile_times if t < horizon]
+        det = sim.synth_network(
+            RX_POS, {**BEACON_POS, **MOBILE_POS}, schedule, FS,
+            clock_offsets={1: float(rng.uniform(-1e5, 1e5))},
+            clock_drifts={1: float(rng.uniform(-1e-5, 1e-5))},
+            soa_noise=0.1, seed=seed)
+        matches, _, _ = matchmaker.match_detections(det)
+        for builder in (tdoa.build_model_poly, tdoa.build_model_nearest,
+                        tdoa.build_model_weighted_poly):
+            sg, sf = tdoa.estimate_tdoas(
+                det, matches, 8, BEACON_POS, RX_POS, FS,
+                model_builder=builder, batched=False)
+            bg, bf = tdoa.estimate_tdoas(
+                det, matches, 8, BEACON_POS, RX_POS, FS,
+                model_builder=builder, batched=True)
+            assert len(bg) == len(sg), builder.__name__
+            assert sorted(map(tuple, bf)) == sorted(map(tuple, sf))
+            for a, b in zip(sg, bg):
+                np.testing.assert_allclose(
+                    b.tdoas["tdoa"], a.tdoas["tdoa"], atol=1e-12,
+                    err_msg=builder.__name__)
+
     def test_corrupt_beacon_record_drops_one_pair(self):
         """A NaN soa in one beacon record must not poison its whole
         window: the other beacons still fit and mobile TDOAs stay
