@@ -79,3 +79,21 @@ def test_cli_round_trip(tmp_path):
     lines = open(out).read().splitlines()
     assert len(lines) == 12
     assert len(lines[0].split()) == 7
+
+
+def test_singular_dop_fixes_skipped():
+    """A fix with dop <= 0 (singular geometry) must not enter the
+    track -- its error is unbounded."""
+    fixes, _, _ = moving_target_fixes(n=10)
+    rows = [(i, fixes["timestamp"][i], 3, 1.0, 100.0,
+             fixes["x"][i], fixes["y"][i]) for i in range(len(fixes))]
+    arr = np.array(rows, dtype=[
+        ("group_id", "i4"), ("timestamp", "f8"), ("tx", "i4"),
+        ("dop", "f8"), ("snr", "f8"), ("x", "f8"), ("y", "f8")])
+    # Corrupt one fix wildly and mark its geometry singular.
+    arr["x"][4] += 1e6
+    arr["dop"][4] = -1.0
+    out = list(track.update_states({}, arr))
+    assert len(out) == 9  # the singular fix is skipped entirely
+    for _, _, state in out:
+        assert abs(state[0]) < 1e5

@@ -83,9 +83,12 @@ def update_states(trackers, fixes, accel_std=1.0, meas_std=5.0):
         tx = int(row["tx"])
         tracker = trackers.setdefault(
             tx, KalmanTracker(accel_std, meas_std))
-        dop = float(row["dop"]) if row["dop"] > 0 else 1.0
+        # dop <= 0 marks singular geometry (pos.dop returned -1): the
+        # fix's error is unbounded, so skip it rather than weight it.
+        if row["dop"] <= 0:
+            continue
         state = tracker.update(float(row["timestamp"]),
-                               [row["x"], row["y"]], dop)
+                               [row["x"], row["y"]], float(row["dop"]))
         yield float(row["timestamp"]), tx, state
 
 
