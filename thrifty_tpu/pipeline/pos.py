@@ -339,7 +339,13 @@ def save_positions(stream_or_path, results):
 
 
 def load_positions(stream_or_path):
-    data = np.genfromtxt(stream_or_path, dtype=np.float64)
+    import warnings
+
+    with warnings.catch_warnings():
+        # An empty .pos (no fixes yet) is a normal state, not a warning.
+        warnings.filterwarnings(
+            "ignore", message=".*Empty input file.*")
+        data = np.genfromtxt(stream_or_path, dtype=np.float64)
     if data.size == 0:
         # Empty .pos (no fixes yet): 2-D layout by default.
         dims = 2
