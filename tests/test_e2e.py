@@ -110,3 +110,28 @@ def test_position_accuracy(pipeline_result):
         err = np.linalg.norm(est - MOBILE_POS[3])
         assert err < 60.0, "position error {} m".format(err)
         assert row["dop"] > 0
+
+
+def test_integer_mode_end_to_end(pipeline_result):
+    """fastdet-exact integer sync through the whole pipeline: positions
+    within the same bound as the fractional path (the residual
+    fractional carrier error costs sub-sample SoA accuracy, not
+    position-level accuracy at these SNRs)."""
+    caps, _ = pipeline_result
+    detector = BatchDetector(
+        caps[0].template if hasattr(caps[0], "template")
+        else sim.make_template(),
+        DetectorConfig(carrier_window=(7, 110), sync_mode="integer"))
+    detections = kitchen_sink.detect_all(
+        {r: (c.timestamps, c.indices, c.blocks) for r, c in caps.items()},
+        detector, batch_size=16)
+    freqmap = {r: {9: (25.0, 35.0), 3: (65.0, 75.0)} for r in RX_POS}
+    settings = kitchen_sink.PostdetectSettings(
+        freqmap=freqmap, match_window=0.02, tdoa_est_window=8.0,
+        rx_pos=RX_POS, beacon_pos=BEACON_POS, sample_rate=FS)
+    result = kitchen_sink.postdetect(detections, settings)
+    assert len(result.pos) == len(MOBILE_TIMES)
+    for row in result.pos:
+        est = np.array([row["x"], row["y"]])
+        err = np.linalg.norm(est - MOBILE_POS[3])
+        assert err < 75.0, "position error {} m".format(err)
