@@ -67,14 +67,16 @@ class DetectorConfig:
     peak_filter_len: int = 0
     # Pallas fused peak/energy kernel ('on'/'off'/'auto').  The
     # interleaved-complex kernel (zero-copy bitcast; power at even
-    # lanes via x^2 + roll(x^2,-1)) measures 1.24x over XLA's own
-    # fusion on TPU v5e for the complex-input path (median 4.32e10 vs
-    # 3.48e10 IQ samples/s, 5-trial A/B; see docs/performance.md) and
-    # is neutral on the input-bandwidth-bound raw path, so 'auto'
-    # resolves to ON on TPU (when the static constraints below hold)
-    # and OFF on CPU.  Round 1's separate-plane kernel lost ~30% to
-    # the extra HBM materialization pass -- kept as layout='planes'
-    # in pallas_kernels for comparison.
+    # lanes via x^2 + roll(x^2,-1)) measures at PARITY with XLA's own
+    # fusion on TPU v5e (paired 10-trial median time ratio 0.994, IQR
+    # 0.89-1.17 through this environment's high-variance tunnel; see
+    # docs/performance.md) -- round 1's separate-plane kernel lost
+    # ~30% to an extra HBM materialization pass, which this layout
+    # eliminates.  'auto' resolves to ON on TPU (when the static
+    # constraints below hold): the kernel guarantees the one-pass
+    # magnitude/argmax/energy reduction by construction instead of
+    # relying on XLA's fusion heuristics, at no measured cost.
+    # OFF on CPU (kernels fall back to the jnp reference there).
     use_pallas: str = "auto"
 
 
