@@ -57,3 +57,14 @@ def test_bench_stream_program():
                      "--program", "stream"])
     assert res.returncode == 0, res.stderr[-2000:]
     check_contract(res.stdout)
+
+
+def test_bench_serve_program():
+    res = run_bench(["--program", "serve"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = res.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert data["metric"] == "serve_throughput"
+    assert data["unit"] == "fixes/s"
+    assert data["value"] > 0
+    assert data["vs_baseline"] > 0
