@@ -50,6 +50,12 @@ def _load():
     lib.ttpu_card_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_card_scan_mt.restype = ctypes.c_int64
+    lib.ttpu_card_scan_mt.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.ttpu_count_newlines.restype = ctypes.c_int64
+    lib.ttpu_count_newlines.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.ttpu_raw_to_iq.restype = None
     lib.ttpu_raw_to_iq.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
@@ -152,14 +158,14 @@ def b64encode(data: np.ndarray) -> str:
 def card_scan(text: bytes, max_blocks: int = None):
     """Scan .card text -> (timestamps, indices, payload_offsets, lens)."""
     if max_blocks is None:
-        max_blocks = text.count(b"\n") + 1
+        max_blocks = _lib.ttpu_count_newlines(text, len(text)) + 1
     ts = np.empty(max_blocks, dtype=np.float64)
     idx = np.empty(max_blocks, dtype=np.int64)
     offs = np.empty(max_blocks, dtype=np.int64)
     lens = np.empty(max_blocks, dtype=np.int64)
-    n = _lib.ttpu_card_scan(
+    n = _lib.ttpu_card_scan_mt(
         text, len(text), ts.ctypes.data, idx.ctypes.data,
-        offs.ctypes.data, lens.ctypes.data, max_blocks)
+        offs.ctypes.data, lens.ctypes.data, max_blocks, num_threads())
     return ts[:n], idx[:n], offs[:n], lens[:n]
 
 

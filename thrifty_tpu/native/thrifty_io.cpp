@@ -245,20 +245,34 @@ int64_t ttpu_b64_decode_batch(const char* text, const int64_t* offsets,
 // .card parsing
 // ---------------------------------------------------------------------------
 
-// Scan a .card text buffer: find data lines "<ts> <idx> <b64>" and fill
-// timestamps/indices plus the base64 payload offsets/lengths.  Returns
-// the number of blocks found (<= max_blocks).
-int64_t ttpu_card_scan(const char* text, int64_t text_len,
-                       double* timestamps, int64_t* indices,
-                       int64_t* payload_offsets, int64_t* payload_lens,
-                       int64_t max_blocks) {
+// Count newlines (memchr sweep; CPython's bytes.count measures ~1 GB/s
+// on this class of host, this runs at memory bandwidth).
+int64_t ttpu_count_newlines(const char* text, int64_t text_len) {
     int64_t count = 0;
-    int64_t pos = 0;
-    while (pos < text_len && count < max_blocks) {
+    const char* p = text;
+    const char* end = text + text_len;
+    while (p < end) {
+        const char* nl = (const char*)memchr(p, '\n', end - p);
+        if (!nl) break;
+        ++count;
+        p = nl + 1;
+    }
+    return count;
+}
+
+// Scan one [pos, stop) range of a .card text buffer into the provided
+// vectors (shared helper of the single- and multi-threaded scans).
+// ``pos`` must sit at a line start.
+static void card_scan_range(const char* text, int64_t pos, int64_t stop,
+                            std::vector<double>& timestamps,
+                            std::vector<int64_t>& indices,
+                            std::vector<int64_t>& payload_offsets,
+                            std::vector<int64_t>& payload_lens) {
+    b64_init();
+    while (pos < stop) {
         int64_t line_start = pos;
-        const char* nl = (const char*)memchr(
-            text + pos, '\n', text_len - pos);
-        int64_t line_end = nl ? (nl - text) : text_len;
+        const char* nl = (const char*)memchr(text + pos, '\n', stop - pos);
+        int64_t line_end = nl ? (nl - text) : stop;
         pos = line_end + 1;
         if (line_end <= line_start) continue;
         const char* line = text + line_start;
@@ -280,17 +294,68 @@ int64_t ttpu_card_scan(const char* text, int64_t text_len,
         // junk lines can carry trailing tokens).  Full validation is
         // deferred to the decoder, which flags junk rows per row --
         // validating every character here would double the scan cost.
-        b64_init();
         const char* sp = (const char*)memchr(payload, ' ', plen);
         if (sp) plen = sp - payload;
         if (plen <= 0 || B64_REV[(uint8_t)payload[0]] < 0) continue;
-        timestamps[count] = ts;
-        indices[count] = (int64_t)idx;
-        payload_offsets[count] = payload - text;
-        payload_lens[count] = plen;
-        ++count;
+        timestamps.push_back(ts);
+        indices.push_back((int64_t)idx);
+        payload_offsets.push_back(payload - text);
+        payload_lens.push_back(plen);
+    }
+}
+
+// Scan a .card text buffer: find data lines "<ts> <idx> <b64>" and fill
+// timestamps/indices plus the base64 payload offsets/lengths.  Returns
+// the number of blocks found (<= max_blocks).  With num_threads > 1
+// the buffer is split at line boundaries and scanned in parallel
+// (strtod-heavy, ~900 MB/s/thread), results merged in order.
+int64_t ttpu_card_scan_mt(const char* text, int64_t text_len,
+                          double* timestamps, int64_t* indices,
+                          int64_t* payload_offsets, int64_t* payload_lens,
+                          int64_t max_blocks, int num_threads) {
+    if (num_threads < 1) num_threads = 1;
+    if (text_len < (1 << 20)) num_threads = 1;  // not worth the threads
+
+    // Chunk boundaries snapped forward to line starts.
+    std::vector<int64_t> starts(num_threads + 1, text_len);
+    starts[0] = 0;
+    for (int t = 1; t < num_threads; ++t) {
+        int64_t p = text_len * t / num_threads;
+        const char* nl = (const char*)memchr(text + p, '\n', text_len - p);
+        starts[t] = nl ? (nl - text) + 1 : text_len;
+    }
+    std::vector<std::vector<double>> ts_v(num_threads);
+    std::vector<std::vector<int64_t>> idx_v(num_threads), off_v(num_threads),
+        len_v(num_threads);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads; ++t) {
+        threads.emplace_back([&, t]() {
+            card_scan_range(text, starts[t], starts[t + 1],
+                            ts_v[t], idx_v[t], off_v[t], len_v[t]);
+        });
+    }
+    for (auto& th : threads) th.join();
+
+    int64_t count = 0;
+    for (int t = 0; t < num_threads && count < max_blocks; ++t) {
+        int64_t n = (int64_t)ts_v[t].size();
+        if (n > max_blocks - count) n = max_blocks - count;
+        memcpy(timestamps + count, ts_v[t].data(), n * sizeof(double));
+        memcpy(indices + count, idx_v[t].data(), n * sizeof(int64_t));
+        memcpy(payload_offsets + count, off_v[t].data(),
+               n * sizeof(int64_t));
+        memcpy(payload_lens + count, len_v[t].data(), n * sizeof(int64_t));
+        count += n;
     }
     return count;
+}
+
+int64_t ttpu_card_scan(const char* text, int64_t text_len,
+                       double* timestamps, int64_t* indices,
+                       int64_t* payload_offsets, int64_t* payload_lens,
+                       int64_t max_blocks) {
+    return ttpu_card_scan_mt(text, text_len, timestamps, indices,
+                             payload_offsets, payload_lens, max_blocks, 1);
 }
 
 // ---------------------------------------------------------------------------
