@@ -132,6 +132,10 @@ def _main(argv=None):
                        help="output .toad file ('-' for stdout)")
     group.add_argument("-a", "--append", type=str,
                        help="output .toad file to append to")
+    parser.add_argument("--pallas", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="fused Pallas peak/energy kernel "
+                             "[default: auto = on for TPU]")
     parser.add_argument("--peak-filter", type=int, default=0,
                         metavar="LEN",
                         help="Dirichlet matched filter length for the "
@@ -165,6 +169,7 @@ def _main(argv=None):
         corr_thresh=config.corr_threshold,
         sync_mode=config.sync_mode,
         peak_filter_len=args.peak_filter,
+        use_pallas=args.pallas,
     ))
 
     in_stream = sys.stdin.buffer if args.input == "-" \
