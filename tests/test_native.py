@@ -63,6 +63,37 @@ class TestCardParse:
         ts, idx, raw = native.parse_card_bytes(b"# nothing\n")
         assert len(ts) == 0
 
+    def test_multithreaded_scan_large_input(self):
+        """> 1 MB inputs take the parallel scan path: chunk boundaries
+        must not split/drop/duplicate lines, junk interleaved anywhere,
+        order preserved."""
+        rng = np.random.default_rng(5)
+        n = 1200  # ~1.6 MB of text at 1 KB payloads
+        payloads = rng.integers(0, 256, size=(n, 1024), dtype=np.uint8)
+        lines = []
+        for i in range(n):
+            if i % 97 == 0:
+                lines.append("junk {} line\n".format(i))
+            lines.append("{:.6f} {} {}\n".format(
+                1.5e9 + i, i,
+                base64.b64encode(payloads[i].tobytes()).decode()))
+        text = "".join(lines).encode()
+        assert len(text) > (1 << 20)
+        ts, idx, raw = native.parse_card_bytes(text)
+        assert len(ts) == n
+        np.testing.assert_array_equal(idx, np.arange(n))
+        np.testing.assert_allclose(ts, 1.5e9 + np.arange(n))
+        np.testing.assert_array_equal(raw, payloads)
+        # And agrees with the single-thread C scan.
+        from thrifty_tpu.native import _lib
+        ts1 = np.empty(2 * n); idx1 = np.empty(2 * n, np.int64)
+        offs1 = np.empty(2 * n, np.int64); lens1 = np.empty(2 * n, np.int64)
+        m = _lib.ttpu_card_scan(text, len(text), ts1.ctypes.data,
+                                idx1.ctypes.data, offs1.ctypes.data,
+                                lens1.ctypes.data, 2 * n)
+        assert m == n
+        np.testing.assert_array_equal(idx1[:m], idx)
+
 
 class TestRawConversion:
     def test_matches_python_lut(self):
