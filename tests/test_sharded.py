@@ -169,3 +169,29 @@ def test_stream_gather_replicates(detector):
     assert detected.shape == (num_rx, num_time * s_loc)
     # Both receivers saw the same stream.
     np.testing.assert_array_equal(detected[0], detected[1])
+
+
+def test_stream_detector_with_template_bank():
+    """The halo-exchange streaming program supports template banks:
+    per-block winning template survives the rx/time sharding."""
+    bank = np.stack([template.generate(5, i, 2.0) for i in (0, 1, 2)])
+    det = BatchDetector(bank, DetectorConfig(
+        block_len=BLOCK, history_len=HISTORY, carrier_window=(7, 110)))
+    num_rx, num_time, s_loc = 1, 8, 3
+    total = num_time * s_loc
+    cap = sim.synth_capture(
+        num_blocks=total, bursts_every=3, template=bank[1],
+        block_len=BLOCK, history_len=HISTORY, carrier_bin=40.25,
+        amplitude=0.8, noise_std=0.05, seed=9, quantize=False)
+    stream = cap.blocks[:, HISTORY:].reshape(1, -1)
+    m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)
+    fn = sharded.make_stream_detector(det, num_rx, s_loc, m)
+    out = {k: np.asarray(v) for k, v in fn(
+        sharded.shard_stream(stream, m)).items()}
+    ref = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    np.testing.assert_array_equal(out["detected"][0], ref["detected"])
+    np.testing.assert_array_equal(
+        out["template_idx"][0], ref["template_idx"])
+    for burst in cap.bursts:
+        assert out["detected"][0][burst.block_idx]
+        assert out["template_idx"][0][burst.block_idx] == 1
