@@ -38,9 +38,9 @@ static int8_t B64_REV[256];
 // whole quad is validated with a single branch.
 static uint32_t B64_D0[256], B64_D1[256], B64_D2[256], B64_D3[256];
 static bool b64_init_done = false;
+static std::once_flag b64_once;
 
-static void b64_init() {
-    if (b64_init_done) return;
+static void b64_init_impl() {
     const char* alphabet =
         "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
     const uint32_t BAD = 1u << 24;
@@ -62,6 +62,10 @@ static void b64_init() {
     B64_REV[(uint8_t)'='] = -2;
     b64_init_done = true;
 }
+
+// Thread-safe: worker threads of the batch decoder and the parallel
+// scan may race to initialize in a fresh process.
+static void b64_init() { std::call_once(b64_once, b64_init_impl); }
 
 #ifdef TTPU_X86
 // AVX2 fast path: 32 base64 chars -> 24 bytes per iteration.
@@ -260,48 +264,89 @@ int64_t ttpu_count_newlines(const char* text, int64_t text_len) {
     return count;
 }
 
-// Scan one [pos, stop) range of a .card text buffer into the provided
-// vectors (shared helper of the single- and multi-threaded scans).
-// ``pos`` must sit at a line start.
+// Parse one data line [line_start, line_end); fills the four fields
+// and returns true when the line is a valid "<ts> <idx> <b64>" record.
+// Shared core of the direct and parallel scans; callers must have run
+// b64_init().
+static bool card_parse_line(const char* text, int64_t line_start,
+                            int64_t line_end, double* ts_out,
+                            int64_t* idx_out, int64_t* off_out,
+                            int64_t* len_out) {
+    if (line_end <= line_start) return false;
+    const char* line = text + line_start;
+    if (line[0] == '#' || line[0] == '\n' || line[0] == '\r') return false;
+    // Parse "<float> <int> <payload>".
+    char* endp = nullptr;
+    double ts = strtod(line, &endp);
+    if (endp == line || endp >= text + line_end || *endp != ' ')
+        return false;
+    char* endp2 = nullptr;
+    long long idx = strtoll(endp + 1, &endp2, 10);
+    if (endp2 == endp + 1 || endp2 >= text + line_end || *endp2 != ' ')
+        return false;
+    const char* payload = endp2 + 1;
+    int64_t plen = (text + line_end) - payload;
+    while (plen > 0 && (payload[plen - 1] == '\r')) --plen;
+    if (plen <= 0) return false;
+    // Bound the payload at the first whitespace (base64 has none;
+    // junk lines can carry trailing tokens).  Full validation is
+    // deferred to the decoder, which flags junk rows per row --
+    // validating every character here would double the scan cost.
+    const char* sp = (const char*)memchr(payload, ' ', plen);
+    if (sp) plen = sp - payload;
+    if (plen <= 0 || B64_REV[(uint8_t)payload[0]] < 0) return false;
+    *ts_out = ts;
+    *idx_out = (int64_t)idx;
+    *off_out = payload - text;
+    *len_out = plen;
+    return true;
+}
+
+// Scan one [pos, stop) range into the provided vectors (parallel-scan
+// worker).  ``pos`` must sit at a line start.
 static void card_scan_range(const char* text, int64_t pos, int64_t stop,
                             std::vector<double>& timestamps,
                             std::vector<int64_t>& indices,
                             std::vector<int64_t>& payload_offsets,
                             std::vector<int64_t>& payload_lens) {
-    b64_init();
+    double ts;
+    int64_t idx, off, len;
     while (pos < stop) {
         int64_t line_start = pos;
         const char* nl = (const char*)memchr(text + pos, '\n', stop - pos);
         int64_t line_end = nl ? (nl - text) : stop;
         pos = line_end + 1;
-        if (line_end <= line_start) continue;
-        const char* line = text + line_start;
-        if (line[0] == '#' || line[0] == '\n' || line[0] == '\r') continue;
-        // Parse "<float> <int> <payload>".
-        char* endp = nullptr;
-        double ts = strtod(line, &endp);
-        if (endp == line || endp >= text + line_end || *endp != ' ')
-            continue;
-        char* endp2 = nullptr;
-        long long idx = strtoll(endp + 1, &endp2, 10);
-        if (endp2 == endp + 1 || endp2 >= text + line_end ||
-            *endp2 != ' ')
-            continue;
-        const char* payload = endp2 + 1;
-        int64_t plen = (text + line_end) - payload;
-        while (plen > 0 && (payload[plen - 1] == '\r')) --plen;
-        // Bound the payload at the first whitespace (base64 has none;
-        // junk lines can carry trailing tokens).  Full validation is
-        // deferred to the decoder, which flags junk rows per row --
-        // validating every character here would double the scan cost.
-        const char* sp = (const char*)memchr(payload, ' ', plen);
-        if (sp) plen = sp - payload;
-        if (plen <= 0 || B64_REV[(uint8_t)payload[0]] < 0) continue;
-        timestamps.push_back(ts);
-        indices.push_back((int64_t)idx);
-        payload_offsets.push_back(payload - text);
-        payload_lens.push_back(plen);
+        if (card_parse_line(text, line_start, line_end, &ts, &idx,
+                            &off, &len)) {
+            timestamps.push_back(ts);
+            indices.push_back(idx);
+            payload_offsets.push_back(off);
+            payload_lens.push_back(len);
+        }
     }
+}
+
+// Scan one range straight into caller arrays, stopping at max_blocks.
+static int64_t card_scan_direct(const char* text, int64_t pos,
+                                int64_t stop, double* timestamps,
+                                int64_t* indices,
+                                int64_t* payload_offsets,
+                                int64_t* payload_lens,
+                                int64_t max_blocks) {
+    int64_t count = 0;
+    while (pos < stop && count < max_blocks) {
+        int64_t line_start = pos;
+        const char* nl = (const char*)memchr(text + pos, '\n', stop - pos);
+        int64_t line_end = nl ? (nl - text) : stop;
+        pos = line_end + 1;
+        if (card_parse_line(text, line_start, line_end,
+                            timestamps + count, indices + count,
+                            payload_offsets + count,
+                            payload_lens + count)) {
+            ++count;
+        }
+    }
+    return count;
 }
 
 // Scan a .card text buffer: find data lines "<ts> <idx> <b64>" and fill
@@ -313,8 +358,17 @@ int64_t ttpu_card_scan_mt(const char* text, int64_t text_len,
                           double* timestamps, int64_t* indices,
                           int64_t* payload_offsets, int64_t* payload_lens,
                           int64_t max_blocks, int num_threads) {
+    b64_init();  // before any worker thread touches the tables
     if (num_threads < 1) num_threads = 1;
     if (text_len < (1 << 20)) num_threads = 1;  // not worth the threads
+
+    if (num_threads == 1) {
+        // Direct path: write straight into the caller's arrays (no
+        // vectors, no merge copy, no thread), stopping at max_blocks.
+        return card_scan_direct(text, 0, text_len, timestamps, indices,
+                                payload_offsets, payload_lens,
+                                max_blocks);
+    }
 
     // Chunk boundaries snapped forward to line starts.
     std::vector<int64_t> starts(num_threads + 1, text_len);
@@ -340,6 +394,7 @@ int64_t ttpu_card_scan_mt(const char* text, int64_t text_len,
     for (int t = 0; t < num_threads && count < max_blocks; ++t) {
         int64_t n = (int64_t)ts_v[t].size();
         if (n > max_blocks - count) n = max_blocks - count;
+        if (n <= 0) continue;  // empty chunk: data() may be null
         memcpy(timestamps + count, ts_v[t].data(), n * sizeof(double));
         memcpy(indices + count, idx_v[t].data(), n * sizeof(int64_t));
         memcpy(payload_offsets + count, off_v[t].data(),

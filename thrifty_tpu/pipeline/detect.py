@@ -183,9 +183,21 @@ def _main(argv=None):
                               sample_rate=config.sample_rate, t0=args.t0)
             batches = pump.batches()
         except ImportError:
-            batches = blocks_io.raw_batches(
-                in_stream, config.block_size, config.block_history,
-                config.batch_size)
+            if args.t0 is not None:
+                block_dt = (config.block_size - config.block_history) \
+                    / config.sample_rate
+                counter = {"n": 0}
+
+                def stamper():
+                    counter["n"] += 1
+                    return args.t0 + (counter["n"] - 1) * block_dt
+                batches = blocks_io.raw_batches(
+                    in_stream, config.block_size, config.block_history,
+                    config.batch_size, timestamper=stamper)
+            else:
+                batches = blocks_io.raw_batches(
+                    in_stream, config.block_size, config.block_history,
+                    config.batch_size)
     else:
         batches = card.iter_card_batches(in_stream, config.batch_size)
         try:

@@ -80,13 +80,15 @@ def update_states(trackers, fixes, accel_std=1.0, meas_std=5.0):
     """
     order = np.argsort(fixes["timestamp"], kind="stable")
     for row in fixes[order]:
+        # dop <= 0 marks singular geometry (pos.dop returned -1) and a
+        # NaN dop an ill-conditioned one: the fix's error is unbounded
+        # either way, so skip it rather than weight it (written so NaN
+        # fails the condition too).
+        if not (row["dop"] > 0):
+            continue
         tx = int(row["tx"])
         tracker = trackers.setdefault(
             tx, KalmanTracker(accel_std, meas_std))
-        # dop <= 0 marks singular geometry (pos.dop returned -1): the
-        # fix's error is unbounded, so skip it rather than weight it.
-        if row["dop"] <= 0:
-            continue
         state = tracker.update(float(row["timestamp"]),
                                [row["x"], row["y"]], float(row["dop"]))
         yield float(row["timestamp"]), tx, state
