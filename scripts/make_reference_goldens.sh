@@ -1,0 +1,83 @@
+#!/bin/bash
+# Regenerate tests/golden/ by running the ACTUAL reference implementation
+# (/root/reference, swkrueger/Thrifty, Python 2) on the repo's example
+# capture, via a minimal mechanical py2->py3 shim applied to a throwaway
+# copy under /tmp.  The shim is kept out of the package on purpose: it
+# only mechanically renames removed py2 builtins / numpy aliases and
+# fixes lazy-iterator reuse; it does not alter any numerics.
+#
+# Shimmed constructs (mechanical, semantics-preserving):
+#   .iteritems() -> .items(), xrange -> range, basestring -> str,
+#   izip -> zip, np.fromstring -> np.frombuffer, np.bool -> bool,
+#   list.sort(cmp=<lt-by-timestamp>) -> list.sort(key=timestamp),
+#   binary argparse.FileType for text files -> text mode,
+#   bytes line decode in card_reader, list() around reused map/zip
+#   iterators and dict views (py2 returned lists).
+#
+# Usage: scripts/make_reference_goldens.sh [REFERENCE_DIR] [OUT_DIR]
+set -euo pipefail
+
+REF=${1:-/root/reference}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+OUT=${2:-$REPO/tests/golden}
+WORK=$(mktemp -d /tmp/refgolden.XXXXXX)
+trap 'rm -rf "$WORK"' EXIT
+
+cp -r "$REF/thrifty" "$WORK/thrifty"
+cd "$WORK"
+
+# --- mechanical py2 -> py3 renames (removed builtins / aliases) ---
+find thrifty -name '*.py' -print0 | xargs -0 sed -i \
+    's/\.iteritems()/\.items()/g; s/\bxrange\b/range/g; s/\bbasestring\b/str/g; s/\bizip\b/zip/g'
+sed -i 's/np\.fromstring(/np.frombuffer(/' thrifty/block_data.py
+sed -i 's/dtype=np\.bool)/dtype=bool)/' thrifty/beacon_analysis.py
+
+# --- text files opened in binary mode (py2 str == bytes) ---
+sed -i "s/FileType('wb')/FileType('w')/g; s/FileType('ab')/FileType('a')/g" \
+    thrifty/detect.py thrifty/identify.py thrifty/matchmaker.py
+python3 - <<'EOF'
+p = 'thrifty/block_data.py'
+s = open(p).read()
+s = s.replace(
+    "        line = stream.readline()\n        if len(line) == 0:",
+    "        line = stream.readline()\n"
+    "        if isinstance(line, bytes):\n"
+    "            line = line.decode('ascii', 'replace')\n"
+    "        if len(line) == 0:")
+open(p, 'w').write(s)
+EOF
+
+# --- py2 sort(cmp=...) and reusable-iterator assumptions ---
+sed -i 's/toads\.sort(cmp=lambda x, y: x\.timestamp < y\.timestamp)/toads.sort(key=lambda x: x.timestamp)/' \
+    thrifty/matchmaker.py
+sed -i 's/match = map(int, line\.split())/match = list(map(int, line.split()))/' \
+    thrifty/matchmaker.py
+sed -i 's/detections\.sort(cmp=lambda x, y: x\[0\]\.timestamp < y\[0\]\.timestamp)/detections.sort(key=lambda x: x[0].timestamp)/' \
+    thrifty/tdoa_est.py
+sed -i 's/rx_pos\[rx_pos\.keys()\[0\]\]/rx_pos[next(iter(rx_pos))]/' thrifty/pos_est.py
+sed -i 's/rx_coords = np\.array(rx_pos\.values())/rx_coords = np.array(list(rx_pos.values()))/' \
+    thrifty/pos_est.py
+sed -i "s/rx_pairs = zip(tdoas\['rx0'\], tdoas\['rx1'\])/rx_pairs = list(zip(tdoas['rx0'], tdoas['rx1']))/" \
+    thrifty/pos_est.py
+
+# --- run the reference chain on the example capture ---
+mkdir -p run && cd run
+grep -v '^batch_size\|^sync_mode\|^# TPU' "$REPO/example/detector.cfg" > detector.cfg
+cp "$REPO/example/template.npy" "$REPO/example/freq-map.cfg" \
+   "$REPO/example/pos-rx.cfg" "$REPO/example/pos-beacon.cfg" .
+
+export PYTHONPATH="$WORK"
+for i in 0 1 2; do
+    python3 -m thrifty.cli detect "$REPO/example/cards/rx$i.card" \
+        -o "rx$i.toad" --rxid "$i"
+done
+python3 -m thrifty.cli identify rx0.toad rx1.toad rx2.toad \
+    -m freq-map.cfg -o rx.toads
+python3 -m thrifty.cli match rx.toads -o rx.match -w 0.02
+python3 -m thrifty.cli tdoa rx.toads rx.match -o data.tdoa \
+    -r pos-rx.cfg -b pos-beacon.cfg
+python3 -m thrifty.cli pos data.tdoa -o data.pos -r pos-rx.cfg
+
+mkdir -p "$OUT"
+cp rx0.toad rx1.toad rx2.toad rx.toads rx.match data.tdoa data.pos "$OUT/"
+echo "goldens written to $OUT"

@@ -1,0 +1,147 @@
+"""Cross-validation against the ACTUAL reference implementation.
+
+``tests/golden/`` holds the outputs of running the real
+swkrueger/Thrifty pipeline (/root/reference, via the mechanical py2->py3
+shim in ``scripts/make_reference_goldens.sh``) on the repo's example
+capture (``example/cards/*.card``):
+
+    thrifty detect rxN.card --rxid N   -> rxN.toad
+    thrifty identify -m freq-map.cfg   -> rx.toads
+    thrifty match -w 0.02              -> rx.match
+    thrifty tdoa -r pos-rx -b pos-beacon -> data.tdoa
+    thrifty pos -r pos-rx              -> data.pos
+
+Here the SAME chain is re-run with thrifty-tpu and compared
+field-by-field.  This is the acceptance bar of SURVEY.md section 7.3
+("validated against reference Python detect on the same input",
+/root/reference/thrifty/detect.py:161-223, soa_estimator.py:146-170,
+tdoa_est.py:234-303, pos_est.py:128-157).
+
+Tolerances: the reference computes in float64 numpy on the host; the
+TPU-native detector computes the FFT/correlation path in float32 on
+device (float64 only for the final SoA arithmetic).  Measured
+disagreement on this capture is ~1e-5 samples of SoA and <1e-6
+relative on amplitudes; bounds below carry ~10-50x headroom over that
+while remaining far below any physically meaningful scale (1e-3
+samples = 0.125 m of range at 2.4 MS/s).  Detect/no-detect decisions,
+block indices, correlation peak indices and carrier bins must be
+IDENTICAL.  There are no other deliberate numerical divergences on
+this chain (docs/golden_validation.md).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from thrifty_tpu.cli import main
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+EXAMPLE = os.path.join(os.path.dirname(__file__), os.pardir, "example")
+
+# .toad columns (toads_data.py:99-124 ordering, without txid):
+# 0 rxid, 1 timestamp, 2 block, 3 soa, 4 peak_idx, 5 corr_offset,
+# 6 corr_ampl, 7 corr_noise, 8 carrier_bin, 9 carrier_offset,
+# 10 carrier_ampl, 11 carrier_noise
+TOAD_INT_COLS = (0, 2, 4, 8)
+TOAD_TOLS = {1: dict(atol=1e-9), 3: dict(atol=1e-3), 5: dict(atol=1e-3),
+             6: dict(rtol=1e-3, atol=1e-3), 7: dict(rtol=1e-2, atol=1e-3),
+             9: dict(atol=2e-3), 10: dict(rtol=1e-3, atol=1e-3),
+             11: dict(rtol=1e-2, atol=1e-3)}
+
+
+@pytest.fixture(scope="module")
+def rerun(tmp_path_factory):
+    """Run the full thrifty-tpu chain on the example cards."""
+    d = tmp_path_factory.mktemp("golden_rerun")
+    common = ["--carrier-window", "7-110",
+              "--template", os.path.join(EXAMPLE, "template.npy")]
+    for rxid in (0, 1, 2):
+        assert main(["detect", os.path.join(EXAMPLE, "cards",
+                                            "rx%d.card" % rxid),
+                     "-o", str(d / ("rx%d.toad" % rxid)), "--quiet",
+                     "--rxid", str(rxid)] + common) == 0
+    assert main(["identify"] +
+                [str(d / ("rx%d.toad" % i)) for i in (0, 1, 2)] +
+                ["-o", str(d / "rx.toads"),
+                 "-m", os.path.join(EXAMPLE, "freq-map.cfg")]) == 0
+    assert main(["match", str(d / "rx.toads"), "-o", str(d / "rx.match"),
+                 "-w", "0.02"]) == 0
+    assert main(["tdoa", str(d / "rx.toads"), str(d / "rx.match"),
+                 "-o", str(d / "data.tdoa"),
+                 "-r", os.path.join(EXAMPLE, "pos-rx.cfg"),
+                 "-b", os.path.join(EXAMPLE, "pos-beacon.cfg")]) == 0
+    assert main(["pos", str(d / "data.tdoa"), "-o", str(d / "data.pos"),
+                 "-r", os.path.join(EXAMPLE, "pos-rx.cfg")]) == 0
+    return d
+
+
+def _load(path):
+    return np.atleast_2d(np.loadtxt(path))
+
+
+@pytest.mark.parametrize("rxid", [0, 1, 2])
+def test_detect_matches_reference(rerun, rxid):
+    ref = _load(os.path.join(GOLDEN, "rx%d.toad" % rxid))
+    got = _load(str(rerun / ("rx%d.toad" % rxid)))
+    assert got.shape == ref.shape, "different detection count"
+    for col in TOAD_INT_COLS:
+        np.testing.assert_array_equal(got[:, col], ref[:, col],
+                                      err_msg="toad col %d" % col)
+    for col, tol in TOAD_TOLS.items():
+        np.testing.assert_allclose(got[:, col], ref[:, col],
+                                   err_msg="toad col %d" % col, **tol)
+
+
+def test_identify_matches_reference(rerun):
+    ref = _load(os.path.join(GOLDEN, "rx.toads"))
+    got = _load(str(rerun / "rx.toads"))
+    assert got.shape == ref.shape, "identify kept a different set"
+    # .toads = .toad with txid spliced in as column 1.
+    np.testing.assert_array_equal(got[:, 1], ref[:, 1], err_msg="txid")
+    for col in TOAD_INT_COLS:
+        c = col if col == 0 else col + 1
+        np.testing.assert_array_equal(got[:, c], ref[:, c],
+                                      err_msg="toads col %d" % c)
+    for col, tol in TOAD_TOLS.items():
+        np.testing.assert_allclose(got[:, col + 1], ref[:, col + 1],
+                                   err_msg="toads col %d" % (col + 1), **tol)
+
+
+def test_match_matches_reference(rerun):
+    ref = [l.split() for l in open(os.path.join(GOLDEN, "rx.match"))
+           if l.strip() and not l.startswith("#")]
+    got = [l.split() for l in open(str(rerun / "rx.match"))
+           if l.strip() and not l.startswith("#")]
+    assert [sorted(map(int, m)) for m in got] == \
+        [sorted(map(int, m)) for m in ref]
+
+
+def test_tdoa_matches_reference(rerun):
+    # cols: 0 group, 1 timestamp, 2 txid, 3 rx0, 4 rx1, 5 tdoa_dist[m],
+    # 6/7 model-corrected distances, 8/9 detection indices
+    ref = _load(os.path.join(GOLDEN, "data.tdoa"))
+    got = _load(str(rerun / "data.tdoa"))
+    assert got.shape == ref.shape, "different TDOA group structure"
+    for col in (0, 2, 3, 4, 8, 9):
+        np.testing.assert_array_equal(got[:, col], ref[:, col],
+                                      err_msg="tdoa col %d" % col)
+    np.testing.assert_allclose(got[:, 1], ref[:, 1], atol=1e-9)
+    np.testing.assert_allclose(got[:, 5], ref[:, 5], atol=0.01,
+                               err_msg="TDOA distance [m]")
+    np.testing.assert_allclose(got[:, 6:8], ref[:, 6:8], atol=0.05)
+
+
+def test_pos_matches_reference(rerun):
+    # cols: 0 group, 1 timestamp, 2 txid, 3 dop, 4 snr, 5 x, 6 y
+    ref = _load(os.path.join(GOLDEN, "data.pos"))
+    got = _load(str(rerun / "data.pos"))
+    assert got.shape == ref.shape, "different fix count"
+    np.testing.assert_array_equal(got[:, (0, 2)], ref[:, (0, 2)])
+    np.testing.assert_allclose(got[:, 1], ref[:, 1], atol=1e-9)
+    np.testing.assert_allclose(got[:, 3], ref[:, 3], atol=1e-5,
+                               err_msg="DOP")
+    np.testing.assert_allclose(got[:, 4], ref[:, 4], rtol=0.05,
+                               err_msg="SNR")
+    np.testing.assert_allclose(got[:, 5:], ref[:, 5:], atol=0.05,
+                               err_msg="position [m]")
