@@ -14,6 +14,10 @@
 #   bytes line decode in card_reader, list() around reused map/zip
 #   iterators and dict views (py2 returned lists).
 #
+# Inputs: tests/golden/input/*.card (committed; originally produced by
+# example/simulate.py seed 20 -> `capture --raw-in --t0 1500000000 -k 0`,
+# verified bit-identical to that regeneration).
+#
 # Usage: scripts/make_reference_goldens.sh [REFERENCE_DIR] [OUT_DIR]
 set -euo pipefail
 
@@ -62,13 +66,13 @@ sed -i "s/rx_pairs = zip(tdoas\['rx0'\], tdoas\['rx1'\])/rx_pairs = list(zip(tdo
 
 # --- run the reference chain on the example capture ---
 mkdir -p run && cd run
-grep -v '^batch_size\|^sync_mode\|^# TPU' "$REPO/example/detector.cfg" > detector.cfg
-cp "$REPO/example/template.npy" "$REPO/example/freq-map.cfg" \
-   "$REPO/example/pos-rx.cfg" "$REPO/example/pos-beacon.cfg" .
+IN="$REPO/tests/golden/input"
+cp "$IN/detector.cfg" "$IN/template.npy" "$IN/freq-map.cfg" \
+   "$IN/pos-rx.cfg" "$IN/pos-beacon.cfg" .
 
 export PYTHONPATH="$WORK"
 for i in 0 1 2; do
-    python3 -m thrifty.cli detect "$REPO/example/cards/rx$i.card" \
+    python3 -m thrifty.cli detect "$IN/rx$i.card" \
         -o "rx$i.toad" --rxid "$i"
 done
 python3 -m thrifty.cli identify rx0.toad rx1.toad rx2.toad \

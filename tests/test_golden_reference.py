@@ -2,8 +2,11 @@
 
 ``tests/golden/`` holds the outputs of running the real
 swkrueger/Thrifty pipeline (/root/reference, via the mechanical py2->py3
-shim in ``scripts/make_reference_goldens.sh``) on the repo's example
-capture (``example/cards/*.card``):
+shim in ``scripts/make_reference_goldens.sh``) on the committed capture
+``tests/golden/input/*.card`` (the example pipeline's synthetic
+three-receiver network: ``example/simulate.py`` seed 20 ->
+``capture --raw-in --t0 1.5e9``; committed verbatim so the
+golden/input pairing cannot drift if the simulator changes):
 
     thrifty detect rxN.card --rxid N   -> rxN.toad
     thrifty identify -m freq-map.cfg   -> rx.toads
@@ -37,7 +40,7 @@ import pytest
 from thrifty_tpu.cli import main
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
-EXAMPLE = os.path.join(os.path.dirname(__file__), os.pardir, "example")
+INPUT = os.path.join(GOLDEN, "input")
 
 # .toad columns (toads_data.py:99-124 ordering, without txid):
 # 0 rxid, 1 timestamp, 2 block, 3 soa, 4 peak_idx, 5 corr_offset,
@@ -55,24 +58,23 @@ def rerun(tmp_path_factory):
     """Run the full thrifty-tpu chain on the example cards."""
     d = tmp_path_factory.mktemp("golden_rerun")
     common = ["--carrier-window", "7-110",
-              "--template", os.path.join(EXAMPLE, "template.npy")]
+              "--template", os.path.join(INPUT, "template.npy")]
     for rxid in (0, 1, 2):
-        assert main(["detect", os.path.join(EXAMPLE, "cards",
-                                            "rx%d.card" % rxid),
+        assert main(["detect", os.path.join(INPUT, "rx%d.card" % rxid),
                      "-o", str(d / ("rx%d.toad" % rxid)), "--quiet",
                      "--rxid", str(rxid)] + common) == 0
     assert main(["identify"] +
                 [str(d / ("rx%d.toad" % i)) for i in (0, 1, 2)] +
                 ["-o", str(d / "rx.toads"),
-                 "-m", os.path.join(EXAMPLE, "freq-map.cfg")]) == 0
+                 "-m", os.path.join(INPUT, "freq-map.cfg")]) == 0
     assert main(["match", str(d / "rx.toads"), "-o", str(d / "rx.match"),
                  "-w", "0.02"]) == 0
     assert main(["tdoa", str(d / "rx.toads"), str(d / "rx.match"),
                  "-o", str(d / "data.tdoa"),
-                 "-r", os.path.join(EXAMPLE, "pos-rx.cfg"),
-                 "-b", os.path.join(EXAMPLE, "pos-beacon.cfg")]) == 0
+                 "-r", os.path.join(INPUT, "pos-rx.cfg"),
+                 "-b", os.path.join(INPUT, "pos-beacon.cfg")]) == 0
     assert main(["pos", str(d / "data.tdoa"), "-o", str(d / "data.pos"),
-                 "-r", os.path.join(EXAMPLE, "pos-rx.cfg")]) == 0
+                 "-r", os.path.join(INPUT, "pos-rx.cfg")]) == 0
     return d
 
 
