@@ -86,6 +86,46 @@ class TestEstimate:
                 bg.tdoas["model_quality"], sg.tdoas["model_quality"],
                 rtol=1e-9)
 
+    def test_nearest_model_exact_tie_matches_sequential(self):
+        """A mobile detection exactly equidistant between two beacon
+        transmissions: the sequential bisect rule keeps the LATER
+        beacon (strict `<` in build_model_nearest), and the batched
+        masked argmin must break the tie the same way.  The two
+        beacons are given different clock residuals so the choice is
+        visible in the TDOA."""
+        from thrifty_tpu.io import toad as toad_mod
+
+        det = toad_mod.empty(6)
+        rows = [
+            # (rxid, txid, timestamp, soa)
+            (0, 9, 1.0, 1.0 * FS),
+            (1, 9, 1.0, 1.0 * FS + 100.0),
+            (0, 3, 2.0, 2.0 * FS),
+            (1, 3, 2.0, 2.0 * FS + 100.0),
+            (0, 9, 3.0, 3.0 * FS),
+            (1, 9, 3.0, 3.0 * FS + 100.0 + 7.0),  # rx1 clock jumped
+        ]
+        for i, (rx, tx, ts, soa) in enumerate(rows):
+            det[i]["rxid"] = rx
+            det[i]["txid"] = tx
+            det[i]["timestamp"] = ts
+            det[i]["block"] = int(soa // (16384 - 4920))
+            det[i]["soa"] = soa
+            det[i]["energy"] = 1000.0
+            det[i]["noise"] = 10.0
+        matches = [[0, 1], [2, 3], [4, 5]]
+        kwargs = dict(window_size=8, beacon_pos=BEACON_POS,
+                      rx_pos=RX_POS, sample_rate=FS,
+                      model_builder=tdoa.build_model_nearest)
+        seq, _ = tdoa.estimate_tdoas(det, matches, batched=False, **kwargs)
+        bat, _ = tdoa.estimate_tdoas(det, matches, batched=True, **kwargs)
+        assert len(seq) == len(bat) == 1
+        # Both must have chosen the later (t=3.0) beacon; the 7-sample
+        # jump separates the two choices by ~3 us so a wrong tie-break
+        # cannot hide inside the comparison tolerance.
+        np.testing.assert_allclose(bat[0].tdoas["tdoa"],
+                                   seq[0].tdoas["tdoa"], atol=1e-15)
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_batched_equivalence_random_scenarios(self, seed):
         """Property: on randomized traffic (irregular beacon cadence,

@@ -102,6 +102,15 @@ def test_capture_t0_timestamps(workdir):
     np.testing.assert_allclose(ts, T0 + idx * block_dt, atol=1e-6)
 
 
+def test_capture_t0_header_deterministic(workdir):
+    """With --t0 the header's start_time is the deterministic stream
+    start, not the wall clock: re-recording the same stream must yield
+    a byte-identical archive."""
+    with open(workdir / "rx0.card") as f:
+        header = [l for l in f if l.startswith("#")]
+    assert any("start_time: {:.6f}".format(T0) in l for l in header)
+
+
 def test_detect_raw_t0_timestamps(workdir, tmp_path):
     """detect --raw --t0 stamps like the recorder (offline re-analysis
     of a recorded stream is reproducible)."""

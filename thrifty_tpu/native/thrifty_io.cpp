@@ -140,9 +140,10 @@ static int64_t b64_decode_avx2(const char* in, int64_t in_len,
 }
 
 static bool b64_have_avx2() {
-    static int cached = -1;
-    if (cached < 0) cached = __builtin_cpu_supports("avx2") ? 1 : 0;
-    return cached == 1;
+    // C++11 magic static: initialization is thread-safe, unlike a
+    // mutable cache written racily from the batch-decode workers.
+    static const bool ok = __builtin_cpu_supports("avx2") != 0;
+    return ok;
 }
 #endif  // TTPU_X86
 
@@ -354,6 +355,14 @@ static int64_t card_scan_direct(const char* text, int64_t pos,
 // the number of blocks found (<= max_blocks).  With num_threads > 1
 // the buffer is split at line boundaries and scanned in parallel
 // (strtod-heavy, ~900 MB/s/thread), results merged in order.
+//
+// REQUIRES text[text_len] == '\0': the number parser uses
+// strtod/strtoll, which scan until a non-number byte -- on the final
+// line they may read past text_len (the result is rejected by the
+// bounds check, but the read itself needs the terminator).  The
+// Python wrapper satisfies this because ctypes `bytes` arguments are
+// always NUL-terminated; C callers passing a raw slice must copy or
+// terminate it first.
 int64_t ttpu_card_scan_mt(const char* text, int64_t text_len,
                           double* timestamps, int64_t* indices,
                           int64_t* payload_offsets, int64_t* payload_lens,

@@ -73,8 +73,14 @@ class CarrierGate:
         return self._jit(jnp.asarray(raw))
 
 
-def card_header(config, window, tool="thrifty-tpu capture", sdr=False):
-    """Reference-format .card header (fastcard/fargs.c:194-214)."""
+def card_header(config, window, tool="thrifty-tpu capture", sdr=False,
+                t0=None):
+    """Reference-format .card header (fastcard/fargs.c:194-214).
+
+    ``t0``: deterministic stream start time; when given it is used as
+    start_time (instead of the wall clock) so re-recording the same
+    stream yields byte-identical archives.
+    """
     c, s, _ = config.carrier_threshold
     lines = [
         "arguments: {{ carrier_bin: '{}-{}', threshold: '{:g}c+{:g}s', "
@@ -87,7 +93,8 @@ def card_header(config, window, tool="thrifty-tpu capture", sdr=False):
                      .format(int(config.tuner_freq),
                              int(config.sample_rate), config.tuner_gain))
     lines.append("tool: '{}'".format(tool))
-    lines.append("start_time: {:.6f}".format(time_mod.time()))
+    lines.append("start_time: {:.6f}".format(
+        time_mod.time() if t0 is None else t0))
     return "\n".join(lines)
 
 
@@ -180,7 +187,7 @@ def _record_main(config, args):
     if args.quiet:
         info_out = None
 
-    out_stream.write("# " + card_header(config, window).replace(
+    out_stream.write("# " + card_header(config, window, t0=args.t0).replace(
         "\n", "\n# ") + "\n")
 
     try:

@@ -454,7 +454,12 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
             dist = np.where(keep[inv],
                             np.abs(arr["t"][idx][inv] - ts0[:, None]),
                             np.inf)
-            j = np.argmin(dist, axis=1)
+            # Tie rule mirrors build_model_nearest's bisect: on an
+            # exactly equidistant pair the LATER beacon wins (the
+            # strict `<` there keeps the right neighbor), whereas
+            # argmin would pick the earlier -- take the last minimal
+            # column (window columns are time-ordered).
+            j = dist.shape[1] - 1 - np.argmin(dist[:, ::-1], axis=1)
             soa1_w = arr["soa1"][idx]
             dsoa0 = det0["soa"][sel] - y[inv, j]
             dsoa1 = det1["soa"][sel] - soa1_w[inv, j]

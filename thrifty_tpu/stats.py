@@ -28,7 +28,8 @@ def lowess(x, y, frac: float = 0.025, min_points: int = 3):
     Self-contained stand-in for statsmodels' lowess (used by the
     reference's scripts/reldist_nearest.py:224 to overlay a smoothed
     trend); single robustness pass omitted (it=0 there too).  Returns
-    the smoothed y evaluated at the (sorted) x values.
+    the smoothed y aligned to the INPUT order of x (callers overlay it
+    directly against their own x array).
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
