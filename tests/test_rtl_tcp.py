@@ -1,0 +1,202 @@
+"""rtl_tcp client: protocol handshake, nearest-gain semantics, and the
+live capture/detect CLI paths against an in-test fake server.
+
+The fake implements the server side of librtlsdr's rtl_tcp protocol:
+banner (magic + tuner type + gain count), 5-byte SET_* commands, then
+a raw uint8 I/Q stream.  Mirrors the reference's SDR front-end tests
+hardware-for-hardware (fastcard/rtlsdr_reader.c:201-297).
+"""
+
+import socket
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from thrifty_tpu import sim
+from thrifty_tpu.cli import main
+from thrifty_tpu.dsp import iq
+from thrifty_tpu.io import card, rtl_tcp, toad
+
+HISTORY = 4920
+
+
+class FakeRtlTcpServer:
+    """One-shot rtl_tcp server: banner -> record commands -> stream."""
+
+    def __init__(self, payload=b"", tuner_type=5, gain_count=29,
+                 magic=b"RTL0"):
+        self.payload = payload
+        self.tuner_type = tuner_type
+        self.gain_count = gain_count
+        self.magic = magic
+        self.commands = []
+        self._sock = socket.socket()
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(1)
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._sock.accept()
+        conn.sendall(self.magic + struct.pack(
+            ">II", self.tuner_type, self.gain_count))
+        # The client sends its whole SET_* sequence during __init__
+        # before it starts reading; drain commands until a short idle.
+        conn.settimeout(0.25)
+        buf = b""
+        try:
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+        except socket.timeout:
+            pass
+        for i in range(0, len(buf) - len(buf) % 5, 5):
+            op, arg = struct.unpack(">BI", buf[i:i + 5])
+            self.commands.append((op, arg))
+        conn.settimeout(None)
+        try:
+            conn.sendall(self.payload)
+            conn.shutdown(socket.SHUT_WR)
+            # Linger until the client closes so it never sees ECONNRESET
+            # mid-payload.
+            conn.settimeout(5.0)
+            while conn.recv(4096):
+                pass
+        except OSError:
+            pass
+        conn.close()
+        self._sock.close()
+
+    def join(self):
+        self._thread.join(timeout=10.0)
+
+
+def test_nearest_gain_reference_semantics():
+    # Exact value
+    assert rtl_tcp.nearest_gain(77, rtl_tcp.TUNER_GAINS[5]) == 77
+    # Between 77 and 87: 81 -> 77, 83 -> 87
+    assert rtl_tcp.nearest_gain(81, rtl_tcp.TUNER_GAINS[5]) == 77
+    assert rtl_tcp.nearest_gain(83, rtl_tcp.TUNER_GAINS[5]) == 87
+    # Exact midpoint keeps the earlier entry (strict < in the
+    # reference's scan, rtlsdr_reader.c:47-52): midpoint of 77/87.
+    assert rtl_tcp.nearest_gain(82, rtl_tcp.TUNER_GAINS[5]) == 77
+    # Clipping to the table ends
+    assert rtl_tcp.nearest_gain(-500, rtl_tcp.TUNER_GAINS[1]) == -10
+    assert rtl_tcp.nearest_gain(9999, rtl_tcp.TUNER_GAINS[5]) == 496
+    # Empty table (unknown tuner) -> 0
+    assert rtl_tcp.nearest_gain(100, ()) == 0
+
+
+def test_parse_hostport():
+    assert rtl_tcp.parse_hostport("radio:2001") == ("radio", 2001)
+    assert rtl_tcp.parse_hostport("radio") == ("radio", 1234)
+
+
+def test_handshake_and_stream():
+    srv = FakeRtlTcpServer(payload=bytes(range(256)) * 4)
+    src = rtl_tcp.RtlTcpSource("127.0.0.1", srv.port, frequency=433.83e6,
+                               sample_rate=2.4e6, gain_db=7.5,
+                               bias_tee=True)
+    got = b""
+    while True:
+        chunk = src.read(300)
+        if not chunk:
+            break
+        got += chunk
+    src.close()
+    srv.join()
+    assert got == bytes(range(256)) * 4
+    assert src.tuner_name == "R820T"
+    # Init sequence mirrors rtlsdr_reader.c:253-291: sample rate,
+    # frequency, manual gain mode, nearest gain, then bias tee.
+    assert srv.commands == [
+        (rtl_tcp.CMD_SET_SAMPLE_RATE, 2400000),
+        (rtl_tcp.CMD_SET_FREQ, 433830000),
+        (rtl_tcp.CMD_SET_GAIN_MODE, 1),
+        (rtl_tcp.CMD_SET_GAIN, 77),  # nearest_gain(75) on R820T
+        (rtl_tcp.CMD_SET_BIAS_TEE, 1),
+    ]
+    assert src.tuner_gain == 77
+
+
+def test_auto_gain_mode():
+    srv = FakeRtlTcpServer()
+    src = rtl_tcp.RtlTcpSource("127.0.0.1", srv.port, gain_db=None)
+    while src.read(4096):
+        pass
+    src.close()
+    srv.join()
+    assert (rtl_tcp.CMD_SET_GAIN_MODE, 0) in srv.commands
+    assert all(op != rtl_tcp.CMD_SET_GAIN for op, _ in srv.commands)
+    assert src.tuner_gain is None
+
+
+def test_negative_gain_wraps_u32():
+    srv = FakeRtlTcpServer(tuner_type=1, gain_count=14)  # E4000
+    src = rtl_tcp.RtlTcpSource("127.0.0.1", srv.port, gain_db=-1.0)
+    while src.read(4096):
+        pass
+    src.close()
+    srv.join()
+    gains = dict(srv.commands)
+    assert gains[rtl_tcp.CMD_SET_GAIN] == (-10) & 0xFFFFFFFF
+
+
+def test_bad_magic_rejected():
+    srv = FakeRtlTcpServer(magic=b"HTTP")
+    with pytest.raises(IOError):
+        rtl_tcp.RtlTcpSource("127.0.0.1", srv.port)
+
+
+@pytest.fixture(scope="module")
+def burst_stream():
+    """Raw uint8 I/Q bytes of a small capture with known bursts."""
+    tpl = sim.make_template()
+    cap = sim.synth_capture(num_blocks=20, bursts_every=4, template=tpl,
+                            seed=3)
+    return iq.iq_to_raw(
+        cap.blocks[:, HISTORY:].reshape(-1)).tobytes(), tpl
+
+
+def test_capture_cli_rtl_tcp(burst_stream, tmp_path):
+    payload, _ = burst_stream
+    srv = FakeRtlTcpServer(payload=payload)
+    out = tmp_path / "live.card"
+    assert main(["capture", "--rtl-tcp", "127.0.0.1:%d" % srv.port,
+                 "-o", str(out), "--quiet", "-k", "0",
+                 "--carrier-window", "7-110"]) == 0
+    srv.join()
+    # Tuner configured from settings (defaults: 433.83M, gain 0 ->
+    # nearest R820T gain 0).
+    assert (rtl_tcp.CMD_SET_FREQ, 433830000) in srv.commands
+    assert (rtl_tcp.CMD_SET_GAIN, 0) in srv.commands
+    header = [l for l in open(out) if l.startswith("#")]
+    assert any("tuner:" in l for l in header), "SDR header line missing"
+    ts, idx, blocks = card.read_card(str(out))
+    assert 0 < len(idx) < 20, "carrier gating should thin the stream"
+
+
+def test_detect_cli_rtl_tcp_matches_file(burst_stream, tmp_path):
+    """Live rtl_tcp detect == offline detect of the same stream."""
+    payload, tpl = burst_stream
+    np.save(tmp_path / "tpl.npy", tpl)
+    raw = tmp_path / "stream.bin"
+    raw.write_bytes(payload)
+    common = ["--quiet", "--template", str(tmp_path / "tpl.npy"),
+              "--carrier-window", "7-110"]
+    assert main(["detect", str(raw), "--raw", "-o",
+                 str(tmp_path / "file.toad")] + common) == 0
+    srv = FakeRtlTcpServer(payload=payload)
+    assert main(["detect", "--rtl-tcp", "127.0.0.1:%d" % srv.port,
+                 "-o", str(tmp_path / "live.toad")] + common) == 0
+    srv.join()
+    f = toad.load_toad(str(tmp_path / "file.toad"))
+    l = toad.load_toad(str(tmp_path / "live.toad"))
+    assert len(f) == len(l) > 0
+    for col in ("block", "sample", "soa"):
+        np.testing.assert_array_equal(f[col], l[col])

@@ -1,0 +1,163 @@
+"""rtl_tcp network client: a live SDR source for StreamPump.
+
+TPU hosts have no USB SDR attached, so the live front-end speaks the
+standard rtl_tcp protocol (librtlsdr's network server, the lingua
+franca of SDR-over-TCP): the radio runs wherever the antenna is and
+the detector host pulls the raw uint8 I/Q stream over the network.
+This replaces the reference's in-process librtlsdr binding
+(fastcard/rtlsdr_reader.c:201-297) hardware-for-hardware:
+
+  rtlsdr_open / set_sample_rate / set_center_freq /
+  set_tuner_gain_mode(1) / nearest_gain + set_tuner_gain /
+  reset_buffer            (rtlsdr_reader.c:253-291)
+      -> the same sequence as rtl_tcp SET_* commands on connect,
+  rtlsdr_set_bias_tee     (rtlsdr_reader.c:327-332) -> SET_BIAS_TEE,
+  async USB callback + ring (rtlsdr_reader.c:60-117)
+      -> the TCP socket feeds io.stream.StreamPump's reader thread,
+         which owns the native ring buffer.
+
+Protocol (librtlsdr src/rtl_tcp.c): on accept the server sends a
+12-byte banner -- magic ``RTL0``, big-endian u32 tuner type, u32 gain
+count -- then an endless uint8 interleaved I/Q stream; the client
+sends 5-byte commands (u8 opcode + u32 big-endian argument).
+
+Gain selection reproduces convenience.c's nearest_gain (vendored at
+rtlsdr_reader.c:38-57): the server's banner does not carry the gain
+*values*, so the client resolves "nearest supported gain" against the
+published gain table of the advertised tuner model.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+# Command opcodes (librtlsdr src/rtl_tcp.c command handler).
+CMD_SET_FREQ = 0x01
+CMD_SET_SAMPLE_RATE = 0x02
+CMD_SET_GAIN_MODE = 0x03  # 0 = auto, 1 = manual
+CMD_SET_GAIN = 0x04       # tenths of a dB
+CMD_SET_FREQ_CORRECTION = 0x05
+CMD_SET_AGC_MODE = 0x08
+CMD_SET_GAIN_BY_INDEX = 0x0d
+CMD_SET_BIAS_TEE = 0x0e
+
+TUNER_NAMES = {0: "unknown", 1: "E4000", 2: "FC0012", 3: "FC0013",
+               4: "FC2580", 5: "R820T", 6: "R828D"}
+
+# Published tuner gain tables, in tenths of a dB (librtlsdr
+# src/tuner_*.c via rtlsdr_get_tuner_gains); R828D shares the R820T
+# table.  Used for nearest-gain resolution since rtl_tcp's banner only
+# carries the count.
+_R820T_GAINS = (0, 9, 14, 27, 37, 77, 87, 125, 144, 157, 166, 197, 207,
+                229, 254, 280, 297, 328, 338, 364, 372, 386, 402, 421,
+                434, 439, 445, 480, 496)
+TUNER_GAINS = {
+    1: (-10, 15, 40, 65, 90, 115, 140, 165, 190, 215, 240, 290, 340, 420),
+    2: (-99, -40, 71, 179, 192),
+    3: (-99, -73, -65, -63, -60, -58, -54, 58, 61, 63, 65, 67, 68, 70,
+        71, 179, 181, 182, 184, 186, 188, 191, 197),
+    4: (0,),
+    5: _R820T_GAINS,
+    6: _R820T_GAINS,
+}
+
+
+def nearest_gain(target_tenth_db, gains):
+    """Nearest supported gain, first-wins on ties.
+
+    Same scan as the reference's vendored convenience.c helper
+    (fastcard/rtlsdr_reader.c:38-57): linear pass keeping the current
+    candidate unless a strictly closer gain appears, so an exact
+    midpoint resolves to the earlier (lower) table entry.
+    """
+    gains = list(gains)
+    if not gains:
+        return 0
+    best = gains[0]
+    for g in gains:
+        if abs(target_tenth_db - g) < abs(target_tenth_db - best):
+            best = g
+    return best
+
+
+def parse_hostport(text, default_port=1234):
+    """'host[:port]' -> (host, port)."""
+    host, sep, port = text.rpartition(":")
+    if not sep:
+        return text, default_port
+    return host, int(port)
+
+
+class RtlTcpSource:
+    """File-like rtl_tcp client (``read``/``close``), StreamPump-ready.
+
+    Configures the remote dongle on connect with the reference's init
+    sequence (rtlsdr_reader.c:253-291): sample rate, center frequency,
+    then either manual gain mode + nearest supported gain, or
+    auto-gain when ``gain_db`` is None.
+    """
+
+    def __init__(self, host, port=1234, frequency=433.83e6,
+                 sample_rate=2.4e6, gain_db=0.0, bias_tee=False,
+                 freq_correction_ppm=None, timeout=10.0):
+        self._sock = socket.create_connection((host, int(port)),
+                                              timeout=timeout)
+        banner = self._recv_exact(12)
+        if banner[:4] != b"RTL0":
+            self._sock.close()
+            raise IOError("not an rtl_tcp server (bad magic {!r})"
+                          .format(banner[:4]))
+        self.tuner_type, self.tuner_gain_count = struct.unpack(
+            ">II", banner[4:])
+        self.tuner_name = TUNER_NAMES.get(self.tuner_type, "unknown")
+
+        self._cmd(CMD_SET_SAMPLE_RATE, int(sample_rate))
+        self._cmd(CMD_SET_FREQ, int(frequency))
+        if freq_correction_ppm is not None:
+            self._cmd(CMD_SET_FREQ_CORRECTION,
+                      int(freq_correction_ppm))
+        if gain_db is None:
+            self.tuner_gain = None  # hardware AGC
+            self._cmd(CMD_SET_GAIN_MODE, 0)
+        else:
+            self._cmd(CMD_SET_GAIN_MODE, 1)
+            gains = TUNER_GAINS.get(self.tuner_type, ())
+            self.tuner_gain = nearest_gain(int(round(gain_db * 10)),
+                                           gains)
+            self._cmd(CMD_SET_GAIN, self.tuner_gain)
+        if bias_tee:
+            self._cmd(CMD_SET_BIAS_TEE, 1)
+
+    def _cmd(self, opcode, arg):
+        # u32 wraps negative arguments (e.g. negative tenth-dB gains)
+        # exactly like the C server reads them back.
+        self._sock.sendall(struct.pack(">BI", opcode, arg & 0xFFFFFFFF))
+
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise IOError("rtl_tcp server closed during handshake")
+            buf += chunk
+        return buf
+
+    def read(self, n):
+        """Up to ``n`` bytes of raw interleaved uint8 I/Q ('' on EOF)."""
+        try:
+            return self._sock.recv(n)
+        except (ConnectionResetError, BrokenPipeError):
+            return b""
+
+    def close(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def describe(self):
+        gain = ("auto" if self.tuner_gain is None
+                else "{:.1f} dB".format(self.tuner_gain / 10.0))
+        return "rtl_tcp: tuner={} gains={} gain={}".format(
+            self.tuner_name, self.tuner_gain_count, gain)

@@ -177,8 +177,22 @@ def _record_main(config, args):
         config.carrier_window, config.sample_rate / config.block_size)
     gate = CarrierGate(config.block_size, window, config.carrier_threshold)
 
-    in_stream = sys.stdin.buffer if args.raw_in == "-" \
-        else open(args.raw_in, "rb")
+    sdr = False
+    if getattr(args, "rtl_tcp", None):
+        from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
+
+        host, port = parse_hostport(args.rtl_tcp)
+        in_stream = RtlTcpSource(
+            host, port, frequency=config.tuner_freq,
+            sample_rate=config.sample_rate, gain_db=config.tuner_gain,
+            bias_tee=getattr(args, "bias_tee", False))
+        sdr = True
+        if not args.quiet:
+            print(in_stream.describe(), file=sys.stderr)
+    elif args.raw_in == "-":
+        in_stream = sys.stdin.buffer
+    else:
+        in_stream = open(args.raw_in, "rb")
     if args.output and args.output != "-":
         out_stream, close_out = open(args.output, "w"), True
     else:
@@ -187,7 +201,8 @@ def _record_main(config, args):
     if args.quiet:
         info_out = None
 
-    out_stream.write("# " + card_header(config, window, t0=args.t0).replace(
+    out_stream.write("# " + card_header(config, window, sdr=sdr,
+                                        t0=args.t0).replace(
         "\n", "\n# ") + "\n")
 
     try:
@@ -266,6 +281,15 @@ def _main(argv=None):
                              "t0 + block_idx*block_dt instead of the "
                              "wall clock (re-analyzing recorded raw "
                              "streams with a known start time)")
+    parser.add_argument("--rtl-tcp", type=str, default=None,
+                        metavar="HOST[:PORT]",
+                        help="capture live from an rtl_tcp server "
+                             "(configures freq/sample-rate/gain on "
+                             "connect; the network replacement for the "
+                             "reference's in-process librtlsdr binding)")
+    parser.add_argument("--bias-tee", action="store_true",
+                        help="with --rtl-tcp: enable the dongle's bias "
+                             "tee (antenna power)")
     parser.add_argument("--capture-cmd", type=str, default="fastcard",
                         help="capture binary to spawn [default: fastcard]")
     keys = ["sample_rate", "tuner_freq", "tuner_gain", "block_size",
@@ -273,7 +297,7 @@ def _main(argv=None):
             "capture_skip", "batch_size"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
-    if args.raw_in is not None:
+    if args.raw_in is not None or args.rtl_tcp is not None:
         return _record_main(config, args)
 
     cmd = shlex.split(args.capture_cmd) + build_args(config, args.output)

@@ -116,10 +116,18 @@ def _main(argv=None):
     parser = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    parser.add_argument("input", type=str,
+    parser.add_argument("input", type=str, nargs="?", default="-",
                         help="input .card file ('-' streams from stdin)")
     parser.add_argument("--raw", action="store_true",
                         help="input is raw interleaved uint8 I/Q")
+    parser.add_argument("--rtl-tcp", type=str, default=None,
+                        metavar="HOST[:PORT]",
+                        help="detect live from an rtl_tcp server "
+                             "(implies --raw; configures freq/"
+                             "sample-rate/gain on connect)")
+    parser.add_argument("--bias-tee", action="store_true",
+                        help="with --rtl-tcp: enable the dongle's bias "
+                             "tee (antenna power)")
     parser.add_argument("--t0", type=float, default=None,
                         help="with --raw: stamp blocks deterministically "
                              "as t0 + block_idx*block_dt instead of the "
@@ -151,7 +159,7 @@ def _main(argv=None):
 
     keys = ["sample_rate", "block_size", "block_history", "carrier_window",
             "carrier_threshold", "corr_threshold", "template", "rxid",
-            "batch_size", "sync_mode"]
+            "batch_size", "sync_mode", "tuner_freq", "tuner_gain"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
     template = tpl_io.load_template(config.template)
@@ -172,8 +180,21 @@ def _main(argv=None):
         use_pallas=args.pallas,
     ))
 
-    in_stream = sys.stdin.buffer if args.input == "-" \
-        else open(args.input, "rb")
+    if args.rtl_tcp is not None:
+        from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
+
+        host, port = parse_hostport(args.rtl_tcp)
+        in_stream = RtlTcpSource(
+            host, port, frequency=config.tuner_freq,
+            sample_rate=config.sample_rate, gain_db=config.tuner_gain,
+            bias_tee=args.bias_tee)
+        args.raw = True
+        if not args.quiet:
+            print(in_stream.describe(), file=sys.stderr)
+    elif args.input == "-":
+        in_stream = sys.stdin.buffer
+    else:
+        in_stream = open(args.input, "rb")
     pump = None
     if args.raw:
         try:
