@@ -145,3 +145,25 @@ def test_lowess_recovers_trend():
     y = trend + rng.normal(0, 0.3, len(x))
     smooth = stats.lowess(x, y, frac=0.15)
     assert np.sqrt(np.mean((smooth - trend) ** 2)) < 0.15
+
+
+def test_scaling_sweep_smoke(tmp_path):
+    """Mesh sweep runs functionally on the virtual device mesh and
+    reports monotone device counts with sane efficiency numbers."""
+    import json
+
+    env_flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in env_flags:
+        os.environ["XLA_FLAGS"] = (
+            env_flags + " --xla_force_host_platform_device_count=8").strip()
+    res = run_script("scaling_sweep.py",
+                     ["--platform", "cpu", "--geometry", "tiny",
+                      "--iters", "2", "--shapes", "1x1,1x2,2x2",
+                      "--json", str(tmp_path / "sweep.json")],
+                     str(tmp_path))
+    assert res.returncode == 0, res.stderr
+    data = json.load(open(tmp_path / "sweep.json"))
+    rows = data["results"]
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    assert all(r["samples_per_s"] > 0 for r in rows)
+    assert rows[0]["efficiency"] == 1.0
