@@ -107,12 +107,26 @@ class StreamPump:
             self._ring.close()
 
     def batches(self):
-        """Yield (timestamps [b], indices [b], raw [b, block_bytes])."""
+        """Yield (timestamps [b], indices [b], raw [b, block_bytes]).
+
+        The yielded ``raw`` arrays rotate through a small pool of warm
+        buffers (fresh per-batch allocations are fault-bound to
+        ~200 MB/s on small hosts; warm reuse runs at memory bandwidth).
+        A yielded batch therefore stays valid while up to
+        ``BUF_POOL - 1`` further batches are drawn -- ample for the
+        detect/capture pipelines, which hold at most one batch in
+        flight behind the current one.
+        """
+        BUF_POOL = 4
         tail = np.full(self._hist_bytes, 128, dtype=np.uint8)
         block_idx = 0
+        want = self._new_bytes * self._batch_size
+        read_buf = np.empty(want, dtype=np.uint8)
+        pool = [np.empty((self._batch_size, self._block_bytes), np.uint8)
+                for _ in range(BUF_POOL)]
+        batch_no = 0
         while True:
-            want = self._new_bytes * self._batch_size
-            data = self._ring.read(want)
+            data = self._ring.read(want, out=read_buf)
             if self._reader_error is not None:
                 raise self._reader_error
             n_blocks = len(data) // self._new_bytes
@@ -124,7 +138,9 @@ class StreamPump:
             # unfold zero-fills the first block's history, so splice in
             # the carried tail from the previous batch.
             raw = self._native.unfold(
-                data, self._block_bytes, self._hist_bytes, n_blocks)
+                data, self._block_bytes, self._hist_bytes, n_blocks,
+                out=pool[batch_no % BUF_POOL][:n_blocks])
+            batch_no += 1
             raw[0, : self._hist_bytes] = tail
             tail = raw[-1, -self._hist_bytes:].copy()
             idx = np.arange(block_idx, block_idx + n_blocks, dtype=np.int64)
