@@ -42,6 +42,34 @@ def main(argv=None):
     print(" - unmatched:", len(detections) - len(matched))
     print()
 
+    # Per TX x RX tables over the matched detections (reference
+    # scripts/tdoa_matrix.py:32-80 print_count_table/print_snr_table).
+    mdet = detections[sorted(matched)]
+    tab_rx = np.unique(mdet["rxid"])
+    tab_tx = np.unique(mdet["txid"])
+    counts = np.zeros((len(tab_tx), len(tab_rx)), dtype=np.int64)
+    esum = np.zeros_like(counts, dtype=np.float64)
+    for row in mdet:
+        ti = int(np.searchsorted(tab_tx, row["txid"]))
+        ri = int(np.searchsorted(tab_rx, row["rxid"]))
+        counts[ti, ri] += 1
+        esum[ti, ri] += row["energy"]
+
+    def print_table(title, cells):
+        print("# {}:".format(title))
+        print("{:>12}".format("v TX / RX >")
+              + "".join("{:>10}".format(r) for r in tab_rx))
+        for i, tx in enumerate(tab_tx):
+            print("{:>12}".format(tx)
+                  + "".join("{:>10}".format(c) for c in cells[i]))
+        print()
+
+    print_table("Detection count table", counts)
+    with np.errstate(invalid="ignore"):
+        means = np.where(counts > 0, esum / np.maximum(counts, 1), 0.0)
+    print_table("Mean corr peak amplitude table",
+                means.astype(np.int64))
+
     groups, failures = tdoa_mod.estimate_tdoas(
         detections, matches, args.window_size, beacon_pos, rx_pos,
         args.sample_rate)

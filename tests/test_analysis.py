@@ -133,3 +133,48 @@ def test_detect_analysis_export_pdf(world, tmp_path):
     with open(pdf, "rb") as f:
         pages = f.read().count(b"/Type /Page ")
     assert pages >= len(detect_analysis.PLOTS)
+
+
+def test_interactive_viewer_navigation(tmp_path):
+    """Key-nav browser: arrows cycle blocks/views, unavailable views
+    degrade to a notice instead of crashing (the headless re-design of
+    the reference's PyQt4 browser, detect_analysis.py:555-621)."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.analysis import detect_analysis as da
+    from thrifty_tpu.oracle.numpy_ref import OracleDetector
+
+    tpl = sim.make_template()
+    cap = sim.synth_capture(num_blocks=8, bursts_every=3, template=tpl,
+                            seed=4)
+    oracle = OracleDetector(tpl, carrier_window=(7, 110))
+    diags = []
+    for i in range(4):
+        d = da.BlockDiagnostics(oracle, cap.blocks[i].astype(complex), tpl)
+        diags.append((i, d))
+    viewer = da.InteractiveViewer(diags, list(da.PLOTS))
+
+    class Key:
+        def __init__(self, key):
+            self.key = key
+
+    assert viewer.current[0][0] == 0
+    viewer.on_key(Key("right"))
+    assert viewer.current[0][0] == 1
+    viewer.on_key(Key("left"))
+    viewer.on_key(Key("left"))
+    assert viewer.current[0][0] == 3, "wraps around"
+    name0 = viewer.current[1]
+    viewer.on_key(Key("down"))
+    assert viewer.current[1] != name0
+    viewer.on_key(Key("up"))
+    assert viewer.current[1] == name0
+    # Walk every (block, view) combination: none may raise, including
+    # views that need a corr/carrier detection the block lacks.
+    for _ in range(len(diags)):
+        for _ in range(len(da.PLOTS)):
+            viewer.on_key(Key("down"))
+        viewer.on_key(Key("right"))
+    viewer.on_key(Key("q"))

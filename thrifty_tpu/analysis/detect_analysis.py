@@ -290,6 +290,70 @@ class BlockDiagnostics:
         ax.set_title("template overlay")
 
 
+class InteractiveViewer:
+    """Keyboard-nav diagnostics browser.
+
+    The headless-friendly re-design of the reference's PyQt4 tabbed
+    browser (/root/reference/thrifty/detect_analysis.py:555-621): one
+    matplotlib window, left/right steps through blocks, up/down (or
+    j/k) through the plot views, 'q' closes.  Works over any
+    matplotlib backend (X11, Tk, or ssh -X on a headless TPU host).
+    """
+
+    def __init__(self, diagnostics, plot_names, fig=None):
+        import matplotlib.pyplot as plt
+
+        if not diagnostics:
+            raise ValueError("no blocks to browse")
+        self.diags = diagnostics  # [(block_idx, BlockDiagnostics)]
+        self.names = list(plot_names)
+        self.block_i = 0
+        self.view_i = 0
+        self.fig = plt.figure(figsize=(9, 5)) if fig is None else fig
+        self.ax = self.fig.add_subplot(111)
+        self.fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.render()
+
+    def on_key(self, event):
+        if event.key in ("right", "n"):
+            self.block_i = (self.block_i + 1) % len(self.diags)
+        elif event.key in ("left", "p"):
+            self.block_i = (self.block_i - 1) % len(self.diags)
+        elif event.key in ("down", "j"):
+            self.view_i = (self.view_i + 1) % len(self.names)
+        elif event.key in ("up", "k"):
+            self.view_i = (self.view_i - 1) % len(self.names)
+        elif event.key == "q":
+            import matplotlib.pyplot as plt
+
+            plt.close(self.fig)
+            return
+        else:
+            return
+        self.render()
+
+    @property
+    def current(self):
+        return self.diags[self.block_i], self.names[self.view_i]
+
+    def render(self):
+        (bidx, diag), name = self.current
+        self.ax.clear()
+        unavailable = (name in NEEDS_CORR and diag.corr_mag is None) or \
+            (name in NEEDS_CARRIER and diag.synced is None)
+        if unavailable:
+            self.ax.text(0.5, 0.5, "{}: needs a {} detection".format(
+                name, "corr" if name in NEEDS_CORR else "carrier"),
+                ha="center", va="center", transform=self.ax.transAxes)
+        else:
+            diag.plot(name, self.ax)
+        self.fig.suptitle(
+            "block {}  [{} {}/{}]   <-/->: block  up/down: view  q: quit"
+            .format(bidx, name, self.view_i + 1, len(self.names)),
+            fontsize=9)
+        self.fig.canvas.draw_idle()
+
+
 def _main(argv=None):
     parser = argparse.ArgumentParser(
         description=__doc__,
@@ -310,6 +374,10 @@ def _main(argv=None):
                         help="write plots to this pdf")
     parser.add_argument("--save-npz", type=str, default=None,
                         help="dump intermediates to an .npz file")
+    parser.add_argument("--interactive", action="store_true",
+                        help="open a key-navigable plot browser "
+                             "(left/right: block, up/down: view, q: "
+                             "quit) instead of/next to exporting")
     keys = ["sample_rate", "block_size", "block_history", "carrier_window",
             "carrier_threshold", "corr_threshold", "template"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
@@ -348,6 +416,15 @@ def _main(argv=None):
                 arrays["b{}_{}".format(bidx, k)] = v
         np.savez_compressed(args.save_npz, **arrays)
         print("saved intermediates to", args.save_npz)
+
+    if args.interactive:
+        if not diagnostics:
+            print("nothing to browse (no analyzed blocks)")
+            return
+        import matplotlib.pyplot as plt
+
+        InteractiveViewer(diagnostics, plot_names)
+        plt.show()
 
     if args.export and diagnostics:
         import matplotlib
