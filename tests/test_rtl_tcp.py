@@ -200,3 +200,14 @@ def test_detect_cli_rtl_tcp_matches_file(burst_stream, tmp_path):
     assert len(f) == len(l) > 0
     for col in ("block", "sample", "soa"):
         np.testing.assert_array_equal(f[col], l[col])
+
+
+def test_scope_cli_rtl_tcp(burst_stream, tmp_path):
+    """Live scope over rtl_tcp: triggered frames export headlessly
+    (the role of the reference's GNU Radio scope.grc)."""
+    payload, _ = burst_stream
+    srv = FakeRtlTcpServer(payload=payload)
+    assert main(["scope", "--rtl-tcp", "127.0.0.1:%d" % srv.port,
+                 "--export", str(tmp_path / "frame"), "--frames", "2"]) == 0
+    srv.join()
+    assert (tmp_path / "frame0000.png").stat().st_size > 1000

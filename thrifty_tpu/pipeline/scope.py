@@ -96,13 +96,22 @@ class ScopeState:
 
 
 def iter_blocks(stream, block_size):
-    """Yield complex blocks from a raw uint8 I/Q byte stream."""
+    """Yield complex blocks from a raw uint8 I/Q byte stream.
+
+    Accumulates across short reads (sockets and pipes deliver partial
+    chunks routinely); a trailing partial block at EOF is dropped.
+    """
     nbytes = 2 * block_size
+    buf = b""
     while True:
-        chunk = stream.read(nbytes)
-        if not chunk or len(chunk) < nbytes:
+        chunk = stream.read(nbytes - len(buf))
+        if not chunk:
             return
-        raw = np.frombuffer(chunk, dtype=np.uint8)
+        buf += chunk
+        if len(buf) < nbytes:
+            continue
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        buf = b""
         yield iq.raw_to_iq(raw[None, :])[0]
 
 
@@ -127,7 +136,13 @@ def _main(argv=None):
     parser.add_argument("--frames", type=int, default=10,
                         help="stop after this many exported frames "
                              "[default: 10]")
-    keys = ["sample_rate", "block_size"]
+    parser.add_argument("--rtl-tcp", type=str, default=None,
+                        metavar="HOST[:PORT]",
+                        help="scope a live rtl_tcp stream (configures "
+                             "freq/sample-rate/gain on connect) -- the "
+                             "role of the reference's GNU Radio "
+                             "scope.grc")
+    keys = ["sample_rate", "block_size", "tuner_freq", "tuner_gain"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
     import matplotlib
@@ -141,8 +156,18 @@ def _main(argv=None):
     if args.free_run:
         state.trigger_time = -1.0  # every block crosses
 
-    in_stream = sys.stdin.buffer if args.input == "-" \
-        else open(args.input, "rb")
+    if args.rtl_tcp is not None:
+        from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
+
+        host, port = parse_hostport(args.rtl_tcp)
+        in_stream = RtlTcpSource(
+            host, port, frequency=config.tuner_freq,
+            sample_rate=config.sample_rate, gain_db=config.tuner_gain)
+        print(in_stream.describe(), file=sys.stderr)
+    elif args.input == "-":
+        in_stream = sys.stdin.buffer
+    else:
+        in_stream = open(args.input, "rb")
     blocks = iter_blocks(in_stream, config.block_size)
 
     try:
