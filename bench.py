@@ -80,6 +80,44 @@ def time_tpu(detector, blocks_list, iters, raw_input=False):
     return (time.perf_counter() - t0) / iters
 
 
+def time_stream_mesh(detector, streams, mesh, blocks_per_shard, iters):
+    """Chained per-step seconds for the sharded streaming program.
+
+    ``streams``: >=2 host arrays [R, L] complex64, rotated between
+    iterations.  Inputs must carry bursts: the chain perturbs the next
+    input by ``carry * 1e-10`` where carry is the corr-energy sum over
+    the batch (~1e5-1e6 with bursts), landing ~1e-4 -- value-VISIBLE
+    in float32 relative to the signal, below detection noise (see
+    time_tpu; a sub-epsilon perturbation leaves inputs bit-identical
+    and defeats the chain).  Shared by bench --program stream and
+    scripts/scaling_sweep.py so the chain-hardening lives in one place.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from thrifty_tpu.parallel import sharded
+
+    num_rx = streams[0].shape[0]
+    fn = sharded.make_stream_detector(
+        detector, num_rx, blocks_per_shard, mesh)
+
+    @jax.jit
+    def step(stream, carry):
+        out = fn(stream + jax.lax.complex(
+            carry * 1e-10, jnp.float32(0.0)))
+        return out, jnp.sum(out["corr_energy"])
+
+    dev = [sharded.shard_stream(s, mesh) for s in streams]
+    carry = jnp.float32(0.0)
+    out, carry = step(dev[0], carry)
+    jax.block_until_ready(carry)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out, carry = step(dev[i % len(dev)], carry)
+    jax.block_until_ready(carry)
+    return (time.perf_counter() - t0) / iters
+
+
 def time_stream(detector, caps, iters):
     """Per-batch seconds for the sharded halo-exchange streaming program.
 
@@ -89,11 +127,9 @@ def time_stream(detector, caps, iters):
     data-dependent chain like time_tpu.
     """
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from thrifty_tpu.parallel import mesh as mesh_mod
-    from thrifty_tpu.parallel import sharded
 
     n_dev = len(jax.devices())
     total_blocks = len(caps[0].blocks)
@@ -107,27 +143,8 @@ def time_stream(detector, caps, iters):
                         for b in range(total_blocks)])[None, :]
         for c in caps
     ]
-    fn = sharded.make_stream_detector(
-        detector, 1, total_blocks // n_dev, m)
-
-    @jax.jit
-    def step(stream, carry):
-        # Value-visible perturbation (see time_tpu): carry is a sum
-        # over the whole batch (~1e5-1e6), so 1e-10 lands ~1e-4 --
-        # above f32 epsilon of the signal, below detection noise.
-        out = fn(stream + jax.lax.complex(
-            carry * 1e-10, jnp.float32(0.0)))
-        return out, jnp.sum(out["corr_energy"])
-
-    dev = [sharded.shard_stream(s, m) for s in streams]
-    carry = jnp.float32(0.0)
-    out, carry = step(dev[0], carry)
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out, carry = step(dev[i % len(dev)], carry)
-    jax.block_until_ready(carry)
-    return (time.perf_counter() - t0) / iters
+    return time_stream_mesh(detector, streams, m,
+                            total_blocks // n_dev, iters)
 
 
 def _lastgood_path():
@@ -221,9 +238,15 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
             dummy = np.full((batch, block_bytes), 128, np.uint8)
             out = detector.detect_raw(dummy)
             jax.block_until_ready(out)
+            # Probe every field sink() will gather: on the tunnelled
+            # backend, bool transfers can succeed while f32 outputs of
+            # FFT programs fail intermittently (CLAUDE.md) -- the
+            # probe must not pass on a subset sink() exceeds.
             drain_host = True
             try:
-                np.asarray(out["detected"])
+                for k in ("detected", "corr_sample", "corr_offset",
+                          "corr_energy"):
+                    np.asarray(out[k])
             except Exception:  # noqa: BLE001 -- tunnel limitation
                 drain_host = False
 
@@ -398,6 +421,10 @@ def main(argv=None):
                              "region into DIR")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.program != "e2e" and args.input in ("card", "ingest"):
+        parser.error("--input {} is only meaningful with --program e2e"
+                     .format(args.input))
 
     _enable_compile_cache()
 

@@ -52,11 +52,17 @@ open(p, 'w').write(s)
 EOF
 
 # --- py2 sort(cmp=...) and reusable-iterator assumptions ---
-sed -i 's/toads\.sort(cmp=lambda x, y: x\.timestamp < y\.timestamp)/toads.sort(key=lambda x: x.timestamp)/' \
+# The reference's two cmp-sorts pass a BOOL comparator; py2's timsort
+# tests cmp(a,b) < 0, which a bool never satisfies, so both sorts were
+# NO-OPS in the authentic py2 run.  The faithful shim removes them
+# (verified: on the committed input the outputs are byte-identical
+# with or without an actual timestamp sort, since identify already
+# emits time-sorted toads).
+sed -i 's/toads\.sort(cmp=lambda x, y: x\.timestamp < y\.timestamp)/pass  # py2 bool-cmp sort was a no-op/' \
     thrifty/matchmaker.py
 sed -i 's/match = map(int, line\.split())/match = list(map(int, line.split()))/' \
     thrifty/matchmaker.py
-sed -i 's/detections\.sort(cmp=lambda x, y: x\[0\]\.timestamp < y\[0\]\.timestamp)/detections.sort(key=lambda x: x[0].timestamp)/' \
+sed -i 's/detections\.sort(cmp=lambda x, y: x\[0\]\.timestamp < y\[0\]\.timestamp)/pass  # py2 bool-cmp sort was a no-op/' \
     thrifty/tdoa_est.py
 sed -i 's/rx_pos\[rx_pos\.keys()\[0\]\]/rx_pos[next(iter(rx_pos))]/' thrifty/pos_est.py
 sed -i 's/rx_coords = np\.array(rx_pos\.values())/rx_coords = np.array(list(rx_pos.values()))/' \

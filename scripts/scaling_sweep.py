@@ -53,46 +53,45 @@ def parse_shapes(text, n_avail):
     return shapes
 
 
-def time_mesh(detector, num_rx, num_time, blocks_per_shard, iters,
-              devices):
-    """Chained per-step seconds for one mesh shape."""
-    import jax
-    import jax.numpy as jnp
+def time_mesh(detector, template, num_rx, num_time, blocks_per_shard,
+              iters, devices):
+    """Chained per-step seconds for one mesh shape.
+
+    Uses bench.py's shared `time_stream_mesh` timer with burst-bearing
+    captures: the data-dependent chain's 1e-10 perturbation factor is
+    calibrated against a corr-energy carry of ~1e5-1e6, which only
+    burst-bearing inputs produce (pure noise would leave the chain
+    perturbation below float32 visibility).
+    """
     import numpy as np
 
+    import bench
+
     from thrifty_tpu.parallel import mesh as mesh_mod
-    from thrifty_tpu.parallel import sharded
 
     m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time,
                            devices=devices[: num_rx * num_time])
-    fn = sharded.make_stream_detector(detector, num_rx,
-                                      blocks_per_shard, m)
+    total_blocks = num_time * blocks_per_shard
     new_len = detector.new_len
-    total = num_time * blocks_per_shard * new_len
-    rng = np.random.default_rng(0)
-    streams = [
-        (rng.normal(size=(num_rx, total))
-         + 1j * rng.normal(size=(num_rx, total))).astype(np.complex64)
-        * 0.05
-        for _ in range(2)
-    ]
+    total = total_blocks * new_len
+    tpl = np.asarray(template, dtype=np.complex64)
+    streams = []
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        s = (rng.normal(size=(num_rx, total))
+             + 1j * rng.normal(size=(num_rx, total))
+             ).astype(np.complex64) * 0.05
+        # Splice a template copy into every block so the corr-energy
+        # carry is large in every shard/iteration.
+        for b in range(total_blocks):
+            pos = b * new_len
+            end = min(pos + len(tpl), total)
+            s[:, pos:end] += 0.6 * tpl[: end - pos]
+        streams.append(s)
 
-    @jax.jit
-    def step(stream, carry):
-        out = fn(stream + jax.lax.complex(carry * 1e-10,
-                                          jnp.float32(0.0)))
-        return out, jnp.sum(out["corr_energy"])
-
-    dev = [sharded.shard_stream(s, m) for s in streams]
-    carry = jnp.float32(0.0)
-    out, carry = step(dev[0], carry)
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out, carry = step(dev[i % 2], carry)
-    jax.block_until_ready(carry)
-    sec = (time.perf_counter() - t0) / iters
-    samples = num_rx * total
+    sec = bench.time_stream_mesh(detector, streams, m,
+                                 blocks_per_shard, iters)
+    samples = num_rx * num_time * blocks_per_shard * detector.new_len
     return sec, samples
 
 
@@ -118,16 +117,19 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+
     from thrifty_tpu import sim
     from thrifty_tpu.dsp import template as template_mod
     from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
 
     if args.geometry == "full":
-        detector = BatchDetector(sim.make_template(),
+        template = sim.make_template()
+        detector = BatchDetector(template,
                                  DetectorConfig(carrier_window=(7, 110)))
     else:
+        template = template_mod.generate(5, 0, 2.0)
         detector = BatchDetector(
-            template_mod.generate(5, 0, 2.0),
+            template,
             DetectorConfig(block_len=256, history_len=64,
                            carrier_window=(4, 60), gn_iters=4))
 
@@ -142,7 +144,7 @@ def main(argv=None):
     base_rate_per_dev = None
     for num_rx, num_time in shapes:
         n = num_rx * num_time
-        sec, samples = time_mesh(detector, num_rx, num_time,
+        sec, samples = time_mesh(detector, template, num_rx, num_time,
                                  args.blocks_per_shard, args.iters,
                                  devices)
         rate = samples / sec

@@ -423,8 +423,12 @@ def _main(argv=None):
             return
         import matplotlib.pyplot as plt
 
-        InteractiveViewer(diagnostics, plot_names)
+        # Keep a strong reference: mpl_connect holds the key handler
+        # weakly, so an unassigned viewer would be GC'd and navigation
+        # would silently go dead.
+        viewer = InteractiveViewer(diagnostics, plot_names)
         plt.show()
+        del viewer
 
     if args.export and diagnostics:
         import matplotlib

@@ -128,6 +128,10 @@ class RtlTcpSource:
             self._cmd(CMD_SET_GAIN, self.tuner_gain)
         if bias_tee:
             self._cmd(CMD_SET_BIAS_TEE, 1)
+        # The handshake timeout must not govern streaming: a quiet
+        # network interval would otherwise raise socket.timeout mid
+        # capture.  Block like the reference's USB reader instead.
+        self._sock.settimeout(None)
 
     def _cmd(self, opcode, arg):
         # u32 wraps negative arguments (e.g. negative tenth-dB gains)
@@ -144,11 +148,17 @@ class RtlTcpSource:
         return buf
 
     def read(self, n):
-        """Up to ``n`` bytes of raw interleaved uint8 I/Q ('' on EOF)."""
+        """Up to ``n`` bytes of raw interleaved uint8 I/Q.
+
+        Returns ``b""`` only on clean end-of-stream (server FIN).  A
+        network failure raises: truncation must be distinguishable
+        from a completed capture, so callers can exit non-zero or
+        reconnect instead of silently losing data.
+        """
         try:
             return self._sock.recv(n)
-        except (ConnectionResetError, BrokenPipeError):
-            return b""
+        except (ConnectionResetError, BrokenPipeError) as e:
+            raise IOError("rtl_tcp stream failed: {}".format(e)) from e
 
     def close(self):
         try:

@@ -297,6 +297,8 @@ def _main(argv=None):
             "capture_skip", "batch_size"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
+    if args.raw_in is not None and args.rtl_tcp is not None:
+        parser.error("give either --raw-in or --rtl-tcp, not both")
     if args.raw_in is not None or args.rtl_tcp is not None:
         return _record_main(config, args)
 

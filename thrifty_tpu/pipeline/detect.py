@@ -180,6 +180,8 @@ def _main(argv=None):
         use_pallas=args.pallas,
     ))
 
+    if args.rtl_tcp is not None and args.input != "-":
+        parser.error("give either an input file or --rtl-tcp, not both")
     if args.rtl_tcp is not None:
         from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
 
