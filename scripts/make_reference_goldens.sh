@@ -90,4 +90,25 @@ python3 -m thrifty.cli pos data.tdoa -o data.pos -r pos-rx.cfg
 
 mkdir -p "$OUT"
 cp rx0.toad rx1.toad rx2.toad rx.toads rx.match data.tdoa data.pos "$OUT/"
-echo "goldens written to $OUT"
+
+# --- scenario 2: collision / miss semantics (identify + match only) ---
+# Inputs: tests/golden/scenario2/input/*.card -- same network, but two
+# same-TX transmissions 10 ms apart (match-window collisions resolved
+# by the higher-energy rule) and rx1/rx2 captures that stop before the
+# last transmission (an rx0-only miss).  The tdoa/pos stages are not
+# goldened here: with a single surviving group the reference's own
+# load_tdoa_groups crashes on np.loadtxt's 0-d squeeze (a genuine
+# upstream bug), and those stages are already goldened by scenario 1.
+mkdir -p run2 && cd run2
+IN2="$REPO/tests/golden/scenario2/input"
+cp "$IN/detector.cfg" "$IN/template.npy" "$IN/freq-map.cfg" .
+for i in 0 1 2; do
+    python3 -m thrifty.cli detect "$IN2/rx$i.card" \
+        -o "rx$i.toad" --rxid "$i"
+done
+python3 -m thrifty.cli identify rx0.toad rx1.toad rx2.toad \
+    -m freq-map.cfg -o rx.toads
+python3 -m thrifty.cli match rx.toads -o rx.match -w 0.05
+mkdir -p "$OUT/scenario2"
+cp rx0.toad rx1.toad rx2.toad rx.toads rx.match "$OUT/scenario2/"
+echo "goldens written to $OUT (+ scenario2)"

@@ -147,3 +147,76 @@ def test_pos_matches_reference(rerun):
                                err_msg="SNR")
     np.testing.assert_allclose(got[:, 5:], ref[:, 5:], atol=0.05,
                                err_msg="position [m]")
+
+
+# --- scenario 2: collision / miss semantics --------------------------------
+# tests/golden/scenario2/: same network, but two same-TX transmissions
+# 10 ms apart (match-window COLLISIONS resolved by the higher-energy
+# rule, matchmaker.py:60-68) and rx1/rx2 captures that stop before the
+# last transmission (an rx0-only MISS).  Reference run reports
+# 6 matches / 2 misses / 9 collisions.  Identical rx.match content
+# proves the collision-resolution picks the same detection indices.
+
+S2 = os.path.join(GOLDEN, "scenario2")
+
+
+@pytest.fixture(scope="module")
+def rerun2(tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden_rerun2")
+    common = ["--carrier-window", "7-110",
+              "--template", os.path.join(INPUT, "template.npy")]
+    for rxid in (0, 1, 2):
+        assert main(["detect",
+                     os.path.join(S2, "input", "rx%d.card" % rxid),
+                     "-o", str(d / ("rx%d.toad" % rxid)), "--quiet",
+                     "--rxid", str(rxid)] + common) == 0
+    assert main(["identify"] +
+                [str(d / ("rx%d.toad" % i)) for i in (0, 1, 2)] +
+                ["-o", str(d / "rx.toads"),
+                 "-m", os.path.join(INPUT, "freq-map.cfg")]) == 0
+    assert main(["match", str(d / "rx.toads"), "-o", str(d / "rx.match"),
+                 "-w", "0.05"]) == 0
+    return d
+
+
+@pytest.mark.parametrize("rxid", [0, 1, 2])
+def test_s2_detect_matches_reference(rerun2, rxid):
+    ref = _load(os.path.join(S2, "rx%d.toad" % rxid))
+    got = _load(str(rerun2 / ("rx%d.toad" % rxid)))
+    assert got.shape == ref.shape, "different detection count"
+    for col in TOAD_INT_COLS:
+        np.testing.assert_array_equal(got[:, col], ref[:, col])
+    for col, tol in TOAD_TOLS.items():
+        np.testing.assert_allclose(got[:, col], ref[:, col],
+                                   err_msg="toad col %d" % col, **tol)
+
+
+def test_s2_identify_matches_reference(rerun2):
+    ref = _load(os.path.join(S2, "rx.toads"))
+    got = _load(str(rerun2 / "rx.toads"))
+    assert got.shape == ref.shape, "identify kept a different set"
+    np.testing.assert_array_equal(got[:, 1], ref[:, 1], err_msg="txid")
+
+
+def test_s2_match_collision_resolution_matches_reference(rerun2):
+    ref = [sorted(map(int, l.split()))
+           for l in open(os.path.join(S2, "rx.match"))
+           if l.strip() and not l.startswith("#")]
+    got = [sorted(map(int, l.split()))
+           for l in open(str(rerun2 / "rx.match"))
+           if l.strip() and not l.startswith("#")]
+    assert got == ref
+
+
+def test_s2_miss_and_collision_counts(rerun2):
+    """The scenario really exercises the rules: the matchmaker sees
+    collisions (duplicate-rx groups) and misses (rx0-only tail)."""
+    from thrifty_tpu.io import toad as toad_mod
+    from thrifty_tpu.pipeline import matchmaker
+
+    det = toad_mod.load_toads(str(rerun2 / "rx.toads"))
+    matches, misses, collisions = matchmaker.match_detections(
+        det, window=0.05)
+    assert len(matches) == 6
+    assert len(misses) == 2
+    assert len(collisions) == 9
