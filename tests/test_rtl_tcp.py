@@ -211,3 +211,86 @@ def test_scope_cli_rtl_tcp(burst_stream, tmp_path):
                  "--export", str(tmp_path / "frame"), "--frames", "2"]) == 0
     srv.join()
     assert (tmp_path / "frame0000.png").stat().st_size > 1000
+
+
+class TwoSessionServer:
+    """Accepts twice: sends the first half, drops, then the rest."""
+
+    def __init__(self, payload):
+        self.h1, self.h2 = payload[:len(payload) // 2], \
+            payload[len(payload) // 2:]
+        self.commands = []
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(2)
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _session(self, data):
+        conn, _ = self._sock.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+        conn.settimeout(0.25)
+        try:
+            while conn.recv(4096):
+                pass
+        except socket.timeout:
+            pass
+        conn.settimeout(None)
+        try:
+            conn.sendall(data)
+            conn.shutdown(socket.SHUT_WR)
+            conn.settimeout(5.0)
+            while conn.recv(4096):
+                pass
+        except OSError:
+            pass
+        conn.close()
+
+    def _serve(self):
+        self._session(self.h1)
+        self._session(self.h2)
+        self._sock.close()
+
+    def join(self):
+        self._thread.join(timeout=20.0)
+
+
+def test_reconnecting_source_splices_sessions():
+    payload = bytes(range(256)) * 8
+    srv = TwoSessionServer(payload)
+    src = rtl_tcp.ReconnectingRtlTcpSource(
+        "127.0.0.1", srv.port, max_retries=2, initial_backoff_s=0.05)
+    got = b""
+    while True:
+        chunk = src.read(512)
+        if not chunk:
+            break
+        got += chunk
+    src.close()
+    srv.join()
+    assert got == payload, "bytes lost or reordered across reconnect"
+    assert src.reconnects == 1
+
+
+def test_detect_cli_rtl_tcp_reconnect(burst_stream, tmp_path):
+    """detect --rtl-tcp --reconnect rides out a server restart and
+    produces the same detections as the uninterrupted stream."""
+    payload, tpl = burst_stream
+    np.save(tmp_path / "tpl.npy", tpl)
+    common = ["--quiet", "--template", str(tmp_path / "tpl.npy"),
+              "--carrier-window", "7-110"]
+    srv1 = FakeRtlTcpServer(payload=payload)
+    assert main(["detect", "--rtl-tcp", "127.0.0.1:%d" % srv1.port,
+                 "-o", str(tmp_path / "one.toad")] + common) == 0
+    srv1.join()
+    srv2 = TwoSessionServer(payload)
+    assert main(["detect", "--rtl-tcp", "127.0.0.1:%d" % srv2.port,
+                 "--reconnect", "2",
+                 "-o", str(tmp_path / "two.toad")] + common) == 0
+    srv2.join()
+    a = toad.load_toad(str(tmp_path / "one.toad"))
+    b = toad.load_toad(str(tmp_path / "two.toad"))
+    assert len(a) == len(b) > 0
+    np.testing.assert_array_equal(a["soa"], b["soa"])

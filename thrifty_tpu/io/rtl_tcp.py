@@ -171,3 +171,69 @@ class RtlTcpSource:
                 else "{:.1f} dB".format(self.tuner_gain / 10.0))
         return "rtl_tcp: tuner={} gains={} gain={}".format(
             self.tuner_name, self.tuner_gain_count, gain)
+
+
+class ReconnectingRtlTcpSource:
+    """RtlTcpSource that survives server restarts.
+
+    On a mid-stream failure OR a clean server close it reconnects with
+    exponential backoff (re-sending the full tuner configuration) and
+    resumes the byte stream.  Samples lost while disconnected simply
+    never appear -- block timestamps come from the wall clock, so the
+    downstream matchmaker keeps working, exactly as if the SDR had
+    been unplugged and replugged.  Gives the networked front-end the
+    resilience the reference gets from systemd restarting the whole
+    node (rpi/detector.service).
+
+    ``max_retries`` bounds consecutive failed reconnect attempts;
+    ``b""`` (EOF) is returned only after they are exhausted.
+    """
+
+    def __init__(self, host, port=1234, max_retries=6,
+                 initial_backoff_s=0.5, **kwargs):
+        self._addr = (host, port)
+        self._kwargs = kwargs
+        self._max_retries = max_retries
+        self._backoff = initial_backoff_s
+        self._src = RtlTcpSource(host, port, **kwargs)
+        self.reconnects = 0
+
+    def _reconnect(self):
+        import time
+
+        delay = self._backoff
+        for _ in range(self._max_retries):
+            try:
+                self._src = RtlTcpSource(*self._addr, **self._kwargs)
+                self.reconnects += 1
+                return True
+            except OSError:
+                time.sleep(delay)
+                delay = min(delay * 2, 30.0)
+        return False
+
+    def read(self, n):
+        while True:
+            try:
+                data = self._src.read(n)
+            except IOError:
+                data = b""
+            if data:
+                return data
+            self._src.close()
+            if not self._reconnect():
+                return b""
+
+    def close(self):
+        self._src.close()
+
+    def describe(self):
+        return self._src.describe() + " (auto-reconnect)"
+
+    @property
+    def tuner_gain(self):
+        return self._src.tuner_gain
+
+    @property
+    def tuner_name(self):
+        return self._src.tuner_name

@@ -179,13 +179,19 @@ def _record_main(config, args):
 
     sdr = False
     if getattr(args, "rtl_tcp", None):
-        from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
+        from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        host, port = parse_hostport(args.rtl_tcp)
-        in_stream = RtlTcpSource(
-            host, port, frequency=config.tuner_freq,
-            sample_rate=config.sample_rate, gain_db=config.tuner_gain,
-            bias_tee=getattr(args, "bias_tee", False))
+        host, port = rtl_tcp_mod.parse_hostport(args.rtl_tcp)
+        kwargs = dict(frequency=config.tuner_freq,
+                      sample_rate=config.sample_rate,
+                      gain_db=config.tuner_gain,
+                      bias_tee=getattr(args, "bias_tee", False))
+        retries = getattr(args, "reconnect", 0)
+        if retries:
+            in_stream = rtl_tcp_mod.ReconnectingRtlTcpSource(
+                host, port, max_retries=retries, **kwargs)
+        else:
+            in_stream = rtl_tcp_mod.RtlTcpSource(host, port, **kwargs)
         sdr = True
         if not args.quiet:
             print(in_stream.describe(), file=sys.stderr)
@@ -290,6 +296,10 @@ def _main(argv=None):
     parser.add_argument("--bias-tee", action="store_true",
                         help="with --rtl-tcp: enable the dongle's bias "
                              "tee (antenna power)")
+    parser.add_argument("--reconnect", type=int, default=0, metavar="N",
+                        help="with --rtl-tcp: survive server restarts, "
+                             "retrying up to N times with exponential "
+                             "backoff [default: 0 = exit on disconnect]")
     parser.add_argument("--capture-cmd", type=str, default="fastcard",
                         help="capture binary to spawn [default: fastcard]")
     keys = ["sample_rate", "tuner_freq", "tuner_gain", "block_size",

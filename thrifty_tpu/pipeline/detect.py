@@ -128,6 +128,10 @@ def _main(argv=None):
     parser.add_argument("--bias-tee", action="store_true",
                         help="with --rtl-tcp: enable the dongle's bias "
                              "tee (antenna power)")
+    parser.add_argument("--reconnect", type=int, default=0, metavar="N",
+                        help="with --rtl-tcp: survive server restarts, "
+                             "retrying up to N times with exponential "
+                             "backoff [default: 0 = exit on disconnect]")
     parser.add_argument("--t0", type=float, default=None,
                         help="with --raw: stamp blocks deterministically "
                              "as t0 + block_idx*block_dt instead of the "
@@ -183,13 +187,17 @@ def _main(argv=None):
     if args.rtl_tcp is not None and args.input != "-":
         parser.error("give either an input file or --rtl-tcp, not both")
     if args.rtl_tcp is not None:
-        from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
+        from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        host, port = parse_hostport(args.rtl_tcp)
-        in_stream = RtlTcpSource(
-            host, port, frequency=config.tuner_freq,
-            sample_rate=config.sample_rate, gain_db=config.tuner_gain,
-            bias_tee=args.bias_tee)
+        host, port = rtl_tcp_mod.parse_hostport(args.rtl_tcp)
+        kwargs = dict(frequency=config.tuner_freq,
+                      sample_rate=config.sample_rate,
+                      gain_db=config.tuner_gain, bias_tee=args.bias_tee)
+        if args.reconnect:
+            in_stream = rtl_tcp_mod.ReconnectingRtlTcpSource(
+                host, port, max_retries=args.reconnect, **kwargs)
+        else:
+            in_stream = rtl_tcp_mod.RtlTcpSource(host, port, **kwargs)
         args.raw = True
         if not args.quiet:
             print(in_stream.describe(), file=sys.stderr)
