@@ -24,6 +24,15 @@ elif command -v ntp-wait >/dev/null 2>&1; then
     ntp-wait -v || true
 fi
 
+# Networked SDR mode: with RTL_TCP=host:port set, skip the FIFO/capture
+# subprocess entirely -- detect pulls the live stream itself and
+# survives radio-server restarts.
+if [ -n "$RTL_TCP" ]; then
+    exec python -m thrifty_tpu.cli detect --rtl-tcp "$RTL_TCP" \
+        --reconnect "${RECONNECT:-10}" -a "$OUTPUT" -c "$CONFIG" --quiet \
+        ${CARD_OUT:+--card-out "$CARD_OUT"}
+fi
+
 rm -f "$FIFO"
 mkfifo "$FIFO"
 
