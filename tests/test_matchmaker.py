@@ -77,6 +77,61 @@ class TestMatch:
         assert m3b == [] and misses == [0]
 
 
+class TestBatchedEquivalence:
+    """match_detections_batched must reproduce the greedy scan exactly."""
+
+    CASES = [
+        dict(n=0, seed=0),
+        dict(n=1, seed=1),
+        dict(n=400, seed=2, ntx=3, nrx=4, span=20.0),
+        # Dense: many collisions and window overlaps.
+        dict(n=600, seed=3, ntx=2, nrx=2, span=4.0),
+        # Sparse: mostly misses.
+        dict(n=200, seed=4, ntx=5, nrx=6, span=500.0),
+        # Heavy ties: quantized timestamps and energies.
+        dict(n=500, seed=5, ntx=2, nrx=3, span=10.0, quantize=True),
+    ]
+
+    def _fuzz(self, n, seed, ntx=3, nrx=4, span=20.0, quantize=False):
+        rng = np.random.default_rng(seed)
+        det = toad.empty(n)
+        ts = np.sort(rng.uniform(0.0, span, n))
+        energy = rng.uniform(1.0, 10.0, n)
+        if quantize:
+            ts = np.round(ts, 1)
+            energy = np.round(energy)
+        det["timestamp"] = ts
+        det["energy"] = energy
+        det["txid"] = rng.integers(0, ntx, n)
+        det["rxid"] = rng.integers(0, nrx, n)
+        return det
+
+    def test_fuzz_identical(self):
+        for case in self.CASES:
+            det = self._fuzz(**case)
+            for window, min_match in [(0.2, 2), (0.05, 2), (1.0, 3)]:
+                ref = matchmaker.match_detections(det, window, min_match)
+                got = matchmaker.match_detections_batched(
+                    det, window, min_match)
+                assert got == ref, (case, window, min_match)
+
+    def test_collision_order_and_pairs(self):
+        # Interleaved rx collisions inside one group: pair order must
+        # follow the scan (j ascending), with the running best as prev.
+        det = make([
+            (0, 1, 10.00, 5.0),
+            (1, 1, 10.01, 3.0),
+            (0, 1, 10.02, 5.0),   # tie with 0 -> replaces (not >)
+            (1, 1, 10.03, 9.0),
+            (0, 1, 10.04, 1.0),
+        ])
+        ref = matchmaker.match_detections(det)
+        got = matchmaker.match_detections_batched(det)
+        assert got == ref
+        assert got[2] == [(0, 2), (1, 3), (2, 4)]
+        assert got[0] == [[2, 3]]
+
+
 class TestIO:
     def test_round_trip(self):
         matches = [[0, 1], [2, 3, 4]]

@@ -110,7 +110,7 @@ class PositioningServer:
         integrated = identify_mod.integrate(
             dets, self.freqmap, keep_txid=self.keep_txid,
             dedup_any_tx=self.keep_txid, warned=self._warned_rx)
-        matches, _, _ = matchmaker_mod.match_detections(
+        matches, _, _ = matchmaker_mod.match_detections_batched(
             integrated, self.match_window)
 
         # Estimate TDOAs only for settled, not-yet-reported mobile
