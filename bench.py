@@ -176,6 +176,14 @@ def _store_lastgood(key, samples_per_s):
         pass
 
 
+# The fields toad.from_detector_output gathers per batch (io/toad.py:
+# 43-63); the e2e host drain must transfer all of them to measure what
+# a real `detect --raw` sustains.
+_SINK_FIELDS = ("detected", "corr_sample", "corr_offset", "corr_energy",
+                "corr_noise", "carrier_bin", "carrier_offset",
+                "carrier_energy", "carrier_noise")
+
+
 def bench_e2e(detector, template, batch, target_bytes, input_kind,
               verbose=False):
     """End-to-end sustained pipeline throughput, host ingest included.
@@ -244,17 +252,17 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
             # probe must not pass on a subset sink() exceeds.
             drain_host = True
             try:
-                for k in ("detected", "corr_sample", "corr_offset",
-                          "corr_energy"):
+                for k in _SINK_FIELDS:
                     np.asarray(out[k])
             except Exception:  # noqa: BLE001 -- tunnel limitation
                 drain_host = False
 
         def sink(n, dev_out):
             if drain_host:
-                # The fields the .toad serializer reads (host gather).
-                for k in ("detected", "corr_sample", "corr_offset",
-                          "corr_energy"):
+                # Every field the .toad serializer reads
+                # (toad.from_detector_output), so the host drain pays
+                # the same per-batch transfer cost as `detect --raw`.
+                for k in _SINK_FIELDS:
                     np.asarray(dev_out[k])
             else:
                 jax.block_until_ready(dev_out)
@@ -425,6 +433,10 @@ def main(argv=None):
     if args.program != "e2e" and args.input in ("card", "ingest"):
         parser.error("--input {} is only meaningful with --program e2e"
                      .format(args.input))
+    if args.program == "e2e" and args.input == "c64":
+        parser.error("--program e2e times the host ingest pipeline on "
+                     "raw uint8 or .card input; --input c64 is only "
+                     "meaningful with --program batch")
 
     _enable_compile_cache()
 
@@ -460,8 +472,7 @@ def main(argv=None):
     new_len = detector.new_len  # stream samples consumed per block
 
     if args.program == "e2e":
-        input_kind = args.input if args.input in ("card", "ingest") \
-            else "raw"
+        input_kind = args.input  # "raw" / "card" / "ingest" (validated)
         samples_per_s, stats = bench_e2e(
             detector, template, args.batch, args.e2e_bytes, input_kind,
             verbose=args.verbose)

@@ -9,7 +9,10 @@
 # Shimmed constructs (mechanical, semantics-preserving):
 #   .iteritems() -> .items(), xrange -> range, basestring -> str,
 #   izip -> zip, np.fromstring -> np.frombuffer, np.bool -> bool,
-#   list.sort(cmp=<lt-by-timestamp>) -> list.sort(key=timestamp),
+#   list.sort(cmp=<bool-returning comparator>) -> removed: under py2
+#     those sorts were NO-OPS (cmp must return <0 to reorder; a bool is
+#     never <0), so removal is the faithful translation -- goldens
+#     verified identical either way,
 #   binary argparse.FileType for text files -> text mode,
 #   bytes line decode in card_reader, list() around reused map/zip
 #   iterators and dict views (py2 returned lists).

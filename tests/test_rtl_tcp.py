@@ -263,11 +263,15 @@ def test_reconnecting_source_splices_sessions():
     src = rtl_tcp.ReconnectingRtlTcpSource(
         "127.0.0.1", srv.port, max_retries=2, initial_backoff_s=0.05)
     got = b""
-    while True:
-        chunk = src.read(512)
-        if not chunk:
-            break
-        got += chunk
+    # After both sessions drain and no server is left, exhausting the
+    # retries must RAISE (a live stream has no legitimate EOF), not
+    # fake a clean end-of-stream.
+    with pytest.raises(IOError):
+        while True:
+            chunk = src.read(512)
+            if not chunk:
+                break
+            got += chunk
     src.close()
     srv.join()
     assert got == payload, "bytes lost or reordered across reconnect"
@@ -286,9 +290,11 @@ def test_detect_cli_rtl_tcp_reconnect(burst_stream, tmp_path):
                  "-o", str(tmp_path / "one.toad")] + common) == 0
     srv1.join()
     srv2 = TwoSessionServer(payload)
+    # The stream has no further server after session 2, so exhausting
+    # the reconnect retries exits non-zero with the output flushed.
     assert main(["detect", "--rtl-tcp", "127.0.0.1:%d" % srv2.port,
                  "--reconnect", "2",
-                 "-o", str(tmp_path / "two.toad")] + common) == 0
+                 "-o", str(tmp_path / "two.toad")] + common) == 1
     srv2.join()
     a = toad.load_toad(str(tmp_path / "one.toad"))
     b = toad.load_toad(str(tmp_path / "two.toad"))

@@ -100,7 +100,8 @@ class RtlTcpSource:
 
     def __init__(self, host, port=1234, frequency=433.83e6,
                  sample_rate=2.4e6, gain_db=0.0, bias_tee=False,
-                 freq_correction_ppm=None, timeout=10.0):
+                 freq_correction_ppm=None, timeout=10.0,
+                 stream_timeout=30.0):
         self._sock = socket.create_connection((host, int(port)),
                                               timeout=timeout)
         banner = self._recv_exact(12)
@@ -128,10 +129,13 @@ class RtlTcpSource:
             self._cmd(CMD_SET_GAIN, self.tuner_gain)
         if bias_tee:
             self._cmd(CMD_SET_BIAS_TEE, 1)
-        # The handshake timeout must not govern streaming: a quiet
-        # network interval would otherwise raise socket.timeout mid
-        # capture.  Block like the reference's USB reader instead.
-        self._sock.settimeout(None)
+        # The handshake timeout must not govern streaming, but blocking
+        # forever would turn a half-open connection (peer power-cut, NAT
+        # entry dropped -- no FIN/RST ever arrives) into a silent hang.
+        # An SDR stream is continuous (~2 x sample_rate bytes/s), so ANY
+        # multi-second silence is a dead transport: surface it as an
+        # IOError that the reconnect wrapper or the CLI can act on.
+        self._sock.settimeout(stream_timeout)
 
     def _cmd(self, opcode, arg):
         # u32 wraps negative arguments (e.g. negative tenth-dB gains)
@@ -157,6 +161,9 @@ class RtlTcpSource:
         """
         try:
             return self._sock.recv(n)
+        except socket.timeout as e:
+            raise IOError("rtl_tcp stream stalled (no data for "
+                          "stream_timeout; dead transport?)") from e
         except (ConnectionResetError, BrokenPipeError) as e:
             raise IOError("rtl_tcp stream failed: {}".format(e)) from e
 
@@ -185,8 +192,11 @@ class ReconnectingRtlTcpSource:
     resilience the reference gets from systemd restarting the whole
     node (rpi/detector.service).
 
-    ``max_retries`` bounds consecutive failed reconnect attempts;
-    ``b""`` (EOF) is returned only after they are exhausted.
+    ``max_retries`` bounds consecutive failed reconnect attempts; when
+    they are exhausted, ``read`` raises IOError -- a live SDR stream
+    has no legitimate end, so truncation must stay distinguishable
+    from a completed capture (same invariant as
+    :meth:`RtlTcpSource.read`), letting the CLI exit non-zero.
     """
 
     def __init__(self, host, port=1234, max_retries=6,
@@ -222,7 +232,9 @@ class ReconnectingRtlTcpSource:
                 return data
             self._src.close()
             if not self._reconnect():
-                return b""
+                raise IOError(
+                    "rtl_tcp reconnect failed after {} attempts"
+                    .format(self._max_retries))
 
     def close(self):
         self._src.close()

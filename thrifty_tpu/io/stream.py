@@ -127,10 +127,14 @@ class StreamPump:
         batch_no = 0
         while True:
             data = self._ring.read(want, out=read_buf)
-            if self._reader_error is not None:
-                raise self._reader_error
             n_blocks = len(data) // self._new_bytes
+            # Flush-then-raise: a reader failure closes the ring, but
+            # whatever it already buffered is good data -- drain and
+            # yield it before surfacing the error, so a dying live
+            # stream loses nothing that reached the host.
             if n_blocks == 0:
+                if self._reader_error is not None:
+                    raise self._reader_error
                 break
             data = data[: n_blocks * self._new_bytes]
             stamp = self._timestamper()
@@ -157,6 +161,8 @@ class StreamPump:
                 ts = stamp - (n_blocks - 1 - np.arange(n_blocks)) * block_dt
             yield ts.astype(np.float64), idx, raw
             if len(data) < want:
+                if self._reader_error is not None:
+                    raise self._reader_error
                 break
 
     @property

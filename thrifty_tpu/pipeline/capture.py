@@ -130,18 +130,26 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
             out_stream.flush()
             stats["written"] += int(np.count_nonzero(keep))
 
-    for ts, idx, raw in batches:
-        n = len(ts)
-        if n == 0:
-            continue
-        if n < batch_size:
-            pad = batch_size - n
-            raw = np.concatenate(
-                [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
-        dev = gate(raw)  # async dispatch
-        pending.append((ts, idx, n, raw, dev))
-        if len(pending) > 1:
+    try:
+        for ts, idx, raw in batches:
+            n = len(ts)
+            if n == 0:
+                continue
+            if n < batch_size:
+                pad = batch_size - n
+                raw = np.concatenate(
+                    [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
+            dev = gate(raw)  # async dispatch
+            pending.append((ts, idx, n, raw, dev))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+    except IOError:
+        # Stream died: flush gated blocks already in flight before
+        # surfacing the error, so the archive keeps everything that
+        # reached the host.
+        while pending:
             drain(pending.pop(0))
+        raise
     while pending:
         drain(pending.pop(0))
     return stats["read"], stats["written"]
@@ -244,6 +252,7 @@ def _record_main(config, args):
     except ValueError:
         pass  # not the main thread
 
+    exit_code = 0
     t_start = time_mod.perf_counter()
     nread = nwritten = 0
     try:
@@ -252,6 +261,12 @@ def _record_main(config, args):
             info_out=info_out, skip=config.capture_skip)
     except KeyboardInterrupt:
         print("interrupted; output flushed", file=sys.stderr)
+    except IOError as e:
+        # Live stream died (e.g. rtl_tcp reconnect retries exhausted):
+        # flush, report, exit non-zero so a supervisor restarts us.
+        print("stream error: {}; output flushed".format(e),
+              file=sys.stderr)
+        exit_code = 1
     finally:
         if close_out:
             out_stream.close()
@@ -266,7 +281,7 @@ def _record_main(config, args):
                       config.sample_rate / 1e6), file=info_out)
         if pump is not None:
             print(pump.stats_line(), file=info_out)
-    return 0
+    return exit_code
 
 
 def _main(argv=None):

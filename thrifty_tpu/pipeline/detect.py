@@ -93,21 +93,30 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
             ts, idx, soa, out, rxid=rxid,
             txid_from_template=txid_from_template)
 
-    for ts, idx, raw in batches:
-        n = len(ts)
-        if n == 0:  # a batch can be all-junk rows
-            continue
-        if n < batch_size:
-            pad = batch_size - n
-            raw = np.concatenate(
-                [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
-        # Upload raw uint8 (2 B/sample); conversion runs on device,
-        # fused into the first FFT's input read.
-        dev_out = detector.detect_raw(raw)  # async dispatch
-        pending.append((ts, idx, n, raw, dev_out))
-        # Keep one batch in flight: overlap host decode with device work.
-        if len(pending) > 1:
+    try:
+        for ts, idx, raw in batches:
+            n = len(ts)
+            if n == 0:  # a batch can be all-junk rows
+                continue
+            if n < batch_size:
+                pad = batch_size - n
+                raw = np.concatenate(
+                    [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
+            # Upload raw uint8 (2 B/sample); conversion runs on device,
+            # fused into the first FFT's input read.
+            dev_out = detector.detect_raw(raw)  # async dispatch
+            pending.append((ts, idx, n, raw, dev_out))
+            # Keep one batch in flight: overlap host decode with device
+            # work.
+            if len(pending) > 1:
+                yield drain(pending.pop(0))
+    except IOError:
+        # The stream died (e.g. live SDR gone for good): results
+        # already detected on device must still reach the output
+        # before the error surfaces.
+        while pending:
             yield drain(pending.pop(0))
+        raise
     while pending:
         yield drain(pending.pop(0))
 
@@ -166,6 +175,11 @@ def _main(argv=None):
             "batch_size", "sync_mode", "tuner_freq", "tuner_gain"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
+    # Usage errors before any expensive setup (template load, detector
+    # construction) so conflicts surface instantly.
+    if args.rtl_tcp is not None and args.input != "-":
+        parser.error("give either an input file or --rtl-tcp, not both")
+
     template = tpl_io.load_template(config.template)
     if args.emit_txid and template.ndim != 2:
         parser.error("--emit-txid requires a template bank "
@@ -184,8 +198,6 @@ def _main(argv=None):
         use_pallas=args.pallas,
     ))
 
-    if args.rtl_tcp is not None and args.input != "-":
-        parser.error("give either an input file or --rtl-tcp, not both")
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
@@ -276,6 +288,7 @@ def _main(argv=None):
             counter["blocks"] += len(ts)
             yield ts, idx, raw
 
+    exit_code = 0
     t_start = time_mod.perf_counter()
     try:
         for records in detect_batches(
@@ -288,6 +301,13 @@ def _main(argv=None):
                 out_stream.flush()
     except KeyboardInterrupt:
         print("interrupted; output flushed", file=sys.stderr)
+    except IOError as e:
+        # A live stream has no legitimate end (e.g. rtl_tcp reconnect
+        # retries exhausted): flush what we have, report, exit non-zero
+        # so a supervisor (systemd) restarts the capture.
+        print("stream error: {}; output flushed".format(e),
+              file=sys.stderr)
+        exit_code = 1
     finally:
         if close_out:
             out_stream.close()
@@ -307,6 +327,7 @@ def _main(argv=None):
         if pump is not None:
             # Real-time margin report (cf. fastcard's at-exit stats).
             print(pump.stats_line(), file=info_out)
+    return exit_code
 
 
 if __name__ == "__main__":

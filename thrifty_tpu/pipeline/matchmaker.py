@@ -97,7 +97,8 @@ def match_detections_arrays(detections, window=0.2):
     """Array-native core of the batched matchmaker.
 
     Groups every tx's detections in O(n log n) vectorized numpy (seed
-    chain via pointer doubling, per-(group, rx) winners via one lexsort)
+    chain from one ``searchsorted`` jump table, per-(group, rx) winners
+    from a composite-key stable argsort plus two segmented reduceats)
     rather than the reference's per-seed inner scan.  Only collision
     runs -- several detections of one tx on one rx inside one window,
     an error condition that is rare by construction -- fall back to a
