@@ -140,3 +140,92 @@ class TestDetectorPallasPath:
             out_pal["corr_energy"], out_std["corr_energy"], rtol=1e-5)
         np.testing.assert_allclose(
             out_pal["corr_noise"], out_std["corr_noise"], rtol=1e-4)
+
+
+class TestGateOptionMatrix:
+    """The kernel gate must never silently bifurcate numerics.
+
+    As detector options grow, a combination could slip through
+    _pallas_enabled while the fused kernel computes something subtly
+    different from the XLA program.  Sweep the full option matrix: for
+    every (sync_mode, corr_interp, carrier_interp, peak_filter) combo,
+    use_pallas='on' must either REFUSE (ValueError -- so 'auto' gates
+    off for the same reason) or produce output matching the XLA
+    program on the same input (kernel in interpret mode).
+    """
+
+    SYNC = ("fractional", "integer", "preshift")
+    CORR = ("gaussian", "parabolic", "cosine", "autocorr")
+    CARRIER = ("auto", "dirichlet", "parabolic", "polyfit")
+
+    def test_every_combo_gates_or_matches(self):
+        import unittest.mock as mock
+
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp import template as template_mod
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+        import thrifty_tpu.dsp.pallas_kernels as pkmod
+
+        tpl = template_mod.generate(5, 0, 2.0)
+        cap = sim.synth_capture(
+            num_blocks=8, bursts_every=2, template=tpl, block_len=2048,
+            history_len=256, carrier_bin=40.25, amplitude=0.8,
+            noise_std=0.05, seed=3, quantize=False)
+        blocks = np.asarray(cap.blocks)
+
+        orig = pkmod.fused_power_peak
+
+        def interpreted(x, m, **kw):
+            kw["interpret"] = True
+            return orig(x, m, **kw)
+
+        engaged = []
+        for sync in self.SYNC:
+            for corr in self.CORR:
+                for carrier in self.CARRIER:
+                    for pf in (0, 7):
+                        kw = dict(block_len=2048, history_len=256,
+                                  carrier_window=(7, 110),
+                                  sync_mode=sync, corr_interp=corr,
+                                  carrier_interp=carrier,
+                                  peak_filter_len=pf)
+                        det = BatchDetector(
+                            tpl, DetectorConfig(use_pallas="on", **kw))
+                        try:
+                            assert det._pallas_enabled(8)
+                        except ValueError:
+                            continue  # refused: no bifurcation possible
+                        engaged.append((sync, corr, carrier, pf))
+                        std = BatchDetector(
+                            tpl, DetectorConfig(use_pallas="off", **kw))
+                        out_std = {k: np.asarray(v) for k, v in
+                                   std._detect_batch(blocks).items()}
+                        with mock.patch.object(
+                                pkmod, "fused_power_peak", interpreted):
+                            out_pal = {k: np.asarray(v) for k, v in
+                                       det._detect_batch(blocks).items()}
+                        msg = str(kw)
+                        np.testing.assert_array_equal(
+                            out_pal["detected"], out_std["detected"],
+                            err_msg=msg)
+                        np.testing.assert_array_equal(
+                            out_pal["carrier_bin"], out_std["carrier_bin"],
+                            err_msg=msg)
+                        np.testing.assert_array_equal(
+                            out_pal["corr_sample"], out_std["corr_sample"],
+                            err_msg=msg)
+                        np.testing.assert_allclose(
+                            out_pal["carrier_offset"],
+                            out_std["carrier_offset"], atol=1e-5,
+                            err_msg=msg)
+                        np.testing.assert_allclose(
+                            out_pal["corr_offset"], out_std["corr_offset"],
+                            atol=1e-5, err_msg=msg)
+                        np.testing.assert_allclose(
+                            out_pal["corr_energy"], out_std["corr_energy"],
+                            rtol=1e-5, err_msg=msg)
+        # The supported surface must actually engage (and stay small on
+        # purpose): gaussian corr + resolved-dirichlet carrier, pf=0.
+        assert engaged, "gate refused every combo -- kernel dead?"
+        for sync, corr, carrier, pf in engaged:
+            assert corr == "gaussian" and pf == 0
