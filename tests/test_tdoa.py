@@ -279,3 +279,63 @@ class TestIO:
         pos = tdoa.load_pos_config(cfg)
         np.testing.assert_array_equal(pos[0], [100.0, 200.0])
         np.testing.assert_array_equal(pos[1], [-5, 7, 9])
+
+
+class TestLinearModel:
+    """The reference's experimental piecewise-linear clock model
+    (thrifty/tdoa_est.py:186-222)."""
+
+    def test_recovers_geometry_tdoa(self):
+        det, matches = build_scenario()
+        groups, failures = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=tdoa.build_model_linear, batched=False)
+        assert not failures
+        want = expected_tdoa(MOBILE_POS[3])
+        assert len(groups) == 3
+        for g in groups:
+            # linear interpolation between 1 s beacon intervals with
+            # 2e-6 drift: sub-ns accuracy expected
+            assert g.tdoas["tdoa"][0] == pytest.approx(want, abs=2e-9)
+
+    def test_agrees_with_poly_model(self):
+        det, matches = build_scenario(drift1=5e-6)
+        lin, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=tdoa.build_model_linear, batched=False)
+        pol, _ = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=tdoa.build_model_poly, batched=False)
+        for gl, gp in zip(lin, pol):
+            np.testing.assert_allclose(
+                gl.tdoas["tdoa"], gp.tdoas["tdoa"], atol=2e-9)
+
+    def test_needs_two_beacon_pairs(self):
+        # One beacon transmission in the window: model is None ->
+        # every mobile pair becomes a failure (reference returns None
+        # for len < 2).
+        det, matches = build_scenario(beacon_every=30.0,
+                                      mobile_times=(4.0,))
+        groups, failures = tdoa.estimate_tdoas(
+            det, matches, 8, BEACON_POS, RX_POS, FS,
+            model_builder=tdoa.build_model_linear, batched=False)
+        assert groups == [] and len(failures) == 1
+
+    def test_cli_model_linear(self, tmp_path):
+        det, matches = build_scenario()
+        toads = tmp_path / "rx.toads"
+        mpath = tmp_path / "rx.match"
+        from thrifty_tpu.io import toad as toad_io
+        with open(toads, "w") as f:
+            toad_io.save(f, det, with_txid=True)
+        matchmaker.save_matches(str(mpath), matches)
+        rxcfg = tmp_path / "rx.cfg"
+        rxcfg.write_text("0: 0 0\n1: 10000 0\n")
+        bcfg = tmp_path / "beacon.cfg"
+        bcfg.write_text("9: 5000 2000\n")
+        out = tmp_path / "out.tdoa"
+        from thrifty_tpu.pipeline.tdoa import _main
+        _main([str(toads), str(mpath), "-o", str(out),
+               "-r", str(rxcfg), "-b", str(bcfg), "--model", "linear"])
+        groups = tdoa.load_tdoa_groups(str(out))
+        assert len(groups) == 3

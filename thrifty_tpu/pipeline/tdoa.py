@@ -151,6 +151,54 @@ def build_model_nearest(pairs, beacon_sdoa, sample_rate):
     return evaluate
 
 
+def build_model_linear(pairs, beacon_sdoa, sample_rate):
+    """Piecewise-linear interpolation between adjacent beacon pairs.
+
+    Faithful port of the reference's experimental fourth clock model
+    (thrifty/tdoa_est.py:186-222): bracket the mobile detection's
+    timestamp between the two nearest beacon transmissions of the SAME
+    beacon, linearly interpolate rx1's beacon SoA at the mobile's rx0
+    SoA, and difference against the mobile's rx1 SoA.  Reference quirks
+    preserved: only the bracketing HIGH pair's expected SDOA is added
+    (not interpolated -- the reference marks this with a FIXME), and
+    the reference's ``sort(cmp=<bool>)`` was a Python 2 NO-OP (see
+    scripts/make_reference_goldens.sh), so pairs are used in the order
+    given -- our extractor already yields them timestamp-sorted, which
+    is what the bisect assumes.
+    """
+    if len(pairs) < 2:
+        return None
+    sdoa = np.asarray(beacon_sdoa)
+    times = [float(p[0]["timestamp"]) for p in pairs]
+
+    def evaluate(det0, det1):
+        high = bisect.bisect_left(times, float(det0["timestamp"]))
+        if high == len(times):
+            high -= 1
+        low = high - 1
+        # walk to the nearest earlier transmission of the same beacon
+        while low >= 0 and pairs[low][0]["txid"] != pairs[high][0]["txid"]:
+            low -= 1
+        if low < 0:
+            return None
+        b0, b1 = pairs[low], pairs[high]
+        denom = b1[0]["soa"] - b0[0]["soa"]
+        if denom == 0:
+            return None
+        weight = (det0["soa"] - b0[0]["soa"]) / denom
+        # Predicted rx1 SoA for a beacon-like event at det0's rx0 SoA,
+        # minus the actual mobile rx1 SoA: tau ~= rate*tdoa_mobile -
+        # sdoa_beacon, so adding the bracketing pair's expected SDOA
+        # recovers the mobile TDOA (the reference's formula is correct
+        # despite its own FIXME comments; verified against the poly
+        # model and the simulated geometry in tests/test_tdoa.py).
+        tau = (b0[1]["soa"] * (1 - weight) + b1[1]["soa"] * weight) \
+            - det1["soa"]
+        return (tau + sdoa[high]) / sample_rate
+
+    return evaluate
+
+
 def model_quality(pairs):
     """Beacon-pair SNR as a model confidence figure."""
     snr0 = np.array([(p[0]["energy"] / p[0]["noise"]) ** 2 for p in pairs])
@@ -592,7 +640,8 @@ def _main(argv=None):
                         help="beacon eligibility window (s) [default: 8]")
     parser.add_argument("-s", "--sample-rate", type=float, default=2.4e6)
     parser.add_argument("--model", type=str, default="poly",
-                        choices=["poly", "nearest", "weighted-poly"],
+                        choices=["poly", "nearest", "weighted-poly",
+                                 "linear"],
                         help="beacon clock model [default: poly]")
     args = parser.parse_args(argv)
 
@@ -605,6 +654,7 @@ def _main(argv=None):
         "poly": build_model_poly,
         "nearest": build_model_nearest,
         "weighted-poly": build_model_weighted_poly,
+        "linear": build_model_linear,
     }[args.model]
     groups, failures = estimate_tdoas(
         detections, matches, args.window_size, beacon_pos, rx_pos,
