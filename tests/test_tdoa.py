@@ -144,6 +144,7 @@ class TestEstimate:
             soa_noise=0.1, seed=seed)
         matches, _, _ = matchmaker.match_detections(det)
         for builder in (tdoa.build_model_poly, tdoa.build_model_nearest,
+                        tdoa.build_model_linear,
                         tdoa.build_model_weighted_poly):
             sg, sf = tdoa.estimate_tdoas(
                 det, matches, 8, BEACON_POS, RX_POS, FS,

@@ -213,8 +213,8 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
 
     Returns (tdoa_groups, failures).
 
-    With the standard clock models (poly / nearest / weighted-poly,
-    no custom parameters) this dispatches to the vectorized
+    With the standard clock models (poly / nearest / weighted-poly /
+    linear, no custom parameters) this dispatches to the vectorized
     implementation (:func:`estimate_tdoas_batched`): same math, all
     windows/rows fitted as batched least-squares solves instead of one
     np.polyfit per (group, pair).  ``batched=False`` forces the
@@ -224,6 +224,7 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
         build_model_poly: "poly",
         build_model_nearest: "nearest",
         build_model_weighted_poly: "weighted_poly",
+        build_model_linear: "linear",
     }
     batchable = model_builder in batched_models and not model_params
     if batched is None:
@@ -232,8 +233,9 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
         if not batchable:
             raise ValueError(
                 "batched=True requires one of the standard model "
-                "builders (poly/nearest/weighted_poly) without custom "
-                "model_params; use batched=False for custom models")
+                "builders (poly/nearest/weighted_poly/linear) without "
+                "custom model_params; use batched=False for custom "
+                "models")
         return estimate_tdoas_batched(
             detections, matches, window_size, beacon_pos, rx_pos,
             sample_rate, model=batched_models[model_builder])
@@ -350,11 +352,14 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
       (:func:`build_model_nearest`);
     * ``model='weighted_poly'``: per-row proximity-weighted quadratic
       fits (:func:`build_model_weighted_poly` -- weights depend on the
-      mobile detection, so the solve is per row, still batched).
+      mobile detection, so the solve is per row, still batched);
+    * ``model='linear'``: per-row bracketing between the two nearest
+      same-beacon transmissions (:func:`build_model_linear`), the
+      bisect expressed as a rank over kept window columns.
     """
-    if model not in ("poly", "nearest", "weighted_poly"):
+    if model not in ("poly", "nearest", "weighted_poly", "linear"):
         raise ValueError("unknown model: " + model)
-    min_pairs = 1 if model == "nearest" else 3
+    min_pairs = {"nearest": 1, "linear": 2}.get(model, 3)
     beacon_matches = [m for m in matches
                       if int(detections[m[0]]["txid"]) in beacon_pos]
     mobile_matches = [(i, m) for i, m in enumerate(matches)
@@ -393,6 +398,7 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         sdoa_exp = np.array([tx_sdoa[int(t)] for t in txs])
         beacon_arrays[key] = {
             "t": b0["timestamp"].astype(np.float64),
+            "tx": txs,
             "soa0": b0["soa"].astype(np.float64),
             "soa1": b1["soa"].astype(np.float64),
             "x": b1["soa"].astype(np.float64) + sdoa_exp,
@@ -513,6 +519,45 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
             dsoa1 = det1["soa"][sel] - soa1_w[inv, j]
             sdoa_b = (x - soa1_w)[inv, j]  # expected beacon SDOA
             tdoa_v = (dsoa0 - dsoa1 + sdoa_b) / sample_rate
+        elif model == "linear":
+            # Per-row bracket between kept beacon pairs
+            # (build_model_linear): the sequential bisect over the
+            # outlier-compacted pair list becomes a rank over kept
+            # window columns.
+            keep_r = keep[inv]                      # [R, kmax]
+            t_w = arr["t"][idx][inv]
+            tx_w = arr["tx"][idx][inv]
+            soa0_w = y[inv]
+            soa1_w = arr["soa1"][idx][inv]
+            sdoa_w = (x - arr["soa1"][idx])[inv]    # expected beacon SDOA
+            ts0c = ts0[:, None]
+            kcnt_r = keep_r.sum(axis=1)
+            # bisect_left over kept times = count of kept t < ts0,
+            # clamped to the last kept element (reference :197-198)
+            h_rank = np.minimum(((t_w < ts0c) & keep_r).sum(axis=1),
+                                np.maximum(kcnt_r - 1, 0))
+            rank = np.cumsum(keep_r, axis=1) - 1    # rank of each kept col
+            hcol = np.argmax(keep_r & (rank == h_rank[:, None]), axis=1)
+            take = lambda a, c: np.take_along_axis(a, c[:, None], 1)[:, 0]
+            tx_h = take(tx_w, hcol)
+            # nearest earlier kept pair of the SAME beacon (:203-205)
+            cols = np.arange(keep_r.shape[1])[None, :]
+            cand = keep_r & (cols < hcol[:, None]) \
+                & (tx_w == tx_h[:, None])
+            has_low = cand.any(axis=1)
+            lcol = np.where(
+                has_low,
+                keep_r.shape[1] - 1 - np.argmax(cand[:, ::-1], axis=1),
+                0)
+            y_l, y_h = take(soa0_w, lcol), take(soa0_w, hcol)
+            s1_l, s1_h = take(soa1_w, lcol), take(soa1_w, hcol)
+            denom = y_h - y_l
+            r_ok = r_ok & has_low & (denom != 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                wgt = (det0["soa"][sel] - y_l) / denom
+                tau = s1_l * (1.0 - wgt) + s1_h * wgt \
+                    - det1["soa"][sel]
+                tdoa_v = (tau + take(sdoa_w, hcol)) / sample_rate
         else:  # weighted_poly
             # Per-row proximity-weighted fit (build_model_weighted_poly:
             # weights depend on det0.soa, so every row is its own
