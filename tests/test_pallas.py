@@ -155,8 +155,10 @@ class TestGateOptionMatrix:
     """
 
     SYNC = ("fractional", "integer", "preshift")
-    CORR = ("gaussian", "parabolic", "cosine", "autocorr")
-    CARRIER = ("auto", "dirichlet", "parabolic", "polyfit")
+    CORR = ("gaussian", "parabolic", "cosine", "autocorr", "none",
+            "maximise")
+    CARRIER = ("auto", "dirichlet", "parabolic", "polyfit", "gaussian",
+               "cosine", "none")
 
     def test_every_combo_gates_or_matches(self):
         import unittest.mock as mock

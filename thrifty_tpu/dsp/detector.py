@@ -45,10 +45,11 @@ class DetectorConfig:
     interp_width: int = 6
     gn_iters: int = 12
     # Sub-sample correlation-peak interpolator: 'gaussian' (default,
-    # reference soa_estimator.py:159-170), 'parabolic', 'cosine', or
-    # 'autocorr' (fit of the template's own correlation shape) --
-    # the reference's experimental xcorr_interpolators as first-class
-    # batched options.
+    # reference soa_estimator.py:159-170), 'parabolic', 'cosine',
+    # 'autocorr' (fit of the template's own correlation shape), 'none'
+    # (integer peaks), or 'maximise' (band-limited golden-section
+    # maximization of |corr|) -- the reference's experimental
+    # xcorr_interpolators, all as first-class batched options.
     corr_interp: str = "gaussian"
     # Sub-bin carrier interpolator: 'auto' (default) resolves to
     # 'parabolic' in integer sync mode (fastdet computes the carrier
@@ -56,7 +57,8 @@ class DetectorConfig:
     # fastdet/corr_detector.cpp:88-101,190-194) and 'dirichlet'
     # elsewhere (the Python reference's curve-fit,
     # thrifty/carrier_sync.py:150-196).  Explicit values: 'dirichlet',
-    # 'parabolic', 'polyfit'.
+    # 'parabolic', 'polyfit', 'gaussian', 'cosine', 'none' (the last
+    # three from experimental/carrier_interpolators.py).
     carrier_interp: str = "auto"
     # Dirichlet-shaped matched filter on the magnitude spectrum before
     # the carrier peak search (reference thrifty/carrier_detect.py:
@@ -181,6 +183,18 @@ class BatchDetector:
         elif carrier_interp == "polyfit":
             poly = dirichlet.make_polyfit_interpolator(config.interp_width)
             self._interp = lambda mag, idx, values=None: poly(mag, idx)
+        elif carrier_interp == "gaussian":
+            self._interp = (
+                lambda mag, idx, values=None:
+                dirichlet.gaussian_interpolate(mag, idx))
+        elif carrier_interp == "cosine":
+            self._interp = (
+                lambda mag, idx, values=None:
+                dirichlet.cosine_interpolate(mag, idx))
+        elif carrier_interp == "none":
+            self._interp = (
+                lambda mag, idx, values=None:
+                jnp.zeros(idx.shape, jnp.float32))
         else:
             raise ValueError(
                 "unknown carrier_interp: " + config.carrier_interp)
@@ -199,6 +213,14 @@ class BatchDetector:
             ac = xcorr.make_autocorr_interpolator(
                 tmpl2d if self.bank else tmpl2d[0], clip=clip)
             self._corr_interp = lambda mag, idx, **kw: ac(mag, idx)
+        elif config.corr_interp == "none":
+            self._corr_interp = xcorr.none_interpolate
+        elif config.corr_interp == "maximise":
+            # Works on the correlation SPECTRUM, not |corr| -- wired
+            # specially in _detect_batch (reference bounds +-0.55,
+            # experimental/xcorr_interpolators.py:108).
+            self._corr_interp = None
+            self._maximise = xcorr.make_maximise_interpolator(clip=0.55)
         else:
             raise ValueError("unknown corr_interp: " + config.corr_interp)
 
@@ -257,8 +279,8 @@ class BatchDetector:
         c_off = jnp.where(c_det, c_off, 0.0)
 
         # Stage 3 + 4: carrier removal and despread.
-        corr = self._remove_carrier_and_despread(
-            blocks, fft, c_idx, c_off, self.corr_len)
+        corr, spec = self._remove_carrier_and_despread(
+            blocks, fft, c_idx, c_off, self.corr_len, with_spec=True)
         corr_mag = jnp.abs(corr)
         p_idx, p_mag = xcorr.window_peak(corr_mag, self.window)
 
@@ -271,7 +293,10 @@ class BatchDetector:
         noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
         thresh = xcorr.threshold(corr_mag, noise, cfg.corr_thresh)
         p_det = p_mag > thresh
-        p_off = self._corr_interp(corr_mag, p_idx)
+        if cfg.corr_interp == "maximise":
+            p_off = self._maximise(spec, p_idx)
+        else:
+            p_off = self._corr_interp(corr_mag, p_idx)
         p_off = jnp.where(p_det, p_off, 0.0)
 
         if self.bank:
@@ -301,17 +326,23 @@ class BatchDetector:
         }
 
     def _remove_carrier_and_despread(self, blocks, fft, c_idx, c_off,
-                                     corr_len):
-        """Stage 3+4: carrier-compensated correlation, [.., corr_len]."""
+                                     corr_len, with_spec=False):
+        """Stage 3+4: carrier-compensated correlation, [.., corr_len].
+
+        ``with_spec`` also returns the correlation spectrum X (with
+        corr = IFFT(X)) for band-limited fractional evaluation (the
+        'maximise' interpolator); XLA dead-code-eliminates it when
+        unused.
+        """
         cfg = self.config
         if cfg.sync_mode == "fractional":
             shift_bins = -(c_idx.astype(jnp.float32) + c_off)
             shifted = shift.fractional_shift_fft(blocks, shift_bins)
-            return xcorr.despread(shifted, self._tmpl_fft_conj, corr_len)
-        if cfg.sync_mode == "integer":
+            spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
+        elif cfg.sync_mode == "integer":
             shifted = shift.integer_roll_fft(fft, -c_idx)
-            return xcorr.despread(shifted, self._tmpl_fft_conj, corr_len)
-        if cfg.sync_mode == "preshift":
+            spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
+        elif cfg.sync_mode == "preshift":
             # Integer roll + per-block fractionally pre-shifted template:
             # fractional compensation without a second signal FFT.
             shift_total = -(c_idx.astype(jnp.float32) + c_off)
@@ -323,8 +354,11 @@ class BatchDetector:
             tconj = jnp.asarray(self._preshift_bank)[sel]  # [B,(T,)N]
             if self.bank:
                 shifted = shifted[:, None, :]
-            return jnp.fft.ifft(shifted * tconj)[..., :corr_len]
-        raise ValueError("unknown sync_mode: " + cfg.sync_mode)
+            spec = shifted * tconj
+        else:
+            raise ValueError("unknown sync_mode: " + cfg.sync_mode)
+        corr = jnp.fft.ifft(spec)[..., :corr_len]
+        return (corr, spec) if with_spec else corr
 
     def _detect_batch_pallas(self, blocks):
         """Same math as _detect_batch, with magnitudes never materialized.

@@ -159,6 +159,46 @@ def parabolic_interpolate(mag, peak_idx, clip=None):
     return offset
 
 
+def gaussian_interpolate(mag, peak_idx, clip=None):
+    """Batched 3-point Gaussian (log-parabolic) sub-bin interpolation.
+
+    offset = (ln c - ln a) / (4 ln b - 2 ln a - 2 ln c) on neighbours
+    (a, b, c) -- the reference's experimental carrier interpolator
+    (thrifty/experimental/carrier_interpolators.py:48-54).
+    """
+    offs = jnp.asarray([-1, 0, 1])
+    y = jnp.maximum(_gather_neighborhood(mag, peak_idx, offs), 1e-30)
+    la, lb, lc = (jnp.log(y[..., 0]), jnp.log(y[..., 1]),
+                  jnp.log(y[..., 2]))
+    den = 4.0 * lb - 2.0 * la - 2.0 * lc
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    offset = (lc - la) / den
+    if clip is not None:
+        offset = jnp.clip(offset, -clip, clip)
+    return offset
+
+
+def cosine_interpolate(mag, peak_idx):
+    """Batched 3-point cosine-fit sub-bin interpolation.
+
+    Fits y_k = A cos(w k + theta) through the peak's neighbours
+    (reference thrifty/experimental/carrier_interpolators.py:84-93);
+    returns 0 where the fit is invalid ((a + c) / 2b > 1, the
+    reference's guard).
+    """
+    offs = jnp.asarray([-1, 0, 1])
+    y = _gather_neighborhood(mag, peak_idx, offs)
+    a, b, c = y[..., 0], y[..., 1], y[..., 2]
+    b = jnp.maximum(b, 1e-30)
+    cos_w = (a + c) / (2.0 * b)
+    valid = cos_w <= 1.0
+    w = jnp.arccos(jnp.clip(cos_w, -0.999999, 0.999999))
+    sin_w = jnp.where(jnp.sin(w) == 0, 1e-30, jnp.sin(w))
+    theta = jnp.arctan((a - c) / (2.0 * b * sin_w))
+    offset = -theta / jnp.where(w == 0, 1e-30, w)
+    return jnp.where(valid, offset, 0.0)
+
+
 def make_polyfit_interpolator(width: int):
     """Batched quadratic least-squares sub-bin interpolation over width+1
     points (reference thrifty/carrier_sync.py:207-219), as a closed-form

@@ -153,6 +153,18 @@ def _main(argv=None):
                        help="output .toad file ('-' for stdout)")
     group.add_argument("-a", "--append", type=str,
                        help="output .toad file to append to")
+    parser.add_argument("--corr-interp", type=str, default="gaussian",
+                        choices=["gaussian", "parabolic", "cosine",
+                                 "autocorr", "none", "maximise"],
+                        help="sub-sample correlation-peak interpolator "
+                             "(the reference's experimental set, "
+                             "batched) [default: gaussian]")
+    parser.add_argument("--carrier-interp", type=str, default="auto",
+                        choices=["auto", "dirichlet", "parabolic",
+                                 "polyfit", "gaussian", "cosine", "none"],
+                        help="sub-bin carrier interpolator [default: "
+                             "auto = dirichlet, or parabolic in integer "
+                             "sync mode]")
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"],
                         help="fused Pallas peak/energy kernel "
@@ -194,6 +206,8 @@ def _main(argv=None):
         carrier_window=window,
         corr_thresh=config.corr_threshold,
         sync_mode=config.sync_mode,
+        corr_interp=args.corr_interp,
+        carrier_interp=args.carrier_interp,
         peak_filter_len=args.peak_filter,
         use_pallas=args.pallas,
     ))
