@@ -87,3 +87,68 @@ class TestStreamPump:
         pump = StreamPump(io.BytesIO(b""), 128, 32, 4,
                           timestamper=lambda: 0.0)
         assert list(pump.batches()) == []
+
+
+class TestReadUnfold:
+    """The fused ring->blocks unfold vs the two-step read + unfold."""
+
+    def test_fused_equals_two_step_across_wraps(self):
+        from thrifty_tpu import native
+
+        block_bytes, hist = 96, 32
+        new = block_bytes - hist
+        data = make_stream(new * 37 + 11)  # odd tail, dropped by both
+        for cap in (257, 1024, new * 4):  # capacities forcing wraps
+            for batch in (1, 3, 5):
+                if batch * new > cap:
+                    continue
+                # two-step oracle
+                ref_rows = []
+                ring = native.RingBuffer(cap)
+                import threading
+
+                def feed(ring=ring):
+                    for i in range(0, len(data), 100):
+                        ring.write(
+                            np.frombuffer(data[i:i+100], np.uint8))
+                    ring.close()
+                threading.Thread(target=feed, daemon=True).start()
+                while True:
+                    chunk = ring.read(batch * new)
+                    n = len(chunk) // new
+                    if n == 0:
+                        break
+                    rows = native.unfold(chunk[: n * new], block_bytes,
+                                         hist, n)
+                    ref_rows.append(rows.copy())
+                    if len(chunk) < batch * new:
+                        break
+                ref = np.concatenate(ref_rows)
+
+                got_rows = []
+                ring2 = native.RingBuffer(cap)
+                threading.Thread(target=feed, args=(ring2,),
+                                 daemon=True).start()
+                out = np.empty((batch, block_bytes), np.uint8)
+                while True:
+                    n, got = ring2.read_unfold(out, hist)
+                    if n == 0:
+                        break
+                    rows = out[:n].copy()
+                    rows[0, :hist] = 128  # fused leaves row-0 history
+                    got_rows.append(rows)
+                    if got < batch * new:
+                        break
+                fused = np.concatenate(got_rows)
+                np.testing.assert_array_equal(fused, ref,
+                                              err_msg=f"{cap}/{batch}")
+
+    def test_guards(self):
+        from thrifty_tpu import native
+
+        ring = native.RingBuffer(64)
+        out = np.empty((4, 96), np.uint8)
+        with __import__("pytest").raises(ValueError):
+            ring.read_unfold(out, 64)   # history > advance
+        with __import__("pytest").raises(ValueError):
+            ring.read_unfold(out, 32)   # batch exceeds capacity

@@ -121,13 +121,28 @@ class StreamPump:
         tail = np.full(self._hist_bytes, 128, dtype=np.uint8)
         block_idx = 0
         want = self._new_bytes * self._batch_size
-        read_buf = np.empty(want, dtype=np.uint8)
+        # Fused ring->blocks unfold (one full stream copy fewer) when
+        # the geometry and capacity allow; read+unfold otherwise.  The
+        # ingest path is memcpy-bound, so every removed copy is ~a
+        # third of the ceiling (docs/performance.md).
+        fused = (self._hist_bytes <= self._new_bytes
+                 and want <= getattr(self._ring, "capacity", 0)
+                 and hasattr(self._ring, "read_unfold"))
+        read_buf = None if fused else np.empty(want, dtype=np.uint8)
         pool = [np.empty((self._batch_size, self._block_bytes), np.uint8)
                 for _ in range(BUF_POOL)]
         batch_no = 0
         while True:
-            data = self._ring.read(want, out=read_buf)
-            n_blocks = len(data) // self._new_bytes
+            if fused:
+                buf = pool[batch_no % BUF_POOL]
+                n_blocks, got = self._ring.read_unfold(
+                    buf, self._hist_bytes)
+                short = got < want
+                raw = buf[:n_blocks]
+            else:
+                data = self._ring.read(want, out=read_buf)
+                n_blocks = len(data) // self._new_bytes
+                short = len(data) < want
             # Flush-then-raise: a reader failure closes the ring, but
             # whatever it already buffered is good data -- drain and
             # yield it before surfacing the error, so a dying live
@@ -136,14 +151,15 @@ class StreamPump:
                 if self._reader_error is not None:
                     raise self._reader_error
                 break
-            data = data[: n_blocks * self._new_bytes]
             stamp = self._timestamper()
-            # Unfold the new samples into overlapped blocks natively;
-            # unfold zero-fills the first block's history, so splice in
-            # the carried tail from the previous batch.
-            raw = self._native.unfold(
-                data, self._block_bytes, self._hist_bytes, n_blocks,
-                out=pool[batch_no % BUF_POOL][:n_blocks])
+            if not fused:
+                data = data[: n_blocks * self._new_bytes]
+                # Unfold the new samples into overlapped blocks
+                # natively; unfold zero-fills the first block's
+                # history, overwritten by the carried tail below.
+                raw = self._native.unfold(
+                    data, self._block_bytes, self._hist_bytes, n_blocks,
+                    out=pool[batch_no % BUF_POOL][:n_blocks])
             batch_no += 1
             raw[0, : self._hist_bytes] = tail
             tail = raw[-1, -self._hist_bytes:].copy()
@@ -160,7 +176,7 @@ class StreamPump:
             else:
                 ts = stamp - (n_blocks - 1 - np.arange(n_blocks)) * block_dt
             yield ts.astype(np.float64), idx, raw
-            if len(data) < want:
+            if short:
                 if self._reader_error is not None:
                     raise self._reader_error
                 break

@@ -73,6 +73,11 @@ def _load():
     lib.ttpu_ring_read.restype = ctypes.c_int64
     lib.ttpu_ring_read.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_ring_read_unfold.restype = ctypes.c_int64
+    lib.ttpu_ring_read_unfold.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.ttpu_ring_overflows.restype = ctypes.c_uint64
     lib.ttpu_ring_overflows.argtypes = [ctypes.c_void_p]
     lib.ttpu_ring_histogram.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -248,6 +253,7 @@ class RingBuffer:
     """Blocking byte ring buffer with backpressure accounting."""
 
     def __init__(self, capacity: int):
+        self.capacity = int(capacity)
         self._ring = _lib.ttpu_ring_new(capacity)
 
     def write(self, data: np.ndarray) -> int:
@@ -265,6 +271,31 @@ class RingBuffer:
             out = np.empty(n, dtype=np.uint8)
         got = _lib.ttpu_ring_read(self._ring, out.ctypes.data, n)
         return out[:got]
+
+    def read_unfold(self, out: np.ndarray, history_bytes: int):
+        """Fused read + overlap-save unfold straight from ring memory.
+
+        ``out``: C-contiguous uint8 [max_blocks, block_bytes].  Blocks
+        until ``max_blocks`` full blocks are available or the ring is
+        closed.  Row 0's history region is left untouched (splice the
+        previous batch's tail over it); rows 1+ carry their history
+        from the stream, so ``history_bytes`` must be <= the per-block
+        advance.  Returns (n_blocks, bytes_read); bytes_read < the
+        full request signals end-of-stream.
+        """
+        if (out.dtype != np.uint8 or not out.flags.c_contiguous
+                or out.ndim != 2):
+            raise ValueError("out must be C-contiguous uint8 2-D")
+        block_bytes = out.shape[1]
+        if history_bytes > block_bytes - history_bytes:
+            raise ValueError("read_unfold requires history <= advance")
+        if out.shape[0] * (block_bytes - history_bytes) > self.capacity:
+            raise ValueError("read_unfold batch exceeds ring capacity")
+        got = ctypes.c_int64(0)
+        blocks = _lib.ttpu_ring_read_unfold(
+            self._ring, out.ctypes.data, block_bytes, history_bytes,
+            out.shape[0], ctypes.byref(got))
+        return int(blocks), int(got.value)
 
     def close(self):
         _lib.ttpu_ring_close(self._ring)

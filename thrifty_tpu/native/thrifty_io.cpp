@@ -470,10 +470,19 @@ void ttpu_unfold(const uint8_t* stream, int64_t total_bytes,
     for (int64_t b = 0; b < num_blocks; ++b) {
         int64_t start = b * new_bytes - history_bytes;
         uint8_t* dst = out + b * block_bytes;
-        for (int64_t j = 0; j < block_bytes; ++j) {
-            int64_t src = start + j;
-            dst[j] = (src < 0 || src >= total_bytes) ? fill : stream[src];
-        }
+        // Bulk row copy (the per-byte bounds-checked loop this
+        // replaces was the same ~75 MB/s trap as the old ring copy):
+        // fill the out-of-stream head/tail, memcpy the middle.
+        int64_t j0 = start < 0 ? -start : 0;
+        int64_t j1 = start + block_bytes > total_bytes
+                         ? total_bytes - start
+                         : block_bytes;
+        if (j1 < j0) j1 = j0;
+        if (j0 > 0) memset(dst, fill, (size_t)j0);
+        if (j1 > j0) memcpy(dst + j0, stream + start + j0,
+                            (size_t)(j1 - j0));
+        if (j1 < block_bytes)
+            memset(dst + j1, fill, (size_t)(block_bytes - j1));
     }
 }
 
@@ -563,6 +572,71 @@ int64_t ttpu_ring_read(void* ring, uint8_t* out, int64_t len) {
         r->can_write.notify_all();
     }
     return got;
+}
+
+// Fused blocking read + overlap-save unfold straight out of ring
+// memory: removes the intermediate linear staging buffer (one full
+// stream copy) from the ingest path.  Waits until max_blocks *
+// (block_bytes - history_bytes) bytes are buffered (or the ring is
+// closed), then writes each complete block row directly from the ring
+// with wrap-aware memcpys and consumes exactly the unfolded bytes.
+//
+// Row 0's history region is NOT written (the caller splices the
+// previous batch's tail over it); rows 1+ take their history from the
+// stream itself, which requires history_bytes <= new_bytes (true for
+// every supported geometry; callers fall back to read+unfold
+// otherwise).  Returns the number of complete blocks; *bytes_got gets
+// the raw byte count read (so a short batch signals end-of-stream
+// exactly like ttpu_ring_read).
+int64_t ttpu_ring_read_unfold(void* ring, uint8_t* out,
+                              int64_t block_bytes, int64_t history_bytes,
+                              int64_t max_blocks, int64_t* bytes_got) {
+    auto* r = (ttpu_ring*)ring;
+    int64_t new_bytes = block_bytes - history_bytes;
+    int64_t want = max_blocks * new_bytes;
+    const size_t cap = r->buf.size();
+    size_t tail_snap;
+    int64_t m;
+    {
+        std::unique_lock<std::mutex> lock(r->mu);
+        while ((int64_t)r->size < want && !r->closed)
+            r->can_read.wait(lock,
+                             [&] { return (int64_t)r->size >= want ||
+                                          r->closed; });
+        m = std::min((int64_t)r->size, want);
+        tail_snap = r->tail;
+    }
+    // Copy WITHOUT the lock: [tail, tail + m) is unread data the
+    // producer can never overwrite until tail advances (single
+    // consumer), so the producer keeps filling the ring while the ~2x
+    // stream volume of row copies runs -- holding the mutex here was
+    // measured to serialize producer and consumer and cost ~40% of
+    // ingest throughput.
+    int64_t blocks = m / new_bytes;
+    auto copy_out = [&](int64_t logical, uint8_t* dst, int64_t n) {
+        size_t pos = (tail_snap + (size_t)logical) % cap;
+        size_t first = std::min((size_t)n, cap - pos);
+        memcpy(dst, r->buf.data() + pos, first);
+        if ((size_t)n > first)
+            memcpy(dst + first, r->buf.data(), (size_t)n - first);
+    };
+    for (int64_t b = 0; b < blocks; ++b) {
+        int64_t start = b * new_bytes - history_bytes;
+        uint8_t* dst = out + b * block_bytes;
+        if (b == 0)  // history spliced by the caller
+            copy_out(0, dst + history_bytes, new_bytes);
+        else
+            copy_out(start, dst, block_bytes);
+    }
+    int64_t consumed = blocks * new_bytes;
+    {
+        std::lock_guard<std::mutex> lock(r->mu);
+        r->tail = (r->tail + (size_t)consumed) % cap;
+        r->size -= (size_t)consumed;
+        r->can_write.notify_all();
+    }
+    if (bytes_got) *bytes_got = m;
+    return blocks;
 }
 
 uint64_t ttpu_ring_overflows(void* ring) {
