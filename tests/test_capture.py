@@ -200,3 +200,34 @@ def test_detect_loads_tpl_template(tmp_path):
     npy = str(tmp_path / "t.npy")
     np.save(npy, template)
     np.testing.assert_allclose(tpl.load_template(npy), template)
+
+
+def test_record_cards_reports_counts_after_stream_error():
+    """A dying stream must leave the shared stats reflecting what was
+    flushed to the archive, so the at-exit summary does not claim
+    'Read 0 blocks' over a non-empty .card file."""
+    import io as io_mod
+
+    import pytest
+
+    from thrifty_tpu.pipeline.capture import record_cards
+
+    B, NB = 4, 2 * 64  # batch, block bytes
+
+    def gate(raw):
+        n = len(raw)
+        return (np.ones(n, bool), np.zeros(n, np.int64),
+                np.ones(n), np.zeros(n), np.zeros(n))
+
+    def batches():
+        raw = np.full((B, NB), 128, np.uint8)
+        yield np.arange(B, dtype=np.float64), np.arange(B), raw
+        yield np.arange(B, dtype=np.float64) + B, np.arange(B) + B, raw
+        raise IOError("stream died")
+
+    out, stats = io_mod.StringIO(), {}
+    with pytest.raises(IOError):
+        record_cards(gate, batches(), B, out, stats=stats)
+    assert stats["read"] == 2 * B
+    assert stats["written"] == 2 * B
+    assert out.getvalue().count("\n") == 2 * B

@@ -199,11 +199,12 @@ def test_s2_identify_matches_reference(rerun2):
 
 
 def test_s2_match_collision_resolution_matches_reference(rerun2):
-    ref = [sorted(map(int, l.split()))
-           for l in open(os.path.join(S2, "rx.match"))
+    # Exact data-line equality (docs/golden_validation.md): every
+    # collision resolves to the same detection index AND group members
+    # appear in the reference's order (rx first-appearance).
+    ref = [l.strip() for l in open(os.path.join(S2, "rx.match"))
            if l.strip() and not l.startswith("#")]
-    got = [sorted(map(int, l.split()))
-           for l in open(str(rerun2 / "rx.match"))
+    got = [l.strip() for l in open(str(rerun2 / "rx.match"))
            if l.strip() and not l.startswith("#")]
     assert got == ref
 

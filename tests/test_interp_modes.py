@@ -107,3 +107,32 @@ def test_invalid_interp_names():
     with pytest.raises(ValueError):
         BatchDetector(TPL, DetectorConfig(
             block_len=BLOCK, history_len=HISTORY, carrier_interp="bogus"))
+
+
+def test_maximise_large_power_of_two_block():
+    """n = 65536 makes k * peak_idx exceed int32; the power-of-two
+    wraparound formulation must still recover the exact fractional
+    shift (a synthetic band-limited spectrum centered at p + 0.3)."""
+    import jax.numpy as jnp
+    from thrifty_tpu.dsp import xcorr
+
+    n, p, true_off = 1 << 16, 50_000, 0.3  # k*p up to 3.3e9 > 2^31
+    f = np.fft.fftfreq(n)
+    spec = np.where(np.abs(f) < 0.25,
+                    np.exp(-2j * np.pi * f * (p + true_off)),
+                    0.0).astype(np.complex64)
+    interp = xcorr.make_maximise_interpolator()
+    off = np.asarray(interp(jnp.asarray(spec[None, :]),
+                            jnp.asarray([p], dtype=jnp.int32)))
+    np.testing.assert_allclose(off, [true_off], atol=1e-3)
+
+
+def test_maximise_unsupported_block_len_raises():
+    import jax.numpy as jnp
+    from thrifty_tpu.dsp import xcorr
+
+    n = 50_000  # not a power of two and >= 46341
+    interp = xcorr.make_maximise_interpolator()
+    with pytest.raises(ValueError, match="power of"):
+        interp(jnp.zeros((1, n), jnp.complex64),
+               jnp.zeros((1,), jnp.int32))

@@ -115,6 +115,21 @@ class TestBatchedEquivalence:
                     det, window, min_match)
                 assert got == ref, (case, window, min_match)
 
+    def test_negative_window_terminates_like_sequential(self):
+        # window < 0 makes the searchsorted jump table point backwards;
+        # the batched seed walk must still terminate and agree with the
+        # sequential scan (whose inner range is empty: every detection
+        # seeds its own group -> all misses).
+        det = make([
+            (0, 1, 10.00, 5.0),
+            (1, 1, 10.01, 3.0),
+            (0, 1, 10.02, 4.0),
+        ])
+        ref = matchmaker.match_detections(det, window=-0.1)
+        got = matchmaker.match_detections_batched(det, window=-0.1)
+        assert got == ref
+        assert ref == ([], [0, 1, 2], [])
+
     def test_collision_order_and_pairs(self):
         # Interleaved rx collisions inside one group: pair order must
         # follow the scan (j ascending), with the running best as prev.

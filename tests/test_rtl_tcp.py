@@ -278,6 +278,67 @@ def test_reconnecting_source_splices_sessions():
     assert src.reconnects == 1
 
 
+class CrashLoopServer:
+    """Completes the handshake, then closes -- over and over.
+
+    Models a dongle that fails right after init: every connect
+    SUCCEEDS but no session ever delivers a sample.
+    """
+
+    def __init__(self):
+        self.accepts = 0
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(8)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        self._sock.settimeout(0.1)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            self.accepts += 1
+            try:
+                conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+                conn.settimeout(0.2)
+                try:
+                    while conn.recv(4096):
+                        pass
+                except socket.timeout:
+                    pass
+            except OSError:
+                pass
+            conn.close()
+        self._sock.close()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+
+
+def test_crash_loop_server_exhausts_retries():
+    """Connects that succeed but EOF before any data must consume the
+    retry budget (with backoff), not loop forever at full speed."""
+    srv = CrashLoopServer()
+    try:
+        src = rtl_tcp.ReconnectingRtlTcpSource(
+            "127.0.0.1", srv.port, max_retries=3,
+            initial_backoff_s=0.01)
+        with pytest.raises(IOError, match="3 attempts"):
+            src.read(512)
+        src.close()
+        # initial connect + 3 budgeted reconnects, nothing more
+        assert srv.accepts <= 4 + 1  # +1: accept raced with close
+    finally:
+        srv.stop()
+
+
 def test_detect_cli_rtl_tcp_reconnect(burst_stream, tmp_path):
     """detect --rtl-tcp --reconnect rides out a server restart and
     produces the same detections as the uninterrupted stream."""

@@ -199,11 +199,24 @@ def make_maximise_interpolator(clip: float = 0.55, iters: int = 40):
         n = spec.shape[-1]
         k = jnp.arange(n, dtype=jnp.int32)
         # Rotate the spectrum to the integer peak with EXACT integer
-        # phase arithmetic: (k * p) mod n stays within int32 for the
-        # supported block lengths (n < 46341; k*p < n^2 < 2^31), where
-        # a float32 k*p/n product would lose the fractional phase.
-        kp = (k[None, :] * (peak_idx[..., None].astype(jnp.int32) %
-                            n)) % n
+        # phase arithmetic ((k * p) mod n; a float32 k*p/n product
+        # would lose the fractional phase).  n is static at trace
+        # time, so pick the overflow-safe formulation here:
+        p = peak_idx[..., None].astype(jnp.int32) % n
+        if n & (n - 1) == 0:
+            # Power-of-two n (every default geometry): unsigned
+            # multiply wraps mod 2^32, and n divides 2^32, so the low
+            # bits (& (n-1)) are exact even when k*p exceeds 2^31.
+            kp = ((k.astype(jnp.uint32)[None, :] *
+                   p.astype(jnp.uint32)) & jnp.uint32(n - 1)) \
+                .astype(jnp.int32)
+        elif n < 46341:
+            # k*p < n^2 < 2^31 stays within int32.
+            kp = (k[None, :] * p) % n
+        else:
+            raise ValueError(
+                "corr_interp='maximise' needs block_len a power of "
+                "two or < 46341 (int32 phase arithmetic); got %d" % n)
         base = spec * jnp.exp(2j * jnp.pi *
                               (kp.astype(jnp.float32) / n))
         # Fractional evaluation MUST use the signed (fftfreq)

@@ -89,6 +89,23 @@ def parse_hostport(text, default_port=1234):
     return host, int(port)
 
 
+def make_source(hostport, config, bias_tee=False, reconnect=0):
+    """Build the rtl_tcp source a CLI asked for.
+
+    Shared by the detect / capture / scope entry points so the tuner
+    configuration (from the settings registry) and the
+    reconnect-vs-plain choice live in one place.
+    """
+    host, port = parse_hostport(hostport)
+    kwargs = dict(frequency=config.tuner_freq,
+                  sample_rate=config.sample_rate,
+                  gain_db=config.tuner_gain, bias_tee=bias_tee)
+    if reconnect:
+        return ReconnectingRtlTcpSource(host, port,
+                                        max_retries=reconnect, **kwargs)
+    return RtlTcpSource(host, port, **kwargs)
+
+
 class RtlTcpSource:
     """File-like rtl_tcp client (``read``/``close``), StreamPump-ready.
 
@@ -192,11 +209,16 @@ class ReconnectingRtlTcpSource:
     resilience the reference gets from systemd restarting the whole
     node (rpi/detector.service).
 
-    ``max_retries`` bounds consecutive failed reconnect attempts; when
-    they are exhausted, ``read`` raises IOError -- a live SDR stream
-    has no legitimate end, so truncation must stay distinguishable
-    from a completed capture (same invariant as
-    :meth:`RtlTcpSource.read`), letting the CLI exit non-zero.
+    ``max_retries`` bounds consecutive connection cycles that deliver
+    no samples -- whether the connect itself fails OR it succeeds and
+    the stream EOFs before producing data (a server in a crash loop
+    completes the handshake, then dies; counting only failed connects
+    would retry such a server forever at full speed).  The budget
+    resets only when a connection actually delivers samples.  When it
+    is exhausted, ``read`` raises IOError -- a live SDR stream has no
+    legitimate end, so truncation must stay distinguishable from a
+    completed capture (same invariant as :meth:`RtlTcpSource.read`),
+    letting the CLI exit non-zero.
     """
 
     def __init__(self, host, port=1234, max_retries=6,
@@ -208,36 +230,41 @@ class ReconnectingRtlTcpSource:
         self._src = RtlTcpSource(host, port, **kwargs)
         self.reconnects = 0
 
-    def _reconnect(self):
+    def read(self, n):
         import time
 
+        attempts = 0       # consecutive no-data connection cycles
         delay = self._backoff
-        for _ in range(self._max_retries):
-            try:
-                self._src = RtlTcpSource(*self._addr, **self._kwargs)
-                self.reconnects += 1
-                return True
-            except OSError:
-                time.sleep(delay)
-                delay = min(delay * 2, 30.0)
-        return False
-
-    def read(self, n):
         while True:
-            try:
-                data = self._src.read(n)
-            except IOError:
-                data = b""
-            if data:
-                return data
-            self._src.close()
-            if not self._reconnect():
+            if self._src is not None:
+                try:
+                    data = self._src.read(n)
+                    if data:
+                        return data
+                except IOError:
+                    pass
+                self._src.close()
+                self._src = None
+            if attempts >= self._max_retries:
                 raise IOError(
                     "rtl_tcp reconnect failed after {} attempts"
                     .format(self._max_retries))
+            attempts += 1
+            if attempts > 1:
+                # First reconnect is immediate (a long-healthy link
+                # dropping once should not stall the stream); repeat
+                # failures back off exponentially.
+                time.sleep(delay)
+                delay = min(delay * 2, 30.0)
+            try:
+                self._src = RtlTcpSource(*self._addr, **self._kwargs)
+                self.reconnects += 1
+            except OSError:
+                self._src = None
 
     def close(self):
-        self._src.close()
+        if self._src is not None:
+            self._src.close()
 
     def describe(self):
         return self._src.describe() + " (auto-reconnect)"

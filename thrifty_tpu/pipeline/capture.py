@@ -99,19 +99,23 @@ def card_header(config, window, tool="thrifty-tpu capture", sdr=False,
 
 
 def record_cards(gate, batches, batch_size, out_stream, info_out=None,
-                 skip=0):
+                 skip=0, stats=None):
     """Drive the gate over raw batches, writing .card lines for hits.
 
     ``batches`` yields (timestamps [b], indices [b], raw [b, 2N]).
     The first ``skip`` blocks are discarded (SDR settling, reference
     fastcard_cli.c:148-171).  Keeps one batch in flight so host IO and
     base64 encoding overlap device compute.  Returns (blocks_read,
-    blocks_written).
+    blocks_written); pass a ``stats`` dict to see the running counts
+    even when the stream dies mid-run (the at-exit summary must
+    reflect what actually reached the archive, not zeros).
     """
     from thrifty_tpu.io import card as card_io
 
     pending = []
-    stats = {"read": 0, "written": 0}
+    if stats is None:
+        stats = {}
+    stats.update(read=0, written=0)
 
     def drain(entry):
         ts, idx, n, raw, dev = entry
@@ -189,17 +193,10 @@ def _record_main(config, args):
     if getattr(args, "rtl_tcp", None):
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        host, port = rtl_tcp_mod.parse_hostport(args.rtl_tcp)
-        kwargs = dict(frequency=config.tuner_freq,
-                      sample_rate=config.sample_rate,
-                      gain_db=config.tuner_gain,
-                      bias_tee=getattr(args, "bias_tee", False))
-        retries = getattr(args, "reconnect", 0)
-        if retries:
-            in_stream = rtl_tcp_mod.ReconnectingRtlTcpSource(
-                host, port, max_retries=retries, **kwargs)
-        else:
-            in_stream = rtl_tcp_mod.RtlTcpSource(host, port, **kwargs)
+        in_stream = rtl_tcp_mod.make_source(
+            args.rtl_tcp, config,
+            bias_tee=getattr(args, "bias_tee", False),
+            reconnect=getattr(args, "reconnect", 0))
         sdr = True
         if not args.quiet:
             print(in_stream.describe(), file=sys.stderr)
@@ -254,11 +251,11 @@ def _record_main(config, args):
 
     exit_code = 0
     t_start = time_mod.perf_counter()
-    nread = nwritten = 0
+    stats = {"read": 0, "written": 0}
     try:
-        nread, nwritten = record_cards(
+        record_cards(
             gate, batches, config.batch_size, out_stream,
-            info_out=info_out, skip=config.capture_skip)
+            info_out=info_out, skip=config.capture_skip, stats=stats)
     except KeyboardInterrupt:
         print("interrupted; output flushed", file=sys.stderr)
     except IOError as e:
@@ -275,9 +272,10 @@ def _record_main(config, args):
     elapsed = time_mod.perf_counter() - t_start
     if info_out is not None:
         new_len = config.block_size - config.block_history
-        rate = nread * new_len / max(elapsed, 1e-9)
+        rate = stats["read"] * new_len / max(elapsed, 1e-9)
         print("\nRead {} blocks, wrote {} ({:.1f}x realtime @ {:.1f} Msps)"
-              .format(nread, nwritten, rate / config.sample_rate,
+              .format(stats["read"], stats["written"],
+                      rate / config.sample_rate,
                       config.sample_rate / 1e6), file=info_out)
         if pump is not None:
             print(pump.stats_line(), file=info_out)

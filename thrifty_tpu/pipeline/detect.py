@@ -215,15 +215,9 @@ def _main(argv=None):
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        host, port = rtl_tcp_mod.parse_hostport(args.rtl_tcp)
-        kwargs = dict(frequency=config.tuner_freq,
-                      sample_rate=config.sample_rate,
-                      gain_db=config.tuner_gain, bias_tee=args.bias_tee)
-        if args.reconnect:
-            in_stream = rtl_tcp_mod.ReconnectingRtlTcpSource(
-                host, port, max_retries=args.reconnect, **kwargs)
-        else:
-            in_stream = rtl_tcp_mod.RtlTcpSource(host, port, **kwargs)
+        in_stream = rtl_tcp_mod.make_source(
+            args.rtl_tcp, config, bias_tee=args.bias_tee,
+            reconnect=args.reconnect)
         args.raw = True
         if not args.quiet:
             print(in_stream.describe(), file=sys.stderr)

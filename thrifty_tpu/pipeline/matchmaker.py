@@ -81,14 +81,17 @@ def _group_seeds(ts, window):
     # Walk the seed chain directly: O(groups) trivial steps, each a
     # Python list index -- measured ~10x cheaper on host numpy than the
     # equivalent pointer-doubling jump tables (the doubling form is what
-    # this becomes if ever mapped onto an accelerator).  Every jump
-    # advances by >= 1, so the walk terminates in <= m steps.
+    # this becomes if ever mapped onto an accelerator).  A window >= 0
+    # always jumps past s (upper_bound includes s itself); clamping to
+    # s + 1 keeps the walk terminating for window < 0 too, where the
+    # sequential scan's inner range is empty and every detection seeds
+    # its own group.
     nxt_l = nxt.tolist()
     seeds = []
     s = 0
     while s < m:
         seeds.append(s)
-        s = nxt_l[s]
+        s = max(nxt_l[s], s + 1)
     seeds = np.asarray(seeds, dtype=np.int64)
     return seeds[np.searchsorted(seeds, np.arange(m), side="right") - 1]
 

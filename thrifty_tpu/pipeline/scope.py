@@ -157,12 +157,9 @@ def _main(argv=None):
         state.trigger_time = -1.0  # every block crosses
 
     if args.rtl_tcp is not None:
-        from thrifty_tpu.io.rtl_tcp import RtlTcpSource, parse_hostport
+        from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        host, port = parse_hostport(args.rtl_tcp)
-        in_stream = RtlTcpSource(
-            host, port, frequency=config.tuner_freq,
-            sample_rate=config.sample_rate, gain_db=config.tuner_gain)
+        in_stream = rtl_tcp_mod.make_source(args.rtl_tcp, config)
         print(in_stream.describe(), file=sys.stderr)
     elif args.input == "-":
         in_stream = sys.stdin.buffer
