@@ -314,6 +314,8 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
         "drain": "host" if drain_host else "device-only",
     }
     if pump is not None:
+        stats["ingest_path"] = ("mmap" if getattr(pump, "_mm", None)
+                                is not None else "ring")
         stats["ring_stalls"] = pump.overflows
     if verbose:
         print("e2e[{}]: {} blocks ({:.0f} MB) in {:.2f}s; {}".format(

@@ -152,3 +152,49 @@ class TestReadUnfold:
             ring.read_unfold(out, 64)   # history > advance
         with __import__("pytest").raises(ValueError):
             ring.read_unfold(out, 32)   # batch exceeds capacity
+
+
+class TestMmapPath:
+    """Regular-file ingest (mmap, one-copy) vs the ring path."""
+
+    def test_file_matches_bytesio(self, tmp_path):
+        data = make_stream(11464 * 2 * 23 + 77)  # partial tail dropped
+        p = tmp_path / "stream.raw"
+        p.write_bytes(data)
+        for batch in (1, 8, 256):
+            ring_batches = [
+                (ts.copy(), idx.copy(), raw.copy())
+                for ts, idx, raw in StreamPump(
+                    io.BytesIO(data), 16384, 4920, batch,
+                    t0=100.0).batches()]
+            with open(p, "rb") as f:
+                pump = StreamPump(f, 16384, 4920, batch, t0=100.0)
+                assert pump._mm is not None, "mmap path not engaged"
+                mm_batches = []
+                for ts, idx, raw in pump.batches():
+                    mm_batches.append((ts.copy(), idx.copy(), raw.copy()))
+            assert len(mm_batches) == len(ring_batches)
+            for (t1, i1, r1), (t2, i2, r2) in zip(ring_batches,
+                                                  mm_batches):
+                np.testing.assert_array_equal(t1, t2)
+                np.testing.assert_array_equal(i1, i2)
+                np.testing.assert_array_equal(r1, r2)
+
+    def test_pipe_still_uses_ring(self):
+        import os
+        r, w = os.pipe()
+        os.write(w, b"\x80" * 1024)
+        os.close(w)
+        with open(r, "rb") as f:
+            pump = StreamPump(f, 64, 16, 4, t0=0.0)
+            assert pump._mm is None
+            list(pump.batches())
+
+    def test_stats_line_reports_mode(self, tmp_path):
+        p = tmp_path / "s.raw"
+        p.write_bytes(make_stream(4096))
+        with open(p, "rb") as f:
+            pump = StreamPump(f, 64, 16, 4, t0=0.0)
+            assert "mmap" in pump.stats_line()
+            assert pump.overflows == 0
+            list(pump.batches())

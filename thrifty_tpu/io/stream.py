@@ -89,10 +89,39 @@ class StreamPump:
         # wall clock -- for re-analyzing recorded raw streams whose
         # start time is known.
         self._t0 = t0
+        self._reader_error = None
+        # Regular files skip the ring entirely: mmap the file and
+        # unfold overlap-save rows straight out of the page cache --
+        # ONE host copy total (docs/performance.md), vs two through
+        # the fused ring path.  Live sources (pipes, sockets, stdin)
+        # keep the reader-thread + ring backpressure design.
+        self._mm = self._try_mmap(stream)
+        if self._mm is not None:
+            self._ring = None
+            self._reader = None
+            return
         self._ring = native.RingBuffer(capacity_bytes)
         self._reader = threading.Thread(target=self._pump, daemon=True)
-        self._reader_error = None
         self._reader.start()
+
+    @staticmethod
+    def _try_mmap(stream):
+        import mmap
+        import os
+        import stat
+
+        try:
+            fileno = stream.fileno()
+            st = os.fstat(fileno)
+            if not stat.S_ISREG(st.st_mode) or st.st_size == 0:
+                return None
+            start = stream.tell()
+            if st.st_size - start <= 0:
+                return None
+            mm = mmap.mmap(fileno, 0, access=mmap.ACCESS_READ)
+            return (mm, start)
+        except (AttributeError, OSError, ValueError):
+            return None
 
     def _pump(self):
         try:
@@ -117,6 +146,9 @@ class StreamPump:
         detect/capture pipelines, which hold at most one batch in
         flight behind the current one.
         """
+        if self._mm is not None:
+            yield from self._mmap_batches()
+            return
         BUF_POOL = 4
         tail = np.full(self._hist_bytes, 128, dtype=np.uint8)
         block_idx = 0
@@ -181,16 +213,64 @@ class StreamPump:
                     raise self._reader_error
                 break
 
+    def _mmap_batches(self):
+        """One-copy ingest for regular files: strided rows out of the
+        page cache into the warm buffer pool, no ring, no reader
+        thread.  Yields byte-identical batches to the ring path on the
+        same data (asserted in tests/test_stream.py)."""
+        from numpy.lib.stride_tricks import as_strided
+
+        BUF_POOL = 4
+        mm, start = self._mm
+        base = np.frombuffer(mm, dtype=np.uint8)
+        n_total = (len(base) - start) // self._new_bytes
+        pool = [np.empty((self._batch_size, self._block_bytes), np.uint8)
+                for _ in range(BUF_POOL)]
+        block_dt = self._new_bytes / 2 / self._sample_rate
+        b0 = 0
+        batch_no = 0
+        while b0 < n_total:
+            n = min(self._batch_size, n_total - b0)
+            out = pool[batch_no % BUF_POOL][:n]
+            off = start + b0 * self._new_bytes
+            stamp = self._timestamper()
+            if b0 == 0:
+                # First batch: row 0's history precedes the stream;
+                # unfold 128-fills it (same as the ring path's initial
+                # tail), rows 1+ take history from the stream.
+                self._native.unfold(
+                    base[off:off + n * self._new_bytes],
+                    self._block_bytes, self._hist_bytes, n, out=out)
+            else:
+                # Later batches: every row's bytes exist in the file --
+                # a strided window copy, nothing else.
+                src = as_strided(base[off - self._hist_bytes:],
+                                 shape=(n, self._block_bytes),
+                                 strides=(self._new_bytes, 1))
+                np.copyto(out, src)
+            idx = np.arange(b0, b0 + n, dtype=np.int64)
+            if self._t0 is not None:
+                ts = self._t0 + idx * block_dt
+            else:
+                ts = stamp - (n - 1 - np.arange(n)) * block_dt
+            yield ts.astype(np.float64), idx, out
+            b0 += n
+            batch_no += 1
+
     @property
     def overflows(self) -> int:
         """Times the producer stalled on a full ring (backpressure)."""
-        return self._ring.overflows
+        return 0 if self._ring is None else self._ring.overflows
 
     def occupancy_histogram(self) -> np.ndarray:
         """8-bucket ring-occupancy histogram sampled at each write."""
+        if self._ring is None:
+            return np.zeros(8, dtype=np.int64)
         return self._ring.histogram()
 
     def stats_line(self) -> str:
+        if self._ring is None:
+            return "mmap ingest (regular file): no ring, one host copy"
         hist = self.occupancy_histogram()
         total = max(int(hist.sum()), 1)
         pct = ", ".join(
