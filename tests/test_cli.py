@@ -174,3 +174,27 @@ def test_template_extract_cli(workdir):
     corr = np.dot(extracted, base) / (
         np.linalg.norm(extracted) * np.linalg.norm(base))
     assert corr > 0.9
+
+
+def test_gold_cli_plot(workdir):
+    res = run_cli(["gold", "5", "2", "--plot", "ac.png"], cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    assert (workdir / "ac.png").stat().st_size > 0
+    assert "1 0 1" not in res.stdout  # bits suppressed when plotting
+
+
+def test_template_extract_cli_plot(workdir):
+    res = run_cli(["template_extract", "rx0.card", "-o", "ext.npy",
+                   "--plot", "overlay.png"], cwd=str(workdir))
+    assert res.returncode == 0, res.stderr
+    assert (workdir / "overlay.png").stat().st_size > 0
+
+
+def test_match_cli_verbose_collisions(detected):
+    res = run_cli(["identify", "rx0.toad", "rx1.toad", "rx2.toad",
+                   "-o", "verbose.toads"], cwd=str(detected))
+    assert res.returncode == 0, res.stderr
+    res = run_cli(["match", "verbose.toads", "-o", "v.match", "-v"],
+                  cwd=str(detected))
+    assert res.returncode == 0, res.stderr
+    assert "Number of collisions:" in res.stdout

@@ -17,9 +17,28 @@ def _main(argv=None):
                         help="which Gold code of the family to generate")
     parser.add_argument("--stats", action="store_true",
                         help="print autocorrelation stats instead of bits")
+    parser.add_argument("-p", "--plot", nargs="?", const="gold_autocorr.png",
+                        default=None, metavar="FILE",
+                        help="save an autocorrelation plot (reference "
+                             "gold.py:85-96; written to FILE instead of "
+                             "shown -- TPU hosts are headless)")
     args = parser.parse_args(argv)
 
     seq = gold.gold(args.length, args.index)
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        bipolar = gold.bipolar(seq)
+        autocorr = np.correlate(bipolar, bipolar, "same")
+        fig, ax = plt.subplots()
+        ax.set_title("Length {} Gold code autocorrelation".format(len(seq)))
+        ax.plot(np.arange(len(seq)) - len(seq) // 2, autocorr, ".-")
+        fig.savefig(args.plot)
+        plt.close(fig)
+        print("autocorrelation plot written to", args.plot)
     if args.stats:
         stats = gold.autocorr_stats(seq)
         print("Peak amplitude: {:.0f}".format(stats["peak"]))
@@ -27,7 +46,7 @@ def _main(argv=None):
             stats["max_sidelobe"]))
         print("Peak-to-max: {:.2f}".format(stats["peak_to_max"]))
         print("Peak-to-noise: {:.2f}".format(stats["peak_to_noise"]))
-    else:
+    elif not args.plot:
         print(" ".join(str(int(b)) for b in seq))
 
 

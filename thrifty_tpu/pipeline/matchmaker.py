@@ -291,6 +291,9 @@ def _main(argv=None):
                         help="timestamp window in seconds [default: 0.2]")
     parser.add_argument("-n", "--num-matches", type=int, default=2,
                         help="min receivers for a valid match [default: 2]")
+    parser.add_argument("-v", "--verbose", action="store_true",
+                        help="print a line per collision (reference "
+                             "matchmaker.py:146-150)")
     args = parser.parse_args(argv)
 
     stream = sys.stdin if args.input == "-" else args.input
@@ -299,6 +302,12 @@ def _main(argv=None):
     detections = detections[order]
     matches, misses, collisions = match_detections_batched(
         detections, args.window, args.num_matches)
+    if args.verbose:
+        for i1, i2 in collisions:
+            print("Multiple detections for RX %d and TX %d: "
+                  "detection #%d and #%d collides." %
+                  (int(detections[i1]["rxid"]), int(detections[i1]["txid"]),
+                   int(order[i1]), int(order[i2])))
     # Indices must refer to the file's line order, not the sorted order.
     matches = [[int(order[m]) for m in match] for match in matches]
 

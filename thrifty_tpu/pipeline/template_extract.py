@@ -51,6 +51,12 @@ def _main(argv=None):
     parser.add_argument("input", type=str, help="input .card file")
     parser.add_argument("-o", "--output", type=str, default="capture.npy",
                         help="output file (.npy) [default: capture.npy]")
+    parser.add_argument("-p", "--plot", nargs="?",
+                        const="template_extract.png", default=None,
+                        metavar="FILE",
+                        help="save an extracted-vs-base template overlay "
+                             "(reference template_extract.py:61-72; "
+                             "written to FILE -- TPU hosts are headless)")
     keys = ["sample_rate", "block_size", "block_history", "carrier_window",
             "carrier_threshold", "corr_threshold", "template"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
@@ -82,6 +88,21 @@ def _main(argv=None):
               int(idx[best]), float(ts[best]),
               float(out["corr_offset"][best]),
               float(out["corr_energy"][best])))
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        offset = float(out["corr_offset"][best])
+        xdata = np.arange(len(template), dtype=np.float64)
+        fig, ax = plt.subplots()
+        ax.plot(xdata, template, ".-", label="New")
+        ax.plot(xdata - offset, base_template, ".-", label="Base")
+        ax.set_xlabel("sample")
+        ax.legend()
+        fig.savefig(args.plot)
+        plt.close(fig)
+        print("template overlay written to", args.plot)
 
 
 if __name__ == "__main__":
