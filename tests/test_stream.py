@@ -57,6 +57,41 @@ class TestStreamPump:
             np.testing.assert_array_equal(idx_a, idx_b)
             np.testing.assert_array_equal(raw_a, raw_b)
 
+    def test_large_history_exact(self, tmp_path):
+        # history > block/2 (hist_bytes > new_bytes): rows need stream
+        # bytes spanning MORE than one previous block's new samples.
+        # The fused ring kernel refuses this geometry; the fallback
+        # strided-scratch path, the sync reader, and the mmap path must
+        # all agree byte-for-byte (a 128-filled-history regression here
+        # silently bifurcates pipe vs file detections).
+        size, history, batch = 128, 100, 5
+        new_bytes = 2 * (size - history)
+        data = make_stream(new_bytes * 17 + 3)  # odd tail dropped
+
+        sync = list(blocks_io.raw_batches(
+            io.BytesIO(data), size, history, batch,
+            timestamper=lambda: 0.0))
+        pumped = [
+            (ts.copy(), idx.copy(), raw.copy())
+            for ts, idx, raw in StreamPump(
+                io.BytesIO(data), size, history, batch,
+                t0=0.0).batches()]
+        p = tmp_path / "bighist.raw"
+        p.write_bytes(data)
+        with open(p, "rb") as f:
+            pump = StreamPump(f, size, history, batch, t0=0.0)
+            assert pump._mm is not None
+            mm = [(ts.copy(), idx.copy(), raw.copy())
+                  for ts, idx, raw in pump.batches()]
+
+        assert len(pumped) == len(sync) == len(mm)
+        for (_, i1, r1), (_, i2, r2), (_, i3, r3) in zip(
+                sync, pumped, mm):
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_array_equal(r1, r2)
+            np.testing.assert_array_equal(i1, i3)
+            np.testing.assert_array_equal(r1, r3)
+
     def test_partial_final_batch(self):
         size, history, batch = 128, 32, 8
         new_bytes = 2 * (size - history)

@@ -170,7 +170,7 @@ def none_interpolate(corr_mag, peak_idx, clip: float = 0.6):
     return jnp.zeros(peak_idx.shape, dtype=jnp.float32)
 
 
-def make_maximise_interpolator(clip: float = 0.55, iters: int = 40):
+def make_maximise_interpolator(clip: float = 0.55, iters: int = 34):
     """Band-limited correlation-peak maximization.
 
     Re-design of the reference's experimental 'maximise' interpolator
@@ -189,7 +189,10 @@ def make_maximise_interpolator(clip: float = 0.55, iters: int = 40):
     overlap-save correlation rather than a re-FFT of the peak segment;
     same estimator family, and sub-1e-2-sample agreement with the
     dense-search oracle is asserted in tests (tests/test_interp_modes
-    .py).  40 iterations shrink the bracket below 1e-8 samples.
+    .py).  34 iterations shrink the bracket to ~8e-8 samples, the
+    float32 resolution floor near the +-0.55 clip bound (the bracket
+    endpoints are f32, so spacing below |a| * 2^-23 ~ 7e-8 rounds onto
+    the endpoints and further iterations buy nothing).
     """
     import jax
 

@@ -235,20 +235,24 @@ class ReconnectingRtlTcpSource:
 
         attempts = 0       # consecutive no-data connection cycles
         delay = self._backoff
+        last_err = None
         while True:
             if self._src is not None:
                 try:
                     data = self._src.read(n)
                     if data:
                         return data
-                except IOError:
-                    pass
+                except IOError as err:
+                    last_err = err
                 self._src.close()
                 self._src = None
             if attempts >= self._max_retries:
+                # Chain the root cause so the operator can tell a
+                # stream stall from a handshake failure at the CLI's
+                # "stream error:" report.
                 raise IOError(
                     "rtl_tcp reconnect failed after {} attempts"
-                    .format(self._max_retries))
+                    .format(self._max_retries)) from last_err
             attempts += 1
             if attempts > 1:
                 # First reconnect is immediate (a long-healthy link
@@ -259,7 +263,8 @@ class ReconnectingRtlTcpSource:
             try:
                 self._src = RtlTcpSource(*self._addr, **self._kwargs)
                 self.reconnects += 1
-            except OSError:
+            except OSError as err:
+                last_err = err
                 self._src = None
 
     def close(self):
@@ -267,12 +272,14 @@ class ReconnectingRtlTcpSource:
             self._src.close()
 
     def describe(self):
+        if self._src is None:
+            return "rtl_tcp {}:{} (disconnected)".format(*self._addr)
         return self._src.describe() + " (auto-reconnect)"
 
     @property
     def tuner_gain(self):
-        return self._src.tuner_gain
+        return None if self._src is None else self._src.tuner_gain
 
     @property
     def tuner_name(self):
-        return self._src.tuner_name
+        return None if self._src is None else self._src.tuner_name

@@ -149,18 +149,28 @@ class StreamPump:
         if self._mm is not None:
             yield from self._mmap_batches()
             return
+        from numpy.lib.stride_tricks import as_strided
+
         BUF_POOL = 4
-        tail = np.full(self._hist_bytes, 128, dtype=np.uint8)
         block_idx = 0
         want = self._new_bytes * self._batch_size
         # Fused ring->blocks unfold (one full stream copy fewer) when
-        # the geometry and capacity allow; read+unfold otherwise.  The
-        # ingest path is memcpy-bound, so every removed copy is ~a
-        # third of the ceiling (docs/performance.md).
+        # the geometry and capacity allow; read + strided copy
+        # otherwise.  The ingest path is memcpy-bound, so every removed
+        # copy is ~a third of the ceiling (docs/performance.md).
         fused = (self._hist_bytes <= self._new_bytes
                  and want <= getattr(self._ring, "capacity", 0)
                  and hasattr(self._ring, "read_unfold"))
-        read_buf = None if fused else np.empty(want, dtype=np.uint8)
+        if fused:
+            tail = np.full(self._hist_bytes, 128, dtype=np.uint8)
+            scratch = None
+        else:
+            # Carried history + this batch's new bytes, contiguous:
+            # every overlap-save row is then a strided window of real
+            # stream bytes, for ANY history < block_size (the fused
+            # kernel requires history <= advance; this path does not).
+            scratch = np.empty(self._hist_bytes + want, dtype=np.uint8)
+            scratch[: self._hist_bytes] = 128
         pool = [np.empty((self._batch_size, self._block_bytes), np.uint8)
                 for _ in range(BUF_POOL)]
         batch_no = 0
@@ -172,7 +182,8 @@ class StreamPump:
                 short = got < want
                 raw = buf[:n_blocks]
             else:
-                data = self._ring.read(want, out=read_buf)
+                data = self._ring.read(
+                    want, out=scratch[self._hist_bytes:])
                 n_blocks = len(data) // self._new_bytes
                 short = len(data) < want
             # Flush-then-raise: a reader failure closes the ring, but
@@ -184,17 +195,19 @@ class StreamPump:
                     raise self._reader_error
                 break
             stamp = self._timestamper()
-            if not fused:
-                data = data[: n_blocks * self._new_bytes]
-                # Unfold the new samples into overlapped blocks
-                # natively; unfold zero-fills the first block's
-                # history, overwritten by the carried tail below.
-                raw = self._native.unfold(
-                    data, self._block_bytes, self._hist_bytes, n_blocks,
-                    out=pool[batch_no % BUF_POOL][:n_blocks])
+            if fused:
+                raw[0, : self._hist_bytes] = tail
+                tail = raw[-1, -self._hist_bytes:].copy()
+            else:
+                raw = pool[batch_no % BUF_POOL][:n_blocks]
+                np.copyto(raw, as_strided(
+                    scratch, shape=(n_blocks, self._block_bytes),
+                    strides=(self._new_bytes, 1)))
+                # Carry the stream tail for the next batch's history.
+                valid = self._hist_bytes + n_blocks * self._new_bytes
+                scratch[: self._hist_bytes] = \
+                    scratch[valid - self._hist_bytes: valid].copy()
             batch_no += 1
-            raw[0, : self._hist_bytes] = tail
-            tail = raw[-1, -self._hist_bytes:].copy()
             idx = np.arange(block_idx, block_idx + n_blocks, dtype=np.int64)
             block_idx += n_blocks
             # Per-block timestamps, backdated from the drain time by the

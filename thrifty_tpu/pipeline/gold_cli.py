@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import argparse
+import sys
 
 from thrifty_tpu.dsp import gold
 
@@ -38,7 +39,10 @@ def _main(argv=None):
         ax.plot(np.arange(len(seq)) - len(seq) // 2, autocorr, ".-")
         fig.savefig(args.plot)
         plt.close(fig)
-        print("autocorrelation plot written to", args.plot)
+        # Notice goes to stderr: plotting is independent of the bit
+        # output in the reference CLI (gold.py _main), so `gold 6 -p`
+        # must still emit the sequence on stdout for piping.
+        print("autocorrelation plot written to", args.plot, file=sys.stderr)
     if args.stats:
         stats = gold.autocorr_stats(seq)
         print("Peak amplitude: {:.0f}".format(stats["peak"]))
@@ -46,7 +50,7 @@ def _main(argv=None):
             stats["max_sidelobe"]))
         print("Peak-to-max: {:.2f}".format(stats["peak_to_max"]))
         print("Peak-to-noise: {:.2f}".format(stats["peak_to_noise"]))
-    elif not args.plot:
+    else:
         print(" ".join(str(int(b)) for b in seq))
 
 
