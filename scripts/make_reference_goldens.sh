@@ -114,4 +114,30 @@ python3 -m thrifty.cli identify rx0.toad rx1.toad rx2.toad \
 python3 -m thrifty.cli match rx.toads -o rx.match -w 0.05
 mkdir -p "$OUT/scenario2"
 cp rx0.toad rx1.toad rx2.toad rx.toads rx.match "$OUT/scenario2/"
-echo "goldens written to $OUT (+ scenario2)"
+
+# --- experimental surfaces: interpolators + preshift sync -------------------
+# The reference ships CLI drivers for its experimental sub-sample
+# interpolators (thrifty/experimental/detect_xcorr_interpol.py,
+# detect_carrier_interpol.py) and the pre-shifted-template-bank sync
+# (detect_preshift.py).  thrifty-tpu promotes all of these to
+# first-class batched options (detect --corr-interp/--carrier-interp/
+# --sync-mode preshift); golden .toads from the actual reference pin
+# their numerics too, not just the default chain's.  gaussian corr /
+# dirichlet carrier are the defaults already covered by scenario 1.
+cd "$WORK/run"
+mkdir -p "$OUT/interp"
+for m in parabolic cosine autocorr maximise none; do
+    python3 -m thrifty.experimental.detect_xcorr_interpol \
+        --method "$m" "$IN/rx0.card" -o "rx0_corr_$m.toad" --rxid 0
+    cp "rx0_corr_$m.toad" "$OUT/interp/"
+done
+for m in parabolic gaussian cosine none; do
+    python3 -m thrifty.experimental.detect_carrier_interpol \
+        --method "$m" "$IN/rx0.card" -o "rx0_carrier_$m.toad" --rxid 0
+    cp "rx0_carrier_$m.toad" "$OUT/interp/"
+done
+python3 -m thrifty.experimental.detect_preshift \
+    "$IN/rx0.card" -o rx0_preshift.toad --rxid 0
+cp rx0_preshift.toad "$OUT/interp/"
+
+echo "goldens written to $OUT (+ scenario2, interp)"
