@@ -67,6 +67,20 @@ sed -i 's/match = map(int, line\.split())/match = list(map(int, line.split()))/'
     thrifty/matchmaker.py
 sed -i 's/detections\.sort(cmp=lambda x, y: x\[0\]\.timestamp < y\[0\]\.timestamp)/pass  # py2 bool-cmp sort was a no-op/' \
     thrifty/tdoa_est.py
+# Same bool-cmp no-op in sorted() form inside build_model_nearest /
+# build_model_linear (tdoa_est.py:171,191): py2's sort wrapper tests
+# cmp(a,b) < 0, which a bool never satisfies, so every element compares
+# "equal" and the stable sort preserves the input order.
+python3 - <<'EOF'
+p = 'thrifty/tdoa_est.py'
+s = open(p).read()
+s = s.replace(
+    "    pairs = sorted(detection_pairs,\n"
+    "                   cmp=lambda x, y: x[0].timestamp < y[0].timestamp)",
+    "    pairs = list(detection_pairs)  # py2 bool-cmp sorted was a no-op")
+assert 'cmp=' not in s, 'unshimmed cmp= remains in tdoa_est.py'
+open(p, 'w').write(s)
+EOF
 sed -i 's/rx_pos\[rx_pos\.keys()\[0\]\]/rx_pos[next(iter(rx_pos))]/' thrifty/pos_est.py
 sed -i 's/rx_coords = np\.array(rx_pos\.values())/rx_coords = np.array(list(rx_pos.values()))/' \
     thrifty/pos_est.py
@@ -139,5 +153,34 @@ done
 python3 -m thrifty.experimental.detect_preshift \
     "$IN/rx0.card" -o rx0_preshift.toad --rxid 0
 cp rx0_preshift.toad "$OUT/interp/"
+
+# --- alternative beacon clock models ----------------------------------------
+# The reference's tdoa CLI hardwires build_model_poly (tdoa_est.py:226),
+# but ships three more model builders (nearest :166, linear :186,
+# weighted_poly :108) that thrifty-tpu exposes as `tdoa --model`.
+# Golden each by calling the reference's own estimate_tdoas with the
+# alternative builder on the scenario-1 toads/match (same inputs and
+# serialization as the CLI run above).
+cd "$WORK/run"
+for model in nearest linear weighted-poly; do
+    python3 - "$model" <<'PYEOF'
+import sys
+from thrifty import toads_data, matchmaker, tdoa_est
+
+model = sys.argv[1]
+builder = {"nearest": tdoa_est.build_model_nearest,
+           "linear": tdoa_est.build_model_linear,
+           "weighted-poly": tdoa_est.build_model_weighted_poly}[model]
+toads = toads_data.load_toads(open("rx.toads"))
+matches = matchmaker.load_matches(open("rx.match"))
+rx_pos = tdoa_est.load_pos_config(open("pos-rx.cfg"))
+beacon_pos = tdoa_est.load_pos_config(open("pos-beacon.cfg"))
+groups, failures = tdoa_est.estimate_tdoas(
+    toads, matches, 8, beacon_pos, rx_pos, 2.4e6, model_builder=builder)
+print(model, "groups:", len(groups), "failures:", len(failures))
+tdoa_est.save_tdoa_groups("data_%s.tdoa" % model, groups)
+PYEOF
+    cp "data_$model.tdoa" "$OUT/interp/"
+done
 
 echo "goldens written to $OUT (+ scenario2, interp)"

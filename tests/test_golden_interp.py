@@ -52,6 +52,38 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 INPUT = os.path.join(GOLDEN, "input")
 INTERP = os.path.join(GOLDEN, "interp")
 
+
+@pytest.mark.parametrize("model", ["nearest", "linear", "weighted-poly"])
+def test_clock_model_matches_reference(model, tmp_path):
+    """The alternative beacon clock models (tdoa --model) against the
+    reference's own build_model_nearest/linear/weighted_poly run on the
+    scenario-1 toads/match (goldened by make_reference_goldens.sh; the
+    reference CLI itself hardwires build_model_poly, tdoa_est.py:226).
+    Inputs are the GOLDEN rx.toads/rx.match so the comparison isolates
+    the clock model from detect-stage float32 deltas; agreement is at
+    float64 rounding level (measured < 1e-15 s)."""
+    out = tmp_path / ("data_%s.tdoa" % model)
+    assert main(["tdoa", os.path.join(GOLDEN, "rx.toads"),
+                 os.path.join(GOLDEN, "rx.match"), "-o", str(out),
+                 "-r", os.path.join(INPUT, "pos-rx.cfg"),
+                 "-b", os.path.join(INPUT, "pos-beacon.cfg"),
+                 "--model", model]) == 0
+    ref = np.atleast_2d(np.loadtxt(
+        os.path.join(INTERP, "data_%s.tdoa" % model)))
+    got = np.atleast_2d(np.loadtxt(str(out)))
+    assert got.shape == ref.shape, "different TDOA group structure"
+    for col in (0, 2, 3, 4, 8, 9):  # group, txid, rx ids, det indices
+        np.testing.assert_array_equal(got[:, col], ref[:, col],
+                                      err_msg="tdoa col %d" % col)
+    np.testing.assert_allclose(got[:, 1], ref[:, 1], atol=1e-9)
+    # col 5 = TDOA in ns; 1e-4 ns = 0.03 mm of range.
+    np.testing.assert_allclose(got[:, 5], ref[:, 5], atol=1e-4,
+                               err_msg="TDOA [ns]")
+    np.testing.assert_allclose(got[:, 6], ref[:, 6], rtol=1e-9,
+                               err_msg="snr")
+    np.testing.assert_allclose(got[:, 7], ref[:, 7], rtol=1e-6,
+                               atol=1e-9, err_msg="model quality")
+
 # .toad columns: 0 rxid, 1 timestamp, 2 block, 3 soa, 4 peak_idx,
 # 5 corr_offset, 6 corr_ampl, 7 corr_noise, 8 carrier_bin,
 # 9 carrier_offset, 10 carrier_ampl, 11 carrier_noise
