@@ -39,7 +39,7 @@ def test_capture_recorder_gates_card(raw_capture):
     cap, raw_path, _, tmp = raw_capture
     out_path = str(tmp / "gated.card")
     rc = main(["capture", "--raw-in", raw_path, "-o", out_path,
-               "--quiet", "--carrier-window", "7-110"])
+               "--quiet", "--carrier-window", "7-110", "-k", "0"])
     assert rc == 0
 
     with open(out_path) as f:
@@ -64,8 +64,10 @@ def test_capture_recorder_roundtrip_detect(raw_capture):
 
     cap, raw_path, tpl_path, tmp = raw_capture
     card_path = str(tmp / "rt.card")
+    # -k 0: skip>0 renumbers the archive's time base (reference
+    # semantics), which would shift block indices vs the raw run.
     assert main(["capture", "--raw-in", raw_path, "-o", card_path,
-                 "--quiet", "--carrier-window", "7-110"]) == 0
+                 "--quiet", "--carrier-window", "7-110", "-k", "0"]) == 0
 
     toad_raw = str(tmp / "raw.toad")
     toad_card = str(tmp / "card.toad")
@@ -82,18 +84,27 @@ def test_capture_recorder_roundtrip_detect(raw_capture):
 
 
 def test_capture_skip_discards_settle_blocks(raw_capture):
-    """capture_skip drops the first blocks (SDR settling, reference
-    fastcard_cli.c:148-171) -- none of them may reach the archive."""
+    """capture_skip drops the first blocks (SDR settling) and RENUMBERS
+    the survivors: the reference initializes the block counter to
+    -skip-1 (fastcard.c:108-109), so stream chunk k archives as index
+    k - skip (fastcard_cli.c:148-171)."""
     from thrifty_tpu.cli import main
 
     cap, raw_path, _, tmp = raw_capture
+    base_path = str(tmp / "noskip.card")
     out_path = str(tmp / "skipped.card")
+    rc = main(["capture", "--raw-in", raw_path, "-o", base_path,
+               "--quiet", "--carrier-window", "7-110", "-k", "0"])
+    assert rc == 0
     rc = main(["capture", "--raw-in", raw_path, "-o", out_path,
                "--quiet", "--carrier-window", "7-110", "-k", "6"])
     assert rc == 0
-    _, idx, _ = card.read_card(out_path)
+    _, idx0, raw0 = card.read_card(base_path)
+    _, idx, raw = card.read_card(out_path)
     assert len(idx) > 0
-    assert idx.min() >= 6
+    kept = idx0 >= 6  # chunks the skip run must retain, renumbered
+    np.testing.assert_array_equal(idx, idx0[kept] - 6)
+    np.testing.assert_array_equal(raw, raw0[kept])
 
 
 def test_capture_from_pipe(raw_capture):

@@ -104,7 +104,12 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
 
     ``batches`` yields (timestamps [b], indices [b], raw [b, 2N]).
     The first ``skip`` blocks are discarded (SDR settling, reference
-    fastcard_cli.c:148-171).  Keeps one batch in flight so host IO and
+    fastcard_cli.c:148-171) and the surviving blocks are RENUMBERED so
+    the first kept block continues from index 0 -- the reference
+    initializes the block counter to ``-skip - 1`` (fastcard.c:108-109),
+    so stream chunk k is archived as index k - skip (cross-validated
+    against the compiled fastcard in tests/test_golden_fastdet.py).
+    Keeps one batch in flight so host IO and
     base64 encoding overlap device compute.  Returns (blocks_read,
     blocks_written); pass a ``stats`` dict to see the running counts
     even when the stream dies mid-run (the at-exit summary must
@@ -121,6 +126,7 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
         ts, idx, n, raw, dev = entry
         det, amax, mag, noise, thr = (np.asarray(a)[:n] for a in dev)
         keep = det & (idx >= skip)
+        idx = idx - skip
         stats["read"] += n
         if info_out is not None:
             for i in np.nonzero(keep)[0]:
