@@ -322,4 +322,11 @@ cp tee.card "$OUT/"
     -w 7-110 -t 15s -o gated.card -q
 cp gated.card "$OUT/"
 
+# fastdet on the raw stream with its default skip=1 (renumbered time
+# base): pins detect --raw -k 1.  Wall-clock timestamps again.
+"$WORK/bin/fastdet" -i "$FIN/rx0.raw" -b 16384 -h 4920 \
+    -w 7-110 -t 15s -u 15s -z template.tpl -r 0 \
+    -o raw_skip1_fastdet.toad -q
+cp raw_skip1_fastdet.toad "$OUT/"
+
 echo "goldens written to $OUT"

@@ -183,4 +183,23 @@ PYEOF
     cp "data_$model.tdoa" "$OUT/interp/"
 done
 
-echo "goldens written to $OUT (+ scenario2, interp)"
+# --- Gold code sequences ----------------------------------------------------
+# Pin the Gold-code generator bit-for-bit to the reference (gold.py:
+# 26-60, preferred-pair registry + LFSR).  One line per case:
+# "<bits> <index> <bitstring>".
+python3 - <<'PYEOF'
+from thrifty import gold
+
+rows = []
+for bits in (5, 6, 7, 9, 10, 11):
+    n = 2 ** bits + 1  # family size: 2^n + 1 codes
+    for idx in sorted({0, 1, 2, n // 3, n // 2, n - 2, n - 1}):
+        seq = gold.gold(bits, idx)
+        rows.append("%d %d %s" % (bits, idx,
+                                  "".join(str(int(b)) for b in seq)))
+open("gold_sequences.txt", "w").write("\n".join(rows) + "\n")
+print("gold sequences:", len(rows))
+PYEOF
+cp gold_sequences.txt "$OUT/"
+
+echo "goldens written to $OUT (+ scenario2, interp, gold_sequences)"

@@ -101,6 +101,32 @@ def test_card_tee_matches_compiled_fastdet(rerun):
     assert got == ref
 
 
+def test_raw_skip_matches_compiled_fastdet(tmp_path):
+    """detect --raw -k 1 reproduces fastdet's default raw-input skip:
+    first block discarded, survivors renumbered from the -skip-1
+    counter start (fastcard.c:108-109).  Timestamps are wall-clock in
+    the C run, so col 1 is not compared."""
+    out = tmp_path / "raw_skip1.toad"
+    assert main(["detect", "--raw",
+                 os.path.join(FASTDET, "input", "rx0.raw"),
+                 "-o", str(out), "-k", "1", "--t0", "0",
+                 "--rxid", "0", "--quiet", "--sync-mode", "integer",
+                 "--carrier-window", "7-110",
+                 "--template", os.path.join(INPUT, "template.npy")]) == 0
+    ref = np.atleast_2d(np.loadtxt(
+        os.path.join(FASTDET, "raw_skip1_fastdet.toad")))
+    got = np.atleast_2d(np.loadtxt(str(out)))
+    assert got.shape == ref.shape, "different detection count"
+    for col in TOAD_INT_COLS:
+        np.testing.assert_array_equal(got[:, col], ref[:, col],
+                                      err_msg="toad col %d" % col)
+    for col, tol in TOAD_TOLS.items():
+        if col == 1:
+            continue
+        np.testing.assert_allclose(got[:, col], ref[:, col],
+                                   err_msg="toad col %d" % col, **tol)
+
+
 def test_carrier_gate_matches_compiled_fastcard(rerun):
     """capture --raw-in keeps the same blocks (same renumbered indices,
     byte-identical payloads) as the compiled fastcard capture-thinning

@@ -146,6 +146,16 @@ def _main(argv=None):
                              "as t0 + block_idx*block_dt instead of the "
                              "wall clock (recorded streams with a known "
                              "start time)")
+    parser.add_argument("-k", "--skip", type=int, default=0,
+                        metavar="N",
+                        help="with --raw/--rtl-tcp: discard the first N "
+                             "blocks (SDR settling) and renumber the "
+                             "survivors from 0, like fastdet "
+                             "(fastcard.c:108-109; ignored for .card "
+                             "input, which the reference also forces to "
+                             "skip=0) [default: 0 -- fastdet defaults "
+                             "to 1, but recorded raw streams should "
+                             "not lose data silently]")
     parser.add_argument("--quiet", action="store_true",
                         help="do not print per-block summary lines")
     group = parser.add_mutually_exclusive_group()
@@ -295,6 +305,20 @@ def _main(argv=None):
         for ts, idx, raw in batch_iter:
             counter["blocks"] += len(ts)
             yield ts, idx, raw
+
+    if args.raw and args.skip > 0:
+        def skipped(batch_iter, skip=args.skip):
+            # fastdet semantics: first `skip` blocks discarded, block
+            # counter starts at -skip-1 so chunk k becomes index
+            # k - skip (fastcard.c:108-109).
+            for ts, idx, raw in batch_iter:
+                keep = idx >= skip
+                if not np.all(keep):
+                    if not np.any(keep):
+                        continue
+                    ts, idx, raw = ts[keep], idx[keep], raw[keep]
+                yield ts, idx - skip, raw
+        batches = skipped(batches)
 
     exit_code = 0
     t_start = time_mod.perf_counter()
