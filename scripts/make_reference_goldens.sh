@@ -183,6 +183,15 @@ PYEOF
     cp "data_$model.tdoa" "$OUT/interp/"
 done
 
+# --- template tooling -------------------------------------------------------
+# template_generate (integer sampler over the Gold code, template_
+# generate.py:19-46) and template_extract (best-detection OOK cut,
+# template_extract.py:36-70) on the scenario-1 inputs.
+mkdir -p "$OUT/tools"
+python3 -m thrifty.template_generate 11 0 -o template_generated.npy
+python3 -m thrifty.template_extract "$IN/rx0.card" -o template_extracted.npy
+cp template_generated.npy template_extracted.npy "$OUT/tools/"
+
 # --- Gold code sequences ----------------------------------------------------
 # Pin the Gold-code generator bit-for-bit to the reference (gold.py:
 # 26-60, preferred-pair registry + LFSR).  One line per case:

@@ -53,6 +53,33 @@ INPUT = os.path.join(GOLDEN, "input")
 INTERP = os.path.join(GOLDEN, "interp")
 
 
+def test_template_generate_matches_reference(tmp_path):
+    """Integer-sampler Gold template vs the reference's
+    template_generate (template_generate.py:19-46): bit-identical."""
+    out = tmp_path / "gen.npy"
+    assert main(["template_generate", "11", "0", "-o", str(out),
+                 "--sample-rate", "2.4M",
+                 "--chip-rate", "0.999707M"]) == 0
+    ref = np.load(os.path.join(GOLDEN, "tools", "template_generated.npy"))
+    np.testing.assert_array_equal(np.load(str(out)), ref)
+
+
+def test_template_extract_matches_reference(tmp_path):
+    """Best-detection OOK template cut vs the reference's
+    template_extract (template_extract.py:36-70) on the scenario-1
+    capture: same winning block, float64-rounding agreement
+    (measured < 2e-15)."""
+    out = tmp_path / "ext.npy"
+    assert main(["template_extract",
+                 os.path.join(INPUT, "rx0.card"), "-o", str(out),
+                 "--carrier-window", "7-110",
+                 "--template", os.path.join(INPUT, "template.npy")]) == 0
+    ref = np.load(os.path.join(GOLDEN, "tools", "template_extracted.npy"))
+    got = np.load(str(out))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
 @pytest.mark.parametrize("model", ["nearest", "linear", "weighted-poly"])
 def test_clock_model_matches_reference(model, tmp_path):
     """The alternative beacon clock models (tdoa --model) against the
