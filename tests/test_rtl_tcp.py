@@ -26,14 +26,15 @@ class FakeRtlTcpServer:
     """One-shot rtl_tcp server: banner -> record commands -> stream."""
 
     def __init__(self, payload=b"", tuner_type=5, gain_count=29,
-                 magic=b"RTL0"):
+                 magic=b"RTL0", port=0):
         self.payload = payload
         self.tuner_type = tuner_type
         self.gain_count = gain_count
         self.magic = magic
         self.commands = []
         self._sock = socket.socket()
-        self._sock.bind(("127.0.0.1", 0))
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", port))
         self._sock.listen(1)
         self.port = self._sock.getsockname()[1]
         self._thread = threading.Thread(target=self._serve, daemon=True)
@@ -216,9 +217,10 @@ def test_scope_cli_rtl_tcp(burst_stream, tmp_path):
 class TwoSessionServer:
     """Accepts twice: sends the first half, drops, then the rest."""
 
-    def __init__(self, payload):
-        self.h1, self.h2 = payload[:len(payload) // 2], \
-            payload[len(payload) // 2:]
+    def __init__(self, payload, split=None):
+        if split is None:
+            split = len(payload) // 2
+        self.h1, self.h2 = payload[:split], payload[split:]
         self.commands = []
         self._sock = socket.socket()
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -276,6 +278,93 @@ def test_reconnecting_source_splices_sessions():
     srv.join()
     assert got == payload, "bytes lost or reordered across reconnect"
     assert src.reconnects == 1
+
+
+def test_reconnect_odd_byte_splice_keeps_iq_pairing():
+    """A session dying after an ODD byte count must not swap I/Q for
+    the rest of the run: the wrapper pads one neutral byte (128) so
+    the next session's first I byte lands on an even stream offset."""
+    payload = bytes(range(256)) * 4
+    srv = TwoSessionServer(payload, split=333)  # odd first session
+    src = rtl_tcp.ReconnectingRtlTcpSource(
+        "127.0.0.1", srv.port, max_retries=2, initial_backoff_s=0.05)
+    got = b""
+    with pytest.raises(IOError):
+        while True:
+            chunk = src.read(512)
+            if not chunk:
+                break
+            got += chunk
+    src.close()
+    srv.join()
+    assert got == payload[:333] + b"\x80" + payload[333:]
+    # Every session-2 byte sits at the same even/odd offset it had on
+    # the wire, so (I, Q) pairing is preserved across the splice.
+    assert (333 + 1) % 2 == 0
+    assert src.reconnects == 1
+
+
+def test_initial_connect_retries_with_backoff():
+    """The reconnect budget covers the INITIAL connection too: at boot
+    the radio host comes up independently, so the client must retry
+    'connection refused' with backoff instead of crashing."""
+    import time
+
+    placeholder = socket.socket()
+    placeholder.bind(("127.0.0.1", 0))
+    port = placeholder.getsockname()[1]
+    placeholder.close()  # now refused until the server appears
+
+    holder = {}
+
+    def start_later():
+        time.sleep(0.3)
+        holder["srv"] = FakeRtlTcpServer(payload=b"\x80\x80\x80\x80",
+                                         port=port)
+
+    t = threading.Thread(target=start_later)
+    t.start()
+    src = rtl_tcp.ReconnectingRtlTcpSource(
+        "127.0.0.1", port, max_retries=8, initial_backoff_s=0.05)
+    reconnects_at_connect = src.reconnects
+    got = b""
+    # Draining past the payload exhausts the (now refused) retries and
+    # raises -- a live stream has no legitimate EOF.
+    with pytest.raises(IOError):
+        while True:
+            got += src.read(64)
+    src.close()
+    t.join(timeout=10.0)
+    holder["srv"].join()
+    assert got == b"\x80\x80\x80\x80"
+    assert reconnects_at_connect == 0  # initial tries aren't reconnects
+
+
+def test_initial_connect_budget_exhausted_raises_ioerror():
+    placeholder = socket.socket()
+    placeholder.bind(("127.0.0.1", 0))
+    port = placeholder.getsockname()[1]
+    placeholder.close()
+    with pytest.raises(IOError, match="connect failed after 3"):
+        rtl_tcp.ReconnectingRtlTcpSource(
+            "127.0.0.1", port, max_retries=2, initial_backoff_s=0.01)
+
+
+def test_detect_cli_initial_connect_failure_exits_nonzero(
+        burst_stream, tmp_path, capsys):
+    """A dead radio host at startup exits via the 'stream error' path
+    (supervisor-restartable), not a traceback."""
+    _, tpl = burst_stream
+    np.save(tmp_path / "tpl.npy", tpl)
+    placeholder = socket.socket()
+    placeholder.bind(("127.0.0.1", 0))
+    port = placeholder.getsockname()[1]
+    placeholder.close()
+    assert main(["detect", "--rtl-tcp", "127.0.0.1:%d" % port,
+                 "--reconnect", "1", "--quiet",
+                 "--template", str(tmp_path / "tpl.npy"),
+                 "-o", str(tmp_path / "x.toad")]) == 1
+    assert "stream error:" in capsys.readouterr().err
 
 
 class CrashLoopServer:

@@ -215,6 +215,59 @@ class TestMmapPath:
                 np.testing.assert_array_equal(i1, i2)
                 np.testing.assert_array_equal(r1, r2)
 
+    def test_large_history_small_batch(self, tmp_path):
+        # Regression: with history > one batch's advance, later
+        # batches' history offset went negative and Python slice
+        # semantics wrapped it to the END of the mmap -- silently
+        # corrupting block history for file input (review finding).
+        data = make_stream(2 * 28 * 37 + 5)
+        p = tmp_path / "stream.raw"
+        p.write_bytes(data)
+        for block, hist, batch in ((128, 100, 2), (128, 100, 1),
+                                   (64, 48, 3)):
+            ring_batches = [
+                (ts.copy(), idx.copy(), raw.copy())
+                for ts, idx, raw in StreamPump(
+                    io.BytesIO(data), block, hist, batch,
+                    t0=5.0).batches()]
+            with open(p, "rb") as f:
+                pump = StreamPump(f, block, hist, batch, t0=5.0)
+                assert pump._mm is not None
+                mm_batches = [(ts.copy(), idx.copy(), raw.copy())
+                              for ts, idx, raw in pump.batches()]
+            assert len(mm_batches) == len(ring_batches)
+            for (t1, i1, r1), (t2, i2, r2) in zip(ring_batches,
+                                                  mm_batches):
+                np.testing.assert_array_equal(t1, t2)
+                np.testing.assert_array_equal(i1, i2)
+                np.testing.assert_array_equal(r1, r2)
+
+    def test_nonzero_file_start(self, tmp_path):
+        # A consumed prefix (stream.tell() > 0) must not leak
+        # pre-stream file bytes into any block's history: positions
+        # before the start are 128s, exactly as the ring path sees.
+        data = make_stream(2 * 28 * 37)
+        skip = 123
+        p = tmp_path / "stream.raw"
+        p.write_bytes(data)
+        for block, hist, batch in ((128, 100, 2), (64, 16, 4)):
+            bio = io.BytesIO(data)
+            bio.read(skip)
+            ring_batches = [
+                (idx.copy(), raw.copy())
+                for _, idx, raw in StreamPump(
+                    bio, block, hist, batch, t0=5.0).batches()]
+            with open(p, "rb") as f:
+                f.read(skip)
+                pump = StreamPump(f, block, hist, batch, t0=5.0)
+                assert pump._mm is not None
+                mm_batches = [(idx.copy(), raw.copy())
+                              for _, idx, raw in pump.batches()]
+            assert len(mm_batches) == len(ring_batches)
+            for (i1, r1), (i2, r2) in zip(ring_batches, mm_batches):
+                np.testing.assert_array_equal(i1, i2)
+                np.testing.assert_array_equal(r1, r2)
+
     def test_pipe_still_uses_ring(self):
         import os
         r, w = os.pipe()

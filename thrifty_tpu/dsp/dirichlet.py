@@ -165,6 +165,12 @@ def gaussian_interpolate(mag, peak_idx, clip=None):
     offset = (ln c - ln a) / (4 ln b - 2 ln a - 2 ln c) on neighbours
     (a, b, c) -- the reference's experimental carrier interpolator
     (thrifty/experimental/carrier_interpolators.py:48-54).
+
+    Deliberately NOT shared with xcorr.gaussian_interpolate: the
+    carrier surface wraps FFT bins (circular gather) and follows the
+    carrier_interpolators.py guards, while the correlation surface
+    clamps at array edges with soa_estimator.py's clip/bounds rules --
+    both variants are pinned by golden tests against the reference.
     """
     offs = jnp.asarray([-1, 0, 1])
     y = jnp.maximum(_gather_neighborhood(mag, peak_idx, offs), 1e-30)

@@ -227,8 +227,39 @@ class ReconnectingRtlTcpSource:
         self._kwargs = kwargs
         self._max_retries = max_retries
         self._backoff = initial_backoff_s
-        self._src = RtlTcpSource(host, port, **kwargs)
+        # Delivered-byte parity: the consumer pairs I/Q bytes by
+        # absolute stream offset, so a session that dies after an odd
+        # byte count would swap I<->Q for the rest of the run if the
+        # next session's bytes were appended directly.
+        self._parity = 0
         self.reconnects = 0
+        self._src = self._connect_initial()
+
+    def _connect_initial(self):
+        """First connect, under the same retry/backoff budget as
+        mid-stream reconnects.
+
+        At boot the radio host comes up independently of the detector
+        host (deploy/detect.sh networked mode), so "connection
+        refused" for a while is the normal case; without this, systemd
+        Restart= turns the window into a tight restart loop that
+        hammers the radio server.
+        """
+        import time
+
+        delay = self._backoff
+        last_err = None
+        for attempt in range(self._max_retries + 1):
+            if attempt:
+                time.sleep(delay)
+                delay = min(delay * 2, 30.0)
+            try:
+                return RtlTcpSource(*self._addr, **self._kwargs)
+            except OSError as err:
+                last_err = err
+        raise IOError(
+            "rtl_tcp connect failed after {} attempts"
+            .format(self._max_retries + 1)) from last_err
 
     def read(self, n):
         import time
@@ -241,6 +272,7 @@ class ReconnectingRtlTcpSource:
                 try:
                     data = self._src.read(n)
                     if data:
+                        self._parity ^= len(data) & 1
                         return data
                 except IOError as err:
                     last_err = err
@@ -266,6 +298,16 @@ class ReconnectingRtlTcpSource:
             except OSError as err:
                 last_err = err
                 self._src = None
+                continue
+            if self._parity:
+                # The dead session delivered an odd byte count (TCP
+                # hands over whatever was buffered; no 2-byte
+                # alignment guarantee).  Pad one neutral byte
+                # (128 = zero amplitude) so the new session's first I
+                # byte lands on an even stream offset and I/Q pairing
+                # survives the splice.
+                self._parity = 0
+                return b"\x80"
 
     def close(self):
         if self._src is not None:

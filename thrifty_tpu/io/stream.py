@@ -255,11 +255,30 @@ class StreamPump:
                     base[off:off + n * self._new_bytes],
                     self._block_bytes, self._hist_bytes, n, out=out)
             else:
-                # Later batches: every row's bytes exist in the file --
-                # a strided window copy, nothing else.
-                src = as_strided(base[off - self._hist_bytes:],
-                                 shape=(n, self._block_bytes),
-                                 strides=(self._new_bytes, 1))
+                pre = self._hist_bytes - b0 * self._new_bytes
+                if pre > 0:
+                    # The earliest rows' history still reaches before
+                    # the STREAM start (history > one batch's advance):
+                    # assemble 128-padding + stream bytes once and
+                    # stride over that.  Indexing base[off - hist:]
+                    # here would wrap negative offsets to the file
+                    # tail (or, with start > 0, read pre-stream file
+                    # bytes the ring path treats as 128s).
+                    span = np.empty(
+                        self._hist_bytes + n * self._new_bytes,
+                        dtype=np.uint8)
+                    span[:pre] = 128
+                    span[pre:] = base[
+                        start:start + (b0 + n) * self._new_bytes]
+                    src = as_strided(span,
+                                     shape=(n, self._block_bytes),
+                                     strides=(self._new_bytes, 1))
+                else:
+                    # Every row's bytes exist in the stream -- a
+                    # strided window copy, nothing else.
+                    src = as_strided(base[off - self._hist_bytes:],
+                                     shape=(n, self._block_bytes),
+                                     strides=(self._new_bytes, 1))
                 np.copyto(out, src)
             idx = np.arange(b0, b0 + n, dtype=np.int64)
             if self._t0 is not None:

@@ -225,9 +225,16 @@ def _main(argv=None):
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        in_stream = rtl_tcp_mod.make_source(
-            args.rtl_tcp, config, bias_tee=args.bias_tee,
-            reconnect=args.reconnect)
+        try:
+            in_stream = rtl_tcp_mod.make_source(
+                args.rtl_tcp, config, bias_tee=args.bias_tee,
+                reconnect=args.reconnect)
+        except OSError as e:
+            # Same non-zero exit as a mid-stream failure, so a
+            # supervisor (systemd) restarts the node instead of the
+            # operator reading a traceback.
+            print("stream error: {}".format(e), file=sys.stderr)
+            return 1
         args.raw = True
         if not args.quiet:
             print(in_stream.describe(), file=sys.stderr)

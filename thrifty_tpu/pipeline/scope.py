@@ -159,7 +159,11 @@ def _main(argv=None):
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        in_stream = rtl_tcp_mod.make_source(args.rtl_tcp, config)
+        try:
+            in_stream = rtl_tcp_mod.make_source(args.rtl_tcp, config)
+        except OSError as e:
+            print("stream error: {}".format(e), file=sys.stderr)
+            return 1
         print(in_stream.describe(), file=sys.stderr)
     elif args.input == "-":
         in_stream = sys.stdin.buffer
