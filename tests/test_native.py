@@ -149,3 +149,29 @@ class TestRing:
         ring.close()
         assert len(ring.read(10)) == 4
         assert len(ring.read(10)) == 0
+
+
+class TestCopyRows:
+    def test_matches_numpy_strided_gather(self):
+        rng = np.random.default_rng(7)
+        src = rng.integers(0, 256, size=1 << 22, dtype=np.uint8)
+        for rows, row_bytes, stride, off in (
+                (5, 100, 60, 0), (1, 16, 16, 3),
+                (300, 22928, 11464, 11464),  # production-shaped, MT path
+                (8, 4096, 4096, 128)):
+            out = np.empty((rows, row_bytes), np.uint8)
+            native.copy_rows(src, off, out, stride)
+            want = np.stack([src[off + r * stride:
+                                 off + r * stride + row_bytes]
+                             for r in range(rows)])
+            np.testing.assert_array_equal(out, want)
+
+    def test_bounds_rejected(self):
+        src = np.zeros(100, np.uint8)
+        out = np.empty((2, 60), np.uint8)
+        with pytest.raises(ValueError):
+            native.copy_rows(src, 0, out, 50)  # last row ends at 110
+        with pytest.raises(ValueError):
+            native.copy_rows(src, -1, out, 10)
+        with pytest.raises(ValueError):
+            native.copy_rows(src, 0, out[:, ::2], 10)  # non-contiguous

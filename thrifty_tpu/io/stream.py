@@ -231,8 +231,6 @@ class StreamPump:
         page cache into the warm buffer pool, no ring, no reader
         thread.  Yields byte-identical batches to the ring path on the
         same data (asserted in tests/test_stream.py)."""
-        from numpy.lib.stride_tricks import as_strided
-
         BUF_POOL = 4
         mm, start = self._mm
         base = np.frombuffer(mm, dtype=np.uint8)
@@ -260,26 +258,27 @@ class StreamPump:
                     # The earliest rows' history still reaches before
                     # the STREAM start (history > one batch's advance):
                     # assemble 128-padding + stream bytes once and
-                    # stride over that.  Indexing base[off - hist:]
-                    # here would wrap negative offsets to the file
-                    # tail (or, with start > 0, read pre-stream file
-                    # bytes the ring path treats as 128s).
+                    # gather rows out of that.  Indexing
+                    # base[off - hist:] here would wrap negative
+                    # offsets to the file tail (or, with start > 0,
+                    # read pre-stream file bytes the ring path treats
+                    # as 128s).
                     span = np.empty(
                         self._hist_bytes + n * self._new_bytes,
                         dtype=np.uint8)
                     span[:pre] = 128
                     span[pre:] = base[
                         start:start + (b0 + n) * self._new_bytes]
-                    src = as_strided(span,
-                                     shape=(n, self._block_bytes),
-                                     strides=(self._new_bytes, 1))
+                    self._native.copy_rows(span, 0, out,
+                                           self._new_bytes)
                 else:
                     # Every row's bytes exist in the stream -- a
-                    # strided window copy, nothing else.
-                    src = as_strided(base[off - self._hist_bytes:],
-                                     shape=(n, self._block_bytes),
-                                     strides=(self._new_bytes, 1))
-                np.copyto(out, src)
+                    # thread-parallel strided row gather, nothing
+                    # else (one memcpy stream is bound by a single
+                    # core's copy bandwidth).
+                    self._native.copy_rows(
+                        base, off - self._hist_bytes, out,
+                        self._new_bytes)
             idx = np.arange(b0, b0 + n, dtype=np.int64)
             if self._t0 is not None:
                 ts = self._t0 + idx * block_dt

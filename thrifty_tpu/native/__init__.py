@@ -59,6 +59,10 @@ def _load():
     lib.ttpu_raw_to_iq.restype = None
     lib.ttpu_raw_to_iq.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.ttpu_copy_rows.restype = None
+    lib.ttpu_copy_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
     lib.ttpu_unfold.restype = None
     lib.ttpu_unfold.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -247,6 +251,26 @@ def unfold(stream: np.ndarray, block_bytes: int, history_bytes: int,
                      block_bytes, history_bytes, num_blocks,
                      np.uint8(fill))
     return out
+
+
+def copy_rows(src: np.ndarray, src_offset: int, out: np.ndarray,
+              src_stride: int) -> None:
+    """Parallel strided row gather: ``out[r] = src[src_offset +
+    r*src_stride :][:row_bytes]`` for each row of ``out``.
+
+    The mmap ingest hot copy: overlap-save rows straight from the page
+    cache into the warm buffer pool, split across threads (one memcpy
+    stream is bound by a single core's copy bandwidth).  Caller
+    guarantees every row lies within ``src``.
+    """
+    if out.dtype != np.uint8 or not out.flags.c_contiguous:
+        raise ValueError("out must be C-contiguous uint8")
+    num_rows, row_bytes = out.shape
+    if src_offset < 0 or src_offset + (num_rows - 1) * src_stride \
+            + row_bytes > src.size:
+        raise ValueError("row range exceeds source buffer")
+    _lib.ttpu_copy_rows(src.ctypes.data + src_offset, out.ctypes.data,
+                        row_bytes, src_stride, num_rows, num_threads())
 
 
 class RingBuffer:

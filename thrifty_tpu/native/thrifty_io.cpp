@@ -486,6 +486,38 @@ void ttpu_unfold(const uint8_t* stream, int64_t total_bytes,
     }
 }
 
+// Strided row gather: out[r][0..row_bytes) = src[r*src_stride ..) --
+// the hot copy of the mmap one-copy ingest path, where overlap-save
+// rows are pulled straight out of the page cache.  Row-parallel:
+// threads own contiguous, disjoint row ranges, so the only shared
+// state is the read-only source.  A single memcpy stream tops out at
+// one core's copy bandwidth; rows are independent, so this is the
+// cheap way past that bound.
+void ttpu_copy_rows(const uint8_t* src, uint8_t* out, int64_t row_bytes,
+                    int64_t src_stride, int64_t num_rows,
+                    int num_threads) {
+    if (num_threads < 1) num_threads = 1;
+    if (num_threads == 1 || num_rows * row_bytes < (1 << 21)) {
+        for (int64_t r = 0; r < num_rows; ++r)
+            memcpy(out + r * row_bytes, src + r * src_stride,
+                   (size_t)row_bytes);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (num_rows + num_threads - 1) / num_threads;
+    for (int t = 0; t < num_threads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < num_rows ? lo + chunk : num_rows;
+        if (lo >= hi) break;
+        threads.emplace_back([=]() {
+            for (int64_t r = lo; r < hi; ++r)
+                memcpy(out + r * row_bytes, src + r * src_stride,
+                       (size_t)row_bytes);
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // Ring buffer (cf. fastcard/circbuf.c): producer/consumer with
 // occupancy histogram and overflow counter.
