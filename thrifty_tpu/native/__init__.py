@@ -81,7 +81,7 @@ def _load():
     lib.ttpu_ring_read_unfold.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64)]
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
     lib.ttpu_ring_overflows.restype = ctypes.c_uint64
     lib.ttpu_ring_overflows.argtypes = [ctypes.c_void_p]
     lib.ttpu_ring_histogram.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -296,7 +296,8 @@ class RingBuffer:
         got = _lib.ttpu_ring_read(self._ring, out.ctypes.data, n)
         return out[:got]
 
-    def read_unfold(self, out: np.ndarray, history_bytes: int):
+    def read_unfold(self, out: np.ndarray, history_bytes: int,
+                    threads: int = None):
         """Fused read + overlap-save unfold straight from ring memory.
 
         ``out``: C-contiguous uint8 [max_blocks, block_bytes].  Blocks
@@ -315,10 +316,19 @@ class RingBuffer:
             raise ValueError("read_unfold requires history <= advance")
         if out.shape[0] * (block_bytes - history_bytes) > self.capacity:
             raise ValueError("read_unfold batch exceeds ring capacity")
+        if threads is None:
+            # Single-threaded by default: unlike the mmap path's bulk
+            # row gather, each ring read copies only one batch (~5 MB)
+            # and runs against a live producer -- measured on the
+            # 4-core dev host, 3 copy threads LOWERED throughput
+            # (0.61e9 vs 1.13e9 samples/s median, interleaved A/B;
+            # spawn overhead + producer contention).  The knob exists
+            # for many-core deployment hosts.
+            threads = 1
         got = ctypes.c_int64(0)
         blocks = _lib.ttpu_ring_read_unfold(
             self._ring, out.ctypes.data, block_bytes, history_bytes,
-            out.shape[0], ctypes.byref(got))
+            out.shape[0], ctypes.byref(got), threads)
         return int(blocks), int(got.value)
 
     def close(self):

@@ -622,7 +622,8 @@ int64_t ttpu_ring_read(void* ring, uint8_t* out, int64_t len) {
 // exactly like ttpu_ring_read).
 int64_t ttpu_ring_read_unfold(void* ring, uint8_t* out,
                               int64_t block_bytes, int64_t history_bytes,
-                              int64_t max_blocks, int64_t* bytes_got) {
+                              int64_t max_blocks, int64_t* bytes_got,
+                              int num_threads) {
     auto* r = (ttpu_ring*)ring;
     int64_t new_bytes = block_bytes - history_bytes;
     int64_t want = max_blocks * new_bytes;
@@ -652,13 +653,31 @@ int64_t ttpu_ring_read_unfold(void* ring, uint8_t* out,
         if ((size_t)n > first)
             memcpy(dst + first, r->buf.data(), (size_t)n - first);
     };
-    for (int64_t b = 0; b < blocks; ++b) {
-        int64_t start = b * new_bytes - history_bytes;
-        uint8_t* dst = out + b * block_bytes;
-        if (b == 0)  // history spliced by the caller
-            copy_out(0, dst + history_bytes, new_bytes);
-        else
-            copy_out(start, dst, block_bytes);
+    auto copy_range = [&](int64_t b_lo, int64_t b_hi) {
+        for (int64_t b = b_lo; b < b_hi; ++b) {
+            int64_t start = b * new_bytes - history_bytes;
+            uint8_t* dst = out + b * block_bytes;
+            if (b == 0)  // history spliced by the caller
+                copy_out(0, dst + history_bytes, new_bytes);
+            else
+                copy_out(start, dst, block_bytes);
+        }
+    };
+    // Row-parallel like ttpu_copy_rows (the snapshot region is
+    // immutable and destinations are disjoint), but leave a core for
+    // the producer thread feeding the ring.
+    if (num_threads > 1 && blocks * block_bytes >= (1 << 21)) {
+        std::vector<std::thread> threads;
+        int64_t chunk = (blocks + num_threads - 1) / num_threads;
+        for (int t = 0; t < num_threads; ++t) {
+            int64_t lo = t * chunk;
+            int64_t hi = lo + chunk < blocks ? lo + chunk : blocks;
+            if (lo >= hi) break;
+            threads.emplace_back(copy_range, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        copy_range(0, blocks);
     }
     int64_t consumed = blocks * new_bytes;
     {
