@@ -267,9 +267,8 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
             else:
                 jax.block_until_ready(dev_out)
 
-        pump_info = {}
-
         def run_once():
+            pump_info = {}
             f = open(tmp.name, "rb")
             pump = None
             try:
@@ -313,14 +312,17 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
                     "mmap" if getattr(pump, "_mm", None) is not None
                     else "ring")
                 pump_info["ring_stalls"] = pump.overflows
-            return blocks_done, elapsed
+            return blocks_done, elapsed, pump_info
 
         # Best of N over the same file: single runs on this shared
         # host scatter several-x with ambient load (same convention
         # as --program serve); the first run doubles as page-cache /
         # allocator warm-up and is never the best on a quiet host.
         runs = [run_once() for _ in range(max(repeats, 1))]
-        blocks_done, elapsed = max(
+        # All stats come from the SAME (best) run -- pairing the best
+        # run's throughput with another run's ring_stalls would
+        # mislead backpressure analysis.
+        blocks_done, elapsed, pump_info = max(
             runs, key=lambda r: r[0] / r[1])
 
     samples = blocks_done * detector.new_len
@@ -329,7 +331,7 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
         "blocks": blocks_done,
         "elapsed_s": round(elapsed, 4),
         "runs_samples_per_s": [
-            round(b * detector.new_len / e, 1) for b, e in runs],
+            round(b * detector.new_len / e, 1) for b, e, _ in runs],
         "drain": "host" if drain_host else "device-only",
         **pump_info,
     }
@@ -410,8 +412,8 @@ def main(argv=None):
                         help="blocks per device batch [default: 256]")
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--repeats", type=int, default=3,
-                        help="timing runs; the median is reported "
-                             "[default: 3]")
+                        help="timing runs; batch/stream report the "
+                             "median, serve/e2e the best [default: 3]")
     parser.add_argument("--oracle-blocks", type=int, default=8,
                         help="blocks timed on the numpy baseline (8 blocks "
                              "= two burst periods, so the baseline sees the "

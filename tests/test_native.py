@@ -175,3 +175,14 @@ class TestCopyRows:
             native.copy_rows(src, -1, out, 10)
         with pytest.raises(ValueError):
             native.copy_rows(src, 0, out[:, ::2], 10)  # non-contiguous
+
+    def test_history_must_fit_in_block(self):
+        # Regression: the bulk-copy rewrite of ttpu_unfold dropped the
+        # per-byte bounds check; history >= block would memset past
+        # the output row (review finding) -- now rejected up front.
+        with pytest.raises(ValueError):
+            native.unfold(np.zeros(10, np.uint8), 100, 201, 1)
+        with pytest.raises(ValueError):
+            native.unfold(np.zeros(10, np.uint8), 100, 100, 1)
+        with pytest.raises(ValueError):
+            native.unfold(np.zeros(10, np.uint8), 100, -1, 1)

@@ -61,3 +61,33 @@ def test_trigger_state_machine():
     assert state.feed(hot)
     assert state.frame is not None
     assert state.frame["mag"].max() > 0.5
+
+
+def test_mid_stream_ioerror_exits_clean(tmp_path, monkeypatch, capsys):
+    """A live source dying mid-stream (e.g. rtl_tcp stall timeout)
+    exits via the supervisor-friendly 'stream error' path, matching
+    detect/capture, instead of an unhandled traceback."""
+    from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
+
+    class StallSource:
+        def __init__(self):
+            self._sent = False
+
+        def describe(self):
+            return "fake tuner"
+
+        def read(self, n):
+            if not self._sent:
+                self._sent = True
+                return b"\x80" * min(n, 4096)
+            raise IOError("rtl_tcp stream stalled (no data for 30.0s)")
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(rtl_tcp_mod, "make_source",
+                        lambda *a, **k: StallSource())
+    rc = scope._main(["--rtl-tcp", "x:1", "--export",
+                      str(tmp_path / "f"), "--frames", "1"])
+    assert rc == 1
+    assert "stream error:" in capsys.readouterr().err

@@ -240,6 +240,8 @@ def unfold(stream: np.ndarray, block_bytes: int, history_bytes: int,
     (measured ~200 MB/s faulting vs ~13 GB/s warm here).
     """
     stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    if not 0 <= history_bytes < block_bytes:
+        raise ValueError("history_bytes must be in [0, block_bytes)")
     if out is None:
         out = np.empty((num_blocks, block_bytes), dtype=np.uint8)
     else:

@@ -474,6 +474,7 @@ void ttpu_unfold(const uint8_t* stream, int64_t total_bytes,
         // replaces was the same ~75 MB/s trap as the old ring copy):
         // fill the out-of-stream head/tail, memcpy the middle.
         int64_t j0 = start < 0 ? -start : 0;
+        if (j0 > block_bytes) j0 = block_bytes;  // history > block row
         int64_t j1 = start + block_bytes > total_bytes
                          ? total_bytes - start
                          : block_bytes;

@@ -206,6 +206,11 @@ def _main(argv=None):
         return 0
     except KeyboardInterrupt:
         return 0
+    except IOError as e:
+        # Mid-stream failure (e.g. rtl_tcp stall timeout): same
+        # supervisor-friendly exit as detect/capture, not a traceback.
+        print("stream error: {}".format(e), file=sys.stderr)
+        return 1
     finally:
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
