@@ -342,6 +342,63 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
     return samples / elapsed, stats
 
 
+def bench_selfcheck(template, batch, sync_mode):
+    """On-device Pallas-vs-XLA path equivalence, tunnel-safe.
+
+    The interpret-mode kernel test (tests/test_pallas.py) can't run the
+    compiled kernel on the real chip, and full detector outputs can't
+    be read back through this environment's tunnel (complex64 / large
+    FFT-program transfers fail).  So: run BOTH paths on device on the
+    same batch inside one jitted program and reduce each field's
+    difference to one f32 scalar on device -- scalars transfer fine.
+    Bool/int fields report the mismatch count; float fields report
+    max |a-b| (absolute for offsets, relative for energies/noise).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import iq as iq_mod
+    from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+    dets = {}
+    for mode in ("on", "off"):
+        cfg = DetectorConfig(carrier_window=(7, 110),
+                             sync_mode=sync_mode, use_pallas=mode)
+        dets[mode] = BatchDetector(template, cfg)
+    cap = sim.synth_capture(num_blocks=batch, bursts_every=4,
+                            template=template, seed=0, quantize=True)
+    raw = iq_mod.iq_to_raw(cap.blocks)
+
+    relative = {"carrier_energy", "carrier_noise", "corr_energy",
+                "corr_noise"}
+
+    @jax.jit
+    def diffs(raw_in):
+        a = dets["on"]._detect_batch_raw(raw_in)
+        b = dets["off"]._detect_batch_raw(raw_in)
+        out = {}
+        for k in sorted(set(a) & set(b)):
+            x, y = a[k], b[k]
+            if jnp.issubdtype(x.dtype, jnp.bool_) or \
+                    jnp.issubdtype(x.dtype, jnp.integer):
+                out[k] = jnp.sum(x != y).astype(jnp.float32)
+            elif k in relative:
+                denom = jnp.maximum(jnp.abs(y), 1e-20)
+                out[k] = jnp.max(jnp.abs(x - y) / denom)
+            else:
+                out[k] = jnp.max(jnp.abs(x - y))
+        return out
+
+    out = {k: float(np.asarray(v)) for k, v in diffs(raw).items()}
+    # Exact agreement for decisions/indices; float surfaces within the
+    # f32 reassociation noise of two differently-fused programs.
+    tol = {"detected": 0, "carrier_detect": 0, "carrier_bin": 0,
+           "corr_sample": 0, "template_idx": 0}
+    ok = all(v <= tol.get(k, 1e-3) for k, v in out.items())
+    return ok, out
+
+
 def time_oracle(oracle, blocks):
     t0 = time.perf_counter()
     for b in blocks:
@@ -423,7 +480,8 @@ def main(argv=None):
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"])
     parser.add_argument("--program", type=str, default="batch",
-                        choices=["batch", "stream", "serve", "e2e"],
+                        choices=["batch", "stream", "serve", "e2e",
+                                 "selfcheck"],
                         help="'batch': pre-unfolded blocks; 'stream': the "
                              "sharded halo-exchange program over a device "
                              "mesh (uses all local devices); 'serve': "
@@ -486,6 +544,19 @@ def main(argv=None):
         return
 
     template = sim.make_template()
+
+    if args.program == "selfcheck":
+        ok, diffs = bench_selfcheck(template, args.batch, args.sync_mode)
+        print(json.dumps({
+            "metric": "pallas_xla_selfcheck",
+            "value": 1.0 if ok else 0.0,
+            "unit": "pass",
+            "vs_baseline": 1.0 if ok else 0.0,
+            "batch": args.batch, "sync_mode": args.sync_mode,
+            "field_diffs": diffs,
+        }))
+        return 0 if ok else 1
+
     cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
                          use_pallas=args.pallas)
     detector = BatchDetector(template, cfg)
@@ -612,4 +683,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

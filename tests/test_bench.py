@@ -92,3 +92,17 @@ def test_bench_serve_program():
     assert data["unit"] == "fixes/s"
     assert data["value"] > 0
     assert data["vs_baseline"] > 0
+
+
+def test_selfcheck_program():
+    """Pallas-vs-XLA on-device equivalence program: passes on CPU
+    (kernel path vs straight-line XLA path in one jitted program)."""
+    res = run_bench(["--program", "selfcheck", "--batch", "16"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "pallas_xla_selfcheck"
+    assert data["value"] == 1.0
+    d = data["field_diffs"]
+    assert d["detected"] == 0 and d["corr_sample"] == 0
+    assert d["corr_offset"] <= 1e-3
