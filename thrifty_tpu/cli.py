@@ -37,6 +37,7 @@ Utilities:
     gold              Generate Gold codes / print code stats
     scope             Live time/freq/histogram scope with triggers
     bench             Run the detector benchmark
+    doctor            Check this node can run the full pipeline
 
 Use 'thrifty-tpu help <command>' for a command's arguments."""
 
@@ -58,6 +59,7 @@ COMMANDS = {
     "gold": "thrifty_tpu.pipeline.gold_cli",
     "scope": "thrifty_tpu.pipeline.scope",
     "bench": "thrifty_tpu.pipeline.bench_cli",
+    "doctor": "thrifty_tpu.pipeline.doctor",
 }
 
 
