@@ -167,3 +167,21 @@ def test_scaling_sweep_smoke(tmp_path):
     assert [r["devices"] for r in rows] == [1, 2, 4]
     assert all(r["samples_per_s"] > 0 for r in rows)
     assert rows[0]["efficiency"] == 1.0
+
+
+def test_tpu_golden_check_script(tmp_path):
+    """The on-chip golden-check script also passes on the CPU backend
+    (the dev harness for what deployments run on a real chip)."""
+    import json
+
+    env = dict(os.environ)
+    env["THRIFTY_TPU_PLATFORM"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "tpu_golden_check.py")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["metric"] == "tpu_golden_check"
+    assert summary["value"] == 1.0
+    assert summary["backend"] == "cpu"
