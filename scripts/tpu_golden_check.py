@@ -43,6 +43,99 @@ FLOAT_TOLS = {3: dict(atol=1e-4), 5: dict(atol=1e-4),
               6: dict(rtol=1e-4), 7: dict(rtol=1e-4),
               9: dict(atol=1e-4), 10: dict(rtol=1e-4),
               11: dict(rtol=1e-4)}
+# Python-semantics chain (tests/test_golden_reference.py tolerances).
+PY_FLOAT_TOLS = {3: dict(atol=1e-3), 5: dict(atol=1e-3),
+                 6: dict(rtol=1e-3, atol=1e-3),
+                 7: dict(rtol=1e-2, atol=1e-3),
+                 9: dict(atol=2e-3), 10: dict(rtol=1e-3, atol=1e-3),
+                 11: dict(rtol=1e-2, atol=1e-3)}
+
+
+def _compare_toad(got, ref, float_tols, tol_scale, report):
+    ok = got.shape == ref.shape
+    if not ok:
+        return False
+    for col in INT_COLS:
+        n_bad = int((got[:, col] != ref[:, col]).sum())
+        ok = ok and n_bad == 0
+        if n_bad:
+            report["int_col%d_mismatches" % col] = n_bad
+    errs = {}
+    for col, tol in float_tols.items():
+        scale = (tol.get("atol", 0)
+                 + tol.get("rtol", 0) * np.abs(ref[:, col]))
+        err = float(np.max(np.abs(got[:, col] - ref[:, col])
+                           / np.maximum(scale, 1e-30)))
+        errs["col%d" % col] = round(err, 3)
+        ok = ok and err <= tol_scale
+    report["max_err_in_cpu_tols"] = max(errs.values())
+    report["per_col"] = errs
+    return ok
+
+
+def check_python_chain(cli_main, d, tol_scale):
+    """Full detect -> identify -> match -> tdoa -> pos on the ambient
+    backend (detect runs on device; later stages are host-side but
+    consume the device detections), compared to the Python-reference
+    goldens and, for positions, within 5 cm + the CPU run's own
+    tolerance (tests/test_golden_reference.py)."""
+    common = ["--carrier-window", "7-110",
+              "--template", os.path.join(INPUT, "template.npy")]
+    results = []
+    toads = []
+    for rxid in (0, 1, 2):
+        out = os.path.join(d, "py_rx%d.toad" % rxid)
+        toads.append(out)
+        rc = cli_main(["detect", os.path.join(INPUT, "rx%d.card" % rxid),
+                       "-o", out, "--quiet", "--rxid", str(rxid)]
+                      + common)
+        report = {"stage": "detect", "rx": rxid}
+        if rc not in (0, None):
+            report.update(ok=False, error="rc=%s" % rc)
+            results.append(report)
+            continue
+        got = np.atleast_2d(np.loadtxt(out))
+        ref = np.atleast_2d(np.loadtxt(
+            os.path.join(GOLDEN, "rx%d.toad" % rxid)))
+        report["detections"] = int(got.shape[0])
+        report["ok"] = bool(_compare_toad(got, ref, PY_FLOAT_TOLS,
+                                          tol_scale, report))
+        results.append(report)
+
+    toads_f = os.path.join(d, "py_rx.toads")
+    match_f = os.path.join(d, "py_rx.match")
+    tdoa_f = os.path.join(d, "py_data.tdoa")
+    pos_f = os.path.join(d, "py_data.pos")
+    ok = (cli_main(["identify"] + toads + [
+              "-o", toads_f, "-m", os.path.join(INPUT, "freq-map.cfg")])
+          in (0, None)
+          and cli_main(["match", toads_f, "-o", match_f, "-w", "0.02"])
+          in (0, None)
+          and cli_main(["tdoa", toads_f, match_f, "-o", tdoa_f,
+                        "-r", os.path.join(INPUT, "pos-rx.cfg"),
+                        "-b", os.path.join(INPUT, "pos-beacon.cfg")])
+          in (0, None)
+          and cli_main(["pos", tdoa_f, "-o", pos_f,
+                        "-r", os.path.join(INPUT, "pos-rx.cfg")])
+          in (0, None))
+    report = {"stage": "positions"}
+    if ok:
+        ref = np.atleast_2d(np.loadtxt(os.path.join(GOLDEN, "data.pos")))
+        got = np.atleast_2d(np.loadtxt(pos_f))
+        ok = got.shape == ref.shape and \
+            bool((got[:, (0, 2)] == ref[:, (0, 2)]).all())
+        if ok:
+            pos_err = float(np.max(np.abs(got[:, 5:] - ref[:, 5:])))
+            report["fixes"] = int(got.shape[0])
+            report["max_position_err_m"] = round(pos_err, 6)
+            ok = pos_err <= 0.05 * tol_scale
+        else:
+            report["error"] = "fix set differs"
+    else:
+        report["error"] = "pipeline stage failed"
+    report["ok"] = bool(ok)
+    results.append(report)
+    return results
 
 
 def main(argv=None):
@@ -66,6 +159,7 @@ def main(argv=None):
     backend = jax.default_backend()
     all_ok = True
     with tempfile.TemporaryDirectory() as d:
+        # fastdet numerics (sync-mode integer) vs the compiled C goldens
         for rxid in (0, 1, 2):
             out = os.path.join(d, "rx%d.toad" % rxid)
             rc = cli_main([
@@ -73,37 +167,23 @@ def main(argv=None):
                 "-o", out, "--rxid", str(rxid), "--quiet",
                 "--sync-mode", "integer", "--carrier-window", "7-110",
                 "--template", os.path.join(INPUT, "template.npy")])
+            report = {"stage": "detect-integer", "rx": rxid}
             if rc not in (0, None):
-                print(json.dumps({"rx": rxid, "ok": False,
-                                  "error": "detect rc=%s" % rc}))
-                all_ok = False
-                continue
-            ref = np.atleast_2d(np.loadtxt(
-                os.path.join(FASTDET, "rx%d_fastdet.toad" % rxid)))
-            got = np.atleast_2d(np.loadtxt(out))
-            report = {"rx": rxid, "detections": int(got.shape[0]),
-                      "expected": int(ref.shape[0])}
-            ok = got.shape == ref.shape
-            if ok:
-                for col in INT_COLS:
-                    n_bad = int((got[:, col] != ref[:, col]).sum())
-                    ok = ok and n_bad == 0
-                    if n_bad:
-                        report["int_col%d_mismatches" % col] = n_bad
-                errs = {}
-                for col, tol in FLOAT_TOLS.items():
-                    scale = (tol.get("atol", 0)
-                             + tol.get("rtol", 0) * np.abs(ref[:, col]))
-                    err = float(np.max(np.abs(got[:, col] - ref[:, col])
-                                       / np.maximum(scale, 1e-30)))
-                    errs["col%d" % col] = round(err, 3)
-                    ok = ok and err <= args.tol_scale
-                # worst error in units of the CPU-golden tolerance
-                report["max_err_in_cpu_tols"] = max(errs.values())
-                report["per_col"] = errs
-            report["ok"] = bool(ok)
+                report.update(ok=False, error="detect rc=%s" % rc)
+            else:
+                ref = np.atleast_2d(np.loadtxt(
+                    os.path.join(FASTDET, "rx%d_fastdet.toad" % rxid)))
+                got = np.atleast_2d(np.loadtxt(out))
+                report["detections"] = int(got.shape[0])
+                report["ok"] = bool(_compare_toad(
+                    got, ref, FLOAT_TOLS, args.tol_scale, report))
             print(json.dumps(report))
-            all_ok = all_ok and ok
+            all_ok = all_ok and report["ok"]
+
+        # Python-reference semantics, full chain through positions
+        for report in check_python_chain(cli_main, d, args.tol_scale):
+            print(json.dumps(report))
+            all_ok = all_ok and report["ok"]
 
     print(json.dumps({
         "metric": "tpu_golden_check",

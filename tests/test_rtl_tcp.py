@@ -450,3 +450,51 @@ def test_detect_cli_rtl_tcp_reconnect(burst_stream, tmp_path):
     b = toad.load_toad(str(tmp_path / "two.toad"))
     assert len(a) == len(b) > 0
     np.testing.assert_array_equal(a["soa"], b["soa"])
+
+
+class MultiSessionServer(TwoSessionServer):
+    """N sessions, arbitrary split points."""
+
+    def __init__(self, payload, splits):
+        bounds = [0] + sorted(splits) + [len(payload)]
+        self.parts = [payload[a:b] for a, b in zip(bounds, bounds[1:])]
+        self.commands = []
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(2)
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        for part in self.parts:
+            self._session(part)
+        self._sock.close()
+
+
+def test_reconnect_many_random_even_drops():
+    """Fuzz: a recorded stream split into N sessions at random EVEN
+    offsets splices back to exactly the original bytes (even splits
+    preserve content; odd splits legitimately re-align, covered by the
+    dedicated odd-splice test)."""
+    rng = np.random.default_rng(42)
+    payload = rng.integers(0, 256, size=200_000, dtype=np.uint8).tobytes()
+    for trial in range(3):
+        n_splits = int(rng.integers(2, 6))
+        splits = sorted(set(
+            int(s) * 2 for s in rng.integers(1, len(payload) // 2,
+                                             size=n_splits)))
+        srv = MultiSessionServer(payload, splits)
+        src = rtl_tcp.ReconnectingRtlTcpSource(
+            "127.0.0.1", srv.port, max_retries=3,
+            initial_backoff_s=0.05)
+        got = b""
+        with pytest.raises(IOError):
+            while True:
+                got += src.read(int(rng.integers(100, 9000)))
+        src.close()
+        srv.join()
+        assert got == payload, \
+            "trial %d splits %r: splice corrupted" % (trial, splits)
+        assert src.reconnects == len(splits)
