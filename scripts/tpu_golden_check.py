@@ -77,8 +77,8 @@ def check_python_chain(cli_main, d, tol_scale):
     """Full detect -> identify -> match -> tdoa -> pos on the ambient
     backend (detect runs on device; later stages are host-side but
     consume the device detections), compared to the Python-reference
-    goldens and, for positions, within 5 cm + the CPU run's own
-    tolerance (tests/test_golden_reference.py)."""
+    goldens; final positions must land within 5 cm x --tol-scale of
+    the reference's fixes (tests/test_golden_reference.py uses 5 cm)."""
     common = ["--carrier-window", "7-110",
               "--template", os.path.join(INPUT, "template.npy")]
     results = []

@@ -185,3 +185,23 @@ def test_tpu_golden_check_script(tmp_path):
     assert summary["metric"] == "tpu_golden_check"
     assert summary["value"] == 1.0
     assert summary["backend"] == "cpu"
+
+
+def test_tpu_golden_check_tolerances_match_tests():
+    """The on-chip script's duplicated column maps / tolerances must
+    not drift from the golden tests' (they can't share a module since
+    neither tests/ nor scripts/ is an importable package)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "tpu_golden_check", os.path.join(SCRIPTS, "tpu_golden_check.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import test_golden_fastdet as tgf
+    import test_golden_reference as tgr
+
+    assert mod.INT_COLS == tgf.TOAD_INT_COLS == tgr.TOAD_INT_COLS
+    assert mod.FLOAT_TOLS == {
+        k: v for k, v in tgf.TOAD_TOLS.items() if k != 1}
+    assert mod.PY_FLOAT_TOLS == {
+        k: v for k, v in tgr.TOAD_TOLS.items() if k != 1}

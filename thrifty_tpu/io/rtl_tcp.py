@@ -89,6 +89,28 @@ def parse_hostport(text, default_port=1234):
     return host, int(port)
 
 
+def make_source_cli(hostport, config, bias_tee=False, reconnect=0,
+                    quiet=False):
+    """``make_source`` with the CLIs' shared failure convention.
+
+    Returns the source, or ``None`` after printing ``stream error:``
+    to stderr -- the same supervisor-friendly path as a mid-stream
+    failure, so a dead radio host at startup exits 1 without a
+    traceback (used by detect/capture/scope).
+    """
+    import sys
+
+    try:
+        src = make_source(hostport, config, bias_tee=bias_tee,
+                          reconnect=reconnect)
+    except OSError as e:
+        print("stream error: {}".format(e), file=sys.stderr)
+        return None
+    if not quiet:
+        print(src.describe(), file=sys.stderr)
+    return src
+
+
 def make_source(hostport, config, bias_tee=False, reconnect=0):
     """Build the rtl_tcp source a CLI asked for.
 

@@ -199,17 +199,13 @@ def _record_main(config, args):
     if getattr(args, "rtl_tcp", None):
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        try:
-            in_stream = rtl_tcp_mod.make_source(
-                args.rtl_tcp, config,
-                bias_tee=getattr(args, "bias_tee", False),
-                reconnect=getattr(args, "reconnect", 0))
-        except OSError as e:
-            print("stream error: {}".format(e), file=sys.stderr)
+        in_stream = rtl_tcp_mod.make_source_cli(
+            args.rtl_tcp, config,
+            bias_tee=getattr(args, "bias_tee", False),
+            reconnect=getattr(args, "reconnect", 0), quiet=args.quiet)
+        if in_stream is None:
             return 1
         sdr = True
-        if not args.quiet:
-            print(in_stream.describe(), file=sys.stderr)
     elif args.raw_in == "-":
         in_stream = sys.stdin.buffer
     else:

@@ -225,19 +225,12 @@ def _main(argv=None):
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        try:
-            in_stream = rtl_tcp_mod.make_source(
-                args.rtl_tcp, config, bias_tee=args.bias_tee,
-                reconnect=args.reconnect)
-        except OSError as e:
-            # Same non-zero exit as a mid-stream failure, so a
-            # supervisor (systemd) restarts the node instead of the
-            # operator reading a traceback.
-            print("stream error: {}".format(e), file=sys.stderr)
+        in_stream = rtl_tcp_mod.make_source_cli(
+            args.rtl_tcp, config, bias_tee=args.bias_tee,
+            reconnect=args.reconnect, quiet=args.quiet)
+        if in_stream is None:
             return 1
         args.raw = True
-        if not args.quiet:
-            print(in_stream.describe(), file=sys.stderr)
     elif args.input == "-":
         in_stream = sys.stdin.buffer
     else:

@@ -159,12 +159,9 @@ def _main(argv=None):
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        try:
-            in_stream = rtl_tcp_mod.make_source(args.rtl_tcp, config)
-        except OSError as e:
-            print("stream error: {}".format(e), file=sys.stderr)
+        in_stream = rtl_tcp_mod.make_source_cli(args.rtl_tcp, config)
+        if in_stream is None:
             return 1
-        print(in_stream.describe(), file=sys.stderr)
     elif args.input == "-":
         in_stream = sys.stdin.buffer
     else:
