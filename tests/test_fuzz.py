@@ -99,3 +99,63 @@ class TestParserRobustness:
                 settings_mod.parse_kv_config(io.StringIO(text))
             except settings_mod.ConfigError:
                 pass
+
+
+class TestRandomGeometry:
+    """Randomized (block, history, template, batch) geometry fuzz:
+    for any valid overlap-save geometry, a burst planted at a known
+    position must be detected in the predicted block with sub-sample
+    SoA accuracy.  Catches latent shape/window bugs outside the
+    default 16384/4920/4914 production geometry."""
+
+    def test_random_geometries_detect_planted_burst(self):
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp import template as template_mod, xcorr
+        from thrifty_tpu.dsp.detector import BatchDetector, \
+            DetectorConfig
+
+        rng = np.random.default_rng(20260817)
+        for trial in range(6):
+            bits = int(rng.integers(5, 8))  # template 31..127 chips
+            tpl = template_mod.generate(bits, 0, 2.0)
+            tlen = len(tpl)
+            block = int(2 ** rng.integers(9, 13))  # 512..4096
+            # history: enough for the template, less than the block
+            lo, hi = tlen + 1, block // 2
+            if lo >= hi:
+                continue
+            hist = int(rng.integers(lo, hi))
+            new = block - hist
+            num_blocks = int(rng.integers(4, 10))
+            wstart, wstop = xcorr.corr_window(block, hist, tlen)
+            # One burst per block in its unique window, all on one
+            # carrier (one TX, the reference's model -- a block's
+            # history can show the neighbouring burst, and carrier
+            # sync must still lock onto the shared bin).
+            cbin = int(rng.integers(7, block // 40))
+            bursts, expect = [], []
+            for b in range(1, num_blocks - 1):
+                lag = int(rng.integers(wstart, wstop))
+                soa = b * new + lag
+                bursts.append({"position": soa - hist,
+                               "carrier_bin": cbin,
+                               "amplitude": 0.7,
+                               "phase": float(rng.uniform(0, 6.28))})
+                expect.append((b, float(soa)))
+            stream = sim.synth_stream(
+                num_blocks * new, bursts, tpl, block,
+                noise_std=0.02, seed=trial)
+            blocks = sim.stream_to_blocks(stream, block, hist)
+            det = BatchDetector(tpl, DetectorConfig(
+                block_len=block, history_len=hist,
+                carrier_window=(3, block // 20)))
+            out = {k: np.asarray(v) for k, v in det(blocks).items()}
+            soa = det.soa(np.arange(num_blocks),
+                          out["corr_sample"], out["corr_offset"])
+            geom = "bits=%d block=%d hist=%d" % (bits, block, hist)
+            for b, want in expect:
+                assert out["detected"][b], \
+                    "%s: no detection in block %d" % (geom, b)
+                err = abs(float(soa[b]) - want)
+                assert err < 0.3, \
+                    "%s: SoA err %.3f in block %d" % (geom, err, b)
