@@ -186,3 +186,42 @@ class TestCopyRows:
             native.unfold(np.zeros(10, np.uint8), 100, 100, 1)
         with pytest.raises(ValueError):
             native.unfold(np.zeros(10, np.uint8), 100, -1, 1)
+
+
+class TestRingWriteView:
+    def test_reserve_commit_round_trip(self):
+        ring = native.RingBuffer(64)
+        payload = np.arange(200, dtype=np.uint8)
+        sent = 0
+        out = []
+
+        def producer():
+            nonlocal sent
+            while sent < len(payload):
+                mv = ring.write_view(23)  # odd size exercises wraps
+                if mv is None:
+                    return
+                n = min(len(mv), len(payload) - sent)
+                mv[:n] = payload[sent:sent + n].tobytes()
+                ring.commit(n)
+                sent += n
+            ring.close()
+
+        import threading
+        t = threading.Thread(target=producer)
+        t.start()
+        while True:
+            chunk = ring.read(17)
+            out.append(chunk.copy())
+            if len(chunk) < 17:
+                break
+        t.join()
+        np.testing.assert_array_equal(np.concatenate(out), payload)
+
+    def test_view_is_inside_ring_and_closed_returns_none(self):
+        ring = native.RingBuffer(32)
+        mv = ring.write_view(100)
+        assert 0 < len(mv) <= 32
+        ring.commit(0)
+        ring.close()
+        assert ring.write_view(8) is None

@@ -125,11 +125,38 @@ class StreamPump:
 
     def _pump(self):
         try:
-            while True:
-                data = self._stream.read(self._chunk)
-                if not data:
-                    break
-                self._ring.write(np.frombuffer(data, dtype=np.uint8))
+            try:
+                # Pipes default to 64 KB, which caps each readinto and
+                # makes the chunk loop syscall-bound; ask the kernel
+                # for a bigger buffer (silently capped/refused for
+                # non-pipes or unprivileged limits).
+                import fcntl
+                fcntl.fcntl(self._stream.fileno(),
+                            fcntl.F_SETPIPE_SZ, self._chunk)
+            except (AttributeError, OSError, ValueError):
+                # BytesIO raises UnsupportedOperation (an OSError) on
+                # fileno(); non-pipe fds get EBADF/EINVAL -- all fine.
+                pass
+            readinto = getattr(self._stream, "readinto", None)
+            if readinto is not None:
+                # Zero-scratch path: readinto() fills a span reserved
+                # INSIDE ring memory -- one copy from the kernel into
+                # the ring instead of kernel -> bytes object -> ring.
+                while True:
+                    mv = self._ring.write_view(self._chunk)
+                    if mv is None:  # ring closed under us
+                        return
+                    n = readinto(mv)
+                    if not n:
+                        break
+                    self._ring.commit(n)
+            else:
+                # Sources exposing only read() (e.g. rtl_tcp clients).
+                while True:
+                    data = self._stream.read(self._chunk)
+                    if not data:
+                        break
+                    self._ring.write(np.frombuffer(data, dtype=np.uint8))
         except Exception as e:  # noqa: BLE001 -- surfaced to consumer
             self._reader_error = e
         finally:

@@ -77,6 +77,15 @@ def _load():
     lib.ttpu_ring_read.restype = ctypes.c_int64
     lib.ttpu_ring_read.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_ring_write_reserve.restype = ctypes.c_int64
+    lib.ttpu_ring_write_reserve.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.ttpu_ring_write_commit.restype = None
+    lib.ttpu_ring_write_commit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64]
+    lib.ttpu_ring_base.restype = ctypes.c_void_p
+    lib.ttpu_ring_base.argtypes = [ctypes.c_void_p]
     lib.ttpu_ring_read_unfold.restype = ctypes.c_int64
     lib.ttpu_ring_read_unfold.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -285,6 +294,30 @@ class RingBuffer:
     def write(self, data: np.ndarray) -> int:
         data = np.ascontiguousarray(data, dtype=np.uint8)
         return _lib.ttpu_ring_write(self._ring, data.ctypes.data, data.size)
+
+    def write_view(self, max_len: int):
+        """Reserve a contiguous writable span INSIDE ring memory.
+
+        Returns a writable memoryview (or None once closed) for the
+        producer to ``stream.readinto()`` directly -- one copy from
+        the kernel into the ring instead of kernel -> scratch bytes ->
+        ring.  Call :meth:`commit` with the bytes actually filled
+        before the next ``write_view``.  Single producer only; blocks
+        while the ring is full (counted as an overflow stall).
+        """
+        off = ctypes.c_int64(0)
+        n = _lib.ttpu_ring_write_reserve(self._ring, max_len,
+                                         ctypes.byref(off))
+        if n == 0:
+            return None
+        base = _lib.ttpu_ring_base(self._ring)
+        buf = (ctypes.c_ubyte * n).from_address(base + off.value)
+        # ctypes views carry format '<B'; cast to plain 'B' so slice
+        # assignment and readinto() accept it.
+        return memoryview(buf).cast("B")
+
+    def commit(self, n: int) -> None:
+        _lib.ttpu_ring_write_commit(self._ring, n)
 
     def read(self, n: int, out: np.ndarray = None) -> np.ndarray:
         """Read up to ``n`` bytes (blocking until data or close).

@@ -581,6 +581,47 @@ int64_t ttpu_ring_write(void* ring, const uint8_t* data, int64_t len) {
     return written;
 }
 
+// Zero-copy producer API: reserve a contiguous writable span inside
+// ring memory (so the source can readinto() it directly -- one copy
+// from the kernel into the ring instead of kernel -> scratch bytes ->
+// ring), then commit what was actually filled.  Single producer.
+// Blocks until >= 1 byte of space or close; returns the span length
+// (0 iff closed) and its start via *offset (an offset into the ring's
+// base, see ttpu_ring_base).  The span never wraps: a wrap point just
+// yields a shorter span and the next reserve starts at 0.
+int64_t ttpu_ring_write_reserve(void* ring, int64_t max_len,
+                                int64_t* offset) {
+    auto* r = (ttpu_ring*)ring;
+    std::unique_lock<std::mutex> lock(r->mu);
+    if (r->size == r->buf.size() && !r->closed)
+        ++r->overflows;  // producer stalls: real-time margin exceeded
+    r->can_write.wait(lock, [&] {
+        return r->size < r->buf.size() || r->closed;
+    });
+    if (r->closed) return 0;
+    size_t space = r->buf.size() - r->size;
+    size_t n = std::min((size_t)max_len,
+                        std::min(space, r->buf.size() - r->head));
+    *offset = (int64_t)r->head;
+    return (int64_t)n;
+}
+
+// Publish n bytes previously written into the reserved span.
+void ttpu_ring_write_commit(void* ring, int64_t n) {
+    auto* r = (ttpu_ring*)ring;
+    std::lock_guard<std::mutex> lock(r->mu);
+    r->head = (r->head + (size_t)n) % r->buf.size();
+    r->size += (size_t)n;
+    if (n > 0)
+        r->histogram[(r->size * 8 - 1) / r->buf.size() < 8
+                         ? (r->size * 8 - 1) / r->buf.size() : 7]++;
+    r->can_read.notify_all();
+}
+
+uint8_t* ttpu_ring_base(void* ring) {
+    return ((ttpu_ring*)ring)->buf.data();
+}
+
 // Blocking read of exactly len bytes; returns bytes read (< len only at
 // end-of-stream after close).
 int64_t ttpu_ring_read(void* ring, uint8_t* out, int64_t len) {
