@@ -206,6 +206,20 @@ class RtlTcpSource:
         except (ConnectionResetError, BrokenPipeError) as e:
             raise IOError("rtl_tcp stream failed: {}".format(e)) from e
 
+    def readinto(self, b):
+        """Receive directly into a writable buffer (StreamPump hands
+        us a span inside ring memory, so samples go kernel -> ring
+        with no intermediate bytes object).  Returns bytes received
+        (0 only on clean end-of-stream); same error mapping as
+        :meth:`read`."""
+        try:
+            return self._sock.recv_into(b)
+        except socket.timeout as e:
+            raise IOError("rtl_tcp stream stalled (no data for "
+                          "stream_timeout; dead transport?)") from e
+        except (ConnectionResetError, BrokenPipeError) as e:
+            raise IOError("rtl_tcp stream failed: {}".format(e)) from e
+
     def close(self):
         try:
             self._sock.close()
@@ -284,6 +298,14 @@ class ReconnectingRtlTcpSource:
             .format(self._max_retries + 1)) from last_err
 
     def read(self, n):
+        buf = bytearray(n)
+        got = self.readinto(buf)
+        return bytes(buf[:got])
+
+    def readinto(self, b):
+        """Receive into a writable buffer, reconnecting as needed
+        (StreamPump hands us a span inside ring memory, so the fast
+        path is kernel -> ring with no intermediate bytes object)."""
         import time
 
         attempts = 0       # consecutive no-data connection cycles
@@ -292,10 +314,10 @@ class ReconnectingRtlTcpSource:
         while True:
             if self._src is not None:
                 try:
-                    data = self._src.read(n)
-                    if data:
-                        self._parity ^= len(data) & 1
-                        return data
+                    n = self._src.readinto(b)
+                    if n:
+                        self._parity ^= n & 1
+                        return n
                 except IOError as err:
                     last_err = err
                 self._src.close()
@@ -329,7 +351,8 @@ class ReconnectingRtlTcpSource:
                 # byte lands on an even stream offset and I/Q pairing
                 # survives the splice.
                 self._parity = 0
-                return b"\x80"
+                b[0:1] = b"\x80"
+                return 1
 
     def close(self):
         if self._src is not None:
