@@ -185,7 +185,7 @@ _SINK_FIELDS = ("detected", "corr_sample", "corr_offset", "corr_energy",
 
 
 def bench_e2e(detector, template, batch, target_bytes, input_kind,
-              repeats=3, verbose=False):
+              repeats=3, device_unfold=False, verbose=False):
     """End-to-end sustained pipeline throughput, host ingest included.
 
     Writes a synthetic capture to a temp file, then streams it through
@@ -269,6 +269,11 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
 
         def run_once():
             pump_info = {}
+            if device_unfold:
+                detector.reset_stream()
+            # Warm staging buffer modelling the transfer's read of the
+            # contiguous batch (ingest + device_unfold only).
+            stage = np.empty(batch * 2 * detector.new_len, np.uint8)
             f = open(tmp.name, "rb")
             pump = None
             try:
@@ -276,7 +281,8 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
                     from thrifty_tpu.io.stream import StreamPump
                     pump = StreamPump(f, detector.config.block_len,
                                       history, batch)
-                    batches = pump.batches()
+                    batches = (pump.batches_contiguous()
+                               if device_unfold else pump.batches())
                 else:
                     from thrifty_tpu.io.stream import prefetch_iter
                     batches = prefetch_iter(
@@ -294,12 +300,27 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
                         # Host-only ceiling: full pump/parse/unfold
                         # work, no device dispatch -- what the ingest
                         # side could feed a locally-attached chip.
+                        if device_unfold:
+                            # The contiguous mmap path yields page-
+                            # cache VIEWS (zero host copies); model
+                            # the one read the transfer staging would
+                            # do, else this measures nothing.
+                            np.copyto(stage[:raw.size], raw)
                         continue
-                    if n < batch:
-                        raw = np.concatenate(
-                            [raw, np.full((batch - n, raw.shape[1]),
-                                          128, np.uint8)])
-                    pending.append((n, detector.detect_raw(raw)))
+                    if device_unfold:
+                        if n < batch:
+                            raw = np.concatenate(
+                                [raw, np.full((batch - n) * 2
+                                              * detector.new_len,
+                                              128, np.uint8)])
+                        pending.append(
+                            (n, detector.detect_raw_stream(raw)))
+                    else:
+                        if n < batch:
+                            raw = np.concatenate(
+                                [raw, np.full((batch - n, raw.shape[1]),
+                                              128, np.uint8)])
+                        pending.append((n, detector.detect_raw(raw)))
                     if len(pending) > 1:
                         sink(*pending.popleft())
                 while pending:
@@ -499,6 +520,10 @@ def main(argv=None):
                              "blocks; 'card': .card archive (e2e only); "
                              "'ingest': host-only pump/unfold ceiling, no "
                              "device (e2e only)")
+    parser.add_argument("--device-unfold", action="store_true",
+                        help="e2e raw/ingest: ship the contiguous "
+                             "stream and overlap-save on device "
+                             "(detect --device-unfold's path)")
     parser.add_argument("--skip-baseline", action="store_true",
                         help="use the cached baseline rate instead of "
                              "re-measuring numpy")
@@ -566,7 +591,9 @@ def main(argv=None):
         input_kind = args.input  # "raw" / "card" / "ingest" (validated)
         samples_per_s, stats = bench_e2e(
             detector, template, args.batch, args.e2e_bytes, input_kind,
-            repeats=args.repeats, verbose=args.verbose)
+            repeats=args.repeats, device_unfold=args.device_unfold,
+            verbose=args.verbose)
+        stats["device_unfold"] = args.device_unfold
         # vs_baseline: multiples of one SDR front-end's real-time rate
         # (2.4 MS/s) the pipeline sustains -- how many receivers one
         # host+chip could ingest concurrently.

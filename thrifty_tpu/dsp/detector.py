@@ -457,6 +457,32 @@ class BatchDetector:
 
         return self._detect_batch(iq_mod.raw_to_iq_jax(raw))
 
+    def _detect_batch_stream(self, new_u16, carry_u16):
+        """Device-side overlap-save: detect on a CONTIGUOUS stream.
+
+        ``new_u16``: uint16 [B*new_len] packed I/Q byte-pair samples
+        (the stream's NEW samples only); ``carry_u16``: [history_len]
+        tail of the previous call.  The host ships 1.43x fewer bytes
+        than the pre-unfolded [B, 2*block_len] path (no repeated
+        history) and never materializes overlap-save rows at all --
+        the unfold is an on-device gather (HBM-local, trivial next to
+        the FFTs), replacing the host's memcpy ceiling
+        (docs/performance.md) with chip bandwidth.  Returns
+        (outputs, new_carry); the carry stays on device across calls.
+        """
+        from thrifty_tpu.dsp import iq as iq_mod
+
+        stream = jnp.concatenate([carry_u16, new_u16])
+        n_blocks = new_u16.shape[0] // self.new_len
+        idx = (jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
+               * self.new_len
+               + jnp.arange(self.config.block_len,
+                            dtype=jnp.int32)[None, :])
+        blocks = iq_mod.u16_to_iq_jax(jnp.take(stream, idx, axis=0))
+        out = self._detect_batch(blocks)
+        return out, stream[stream.shape[0]
+                           - self.config.history_len:]
+
     # -- host API ------------------------------------------------------------
 
     def __call__(self, blocks):
@@ -468,6 +494,37 @@ class BatchDetector:
         if not hasattr(self, "_detect_raw_jit"):
             self._detect_raw_jit = jax.jit(self._detect_batch_raw)
         return self._detect_raw_jit(jnp.asarray(raw))
+
+    def detect_raw_stream(self, new_raw):
+        """Run detection on CONTIGUOUS raw uint8 I/Q stream bytes.
+
+        ``new_raw``: uint8 [B*2*new_len] -- the stream's new bytes for
+        B blocks, with NO repeated history; the overlap-save unfold
+        happens on device (:meth:`_detect_batch_stream`) against a
+        device-resident carry of the previous call's tail.  Call
+        :meth:`reset_stream` before reusing the detector on a new
+        stream.  Pre-stream history is zero-signal (0x80 bytes), the
+        same convention as the host unfold.
+        """
+        new_raw = np.asarray(new_raw, dtype=np.uint8)
+        if new_raw.size % (2 * self.new_len):
+            raise ValueError("stream bytes must be a whole number of "
+                             "blocks (pad the final batch)")
+        if not hasattr(self, "_detect_stream_jit"):
+            self._detect_stream_jit = jax.jit(self._detect_batch_stream)
+        if getattr(self, "_stream_carry", None) is None:
+            self.reset_stream()
+        # Little-endian byte-pair view == the device bitcast packing.
+        u16 = new_raw.view(np.uint16)
+        out, self._stream_carry = self._detect_stream_jit(
+            u16, self._stream_carry)
+        return out
+
+    def reset_stream(self):
+        """Reset :meth:`detect_raw_stream`'s device-side history carry
+        to the zero-signal (0x8080) pre-stream state."""
+        self._stream_carry = jnp.full(
+            (self.config.history_len,), 0x8080, dtype=jnp.uint16)
 
     def soa(self, block_idx, corr_sample, corr_offset):
         """Absolute sample-of-arrival since receiver start (host, float64).

@@ -48,6 +48,22 @@ def raw_to_iq_jax(raw):
 
     pairs = raw.reshape(raw.shape[:-1] + (raw.shape[-1] // 2, 2))
     v = jax.lax.bitcast_convert_type(pairs, jnp.uint16)
+    return u16_to_iq_jax(v)
+
+
+def u16_to_iq_jax(v):
+    """Device-side packed-sample uint16 [..., N] -> complex64 [..., N].
+
+    Each uint16 is one interleaved I/Q byte pair in little-endian
+    packing (low byte = I, the first byte on the wire) -- the same
+    layout `np.ndarray.view(np.uint16)` produces on a little-endian
+    host and `raw_to_iq_jax`'s bitcast produces on device.  Split out
+    so the device-side overlap-save gather can move 2-byte samples
+    and convert after gathering.
+    """
+    import jax
+    import jax.numpy as jnp
+
     i = ((v & 0xFF).astype(jnp.float32) - DC_OFFSET) * SCALE
     q = ((v >> 8).astype(jnp.float32) - DC_OFFSET) * SCALE
     return jax.lax.complex(i, q)

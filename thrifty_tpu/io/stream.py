@@ -253,6 +253,62 @@ class StreamPump:
                     raise self._reader_error
                 break
 
+    def batches_contiguous(self):
+        """Yield (timestamps [b], indices [b], new_raw [b*new_bytes]).
+
+        The stream's NEW bytes only -- no repeated history, no host
+        unfold -- for consumers that overlap-save on DEVICE
+        (``BatchDetector.detect_raw_stream``).  For regular files the
+        yielded array is a zero-copy view straight over the page
+        cache; live sources pay exactly one host copy (ring -> warm
+        buffer).  Timestamp/index semantics match :meth:`batches`.
+        """
+        block_dt = self._new_bytes / 2 / self._sample_rate
+
+        def stamps(b0, n, stamp):
+            idx = np.arange(b0, b0 + n, dtype=np.int64)
+            if self._t0 is not None:
+                ts = self._t0 + idx * block_dt
+            else:
+                ts = stamp - (n - 1 - np.arange(n)) * block_dt
+            return ts.astype(np.float64), idx
+
+        if self._mm is not None:
+            mm, start = self._mm
+            base = np.frombuffer(mm, dtype=np.uint8)
+            n_total = (len(base) - start) // self._new_bytes
+            b0 = 0
+            while b0 < n_total:
+                n = min(self._batch_size, n_total - b0)
+                off = start + b0 * self._new_bytes
+                ts, idx = stamps(b0, n, self._timestamper())
+                yield ts, idx, base[off:off + n * self._new_bytes]
+                b0 += n
+            return
+
+        BUF_POOL = 4
+        want = self._new_bytes * self._batch_size
+        pool = [np.empty(want, np.uint8) for _ in range(BUF_POOL)]
+        block_idx = 0
+        batch_no = 0
+        while True:
+            data = self._ring.read(want, out=pool[batch_no % BUF_POOL])
+            n = len(data) // self._new_bytes
+            short = len(data) < want
+            # Flush-then-raise, as in batches().
+            if n == 0:
+                if self._reader_error is not None:
+                    raise self._reader_error
+                break
+            ts, idx = stamps(block_idx, n, self._timestamper())
+            block_idx += n
+            batch_no += 1
+            yield ts, idx, data[:n * self._new_bytes]
+            if short:
+                if self._reader_error is not None:
+                    raise self._reader_error
+                break
+
     def _mmap_batches(self):
         """One-copy ingest for regular files: strided rows out of the
         page cache into the warm buffer pool, no ring, no reader

@@ -66,7 +66,8 @@ class SummaryFormatter:
 
 def detect_batches(detector, batches, batch_size, rxid=-1,
                    summary=None, summary_out=None,
-                   txid_from_template=False, card_out=None):
+                   txid_from_template=False, card_out=None,
+                   device_unfold=False):
     """Run the detector over an iterator of (ts, idx, raw) batches.
 
     Yields detection record arrays (toad.DETECTION_DTYPE) per batch.
@@ -75,7 +76,15 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
     ``card_out``: optional stream teeing the raw bytes of corr-detected
     blocks as .card lines (reference fastdet/fastdet.cpp:210-219) --
     the fused capture+detect path's sparse archive.
+    ``device_unfold``: batches carry CONTIGUOUS new stream bytes
+    ([n*2*new_len], from ``StreamPump.batches_contiguous``) and the
+    overlap-save unfold runs on device against a device-resident
+    carry (``detector.detect_raw_stream``); incompatible with
+    ``card_out`` (overlap-save rows are never materialized on host).
     """
+    if device_unfold and card_out is not None:
+        raise ValueError("card_out needs host-side overlap-save rows; "
+                         "incompatible with device_unfold")
     pending = []  # [(ts, idx, n_valid, raw, device_out)]
 
     def drain(entry):
@@ -98,13 +107,25 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
             n = len(ts)
             if n == 0:  # a batch can be all-junk rows
                 continue
-            if n < batch_size:
-                pad = batch_size - n
-                raw = np.concatenate(
-                    [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
-            # Upload raw uint8 (2 B/sample); conversion runs on device,
-            # fused into the first FFT's input read.
-            dev_out = detector.detect_raw(raw)  # async dispatch
+            if device_unfold:
+                if n < batch_size:
+                    raw = np.concatenate(
+                        [raw, np.full((batch_size - n)
+                                      * 2 * detector.new_len,
+                                      128, np.uint8)])
+                # Upload contiguous new bytes only (no repeated
+                # history, 1.43x less transfer); the unfold is an
+                # on-device gather.
+                dev_out = detector.detect_raw_stream(raw)
+            else:
+                if n < batch_size:
+                    pad = batch_size - n
+                    raw = np.concatenate(
+                        [raw, np.full((pad, raw.shape[1]), 128,
+                                      np.uint8)])
+                # Upload raw uint8 (2 B/sample); conversion runs on
+                # device, fused into the first FFT's input read.
+                dev_out = detector.detect_raw(raw)  # async dispatch
             pending.append((ts, idx, n, raw, dev_out))
             # Keep one batch in flight: overlap host decode with device
             # work.
@@ -146,6 +167,12 @@ def _main(argv=None):
                              "as t0 + block_idx*block_dt instead of the "
                              "wall clock (recorded streams with a known "
                              "start time)")
+    parser.add_argument("--device-unfold", action="store_true",
+                        help="ship the contiguous raw stream to the "
+                             "device and overlap-save there (1.43x "
+                             "less host->device transfer, no host "
+                             "unfold copy); raw/rtl_tcp inputs only, "
+                             "incompatible with --card-out/--skip")
     parser.add_argument("-k", "--skip", type=int, default=0,
                         metavar="N",
                         help="with --raw/--rtl-tcp: discard the first N "
@@ -201,6 +228,17 @@ def _main(argv=None):
     # construction) so conflicts surface instantly.
     if args.rtl_tcp is not None and args.input != "-":
         parser.error("give either an input file or --rtl-tcp, not both")
+    if args.device_unfold:
+        if not args.raw and args.rtl_tcp is None:
+            parser.error("--device-unfold needs a raw stream input "
+                         "(--raw or --rtl-tcp); .card input decodes "
+                         "to overlap-save rows already")
+        if args.card_out:
+            parser.error("--card-out needs host-side overlap-save "
+                         "rows; incompatible with --device-unfold")
+        if args.skip > 0:
+            parser.error("--skip filters host-side rows; incompatible "
+                         "with --device-unfold")
 
     template = tpl_io.load_template(config.template)
     if args.emit_txid and template.ndim != 2:
@@ -242,8 +280,13 @@ def _main(argv=None):
             pump = StreamPump(in_stream, config.block_size,
                               config.block_history, config.batch_size,
                               sample_rate=config.sample_rate, t0=args.t0)
-            batches = pump.batches()
+            batches = (pump.batches_contiguous() if args.device_unfold
+                       else pump.batches())
         except ImportError:
+            if args.device_unfold:
+                print("warning: native lib unavailable; --device-unfold "
+                      "falling back to host unfold", file=sys.stderr)
+                args.device_unfold = False
             if args.t0 is not None:
                 block_dt = (config.block_size - config.block_history) \
                     / config.sample_rate
@@ -326,7 +369,8 @@ def _main(argv=None):
         for records in detect_batches(
                 detector, counted(batches), config.batch_size,
                 rxid=config.rxid, summary=summary, summary_out=info_out,
-                txid_from_template=args.emit_txid, card_out=card_out):
+                txid_from_template=args.emit_txid, card_out=card_out,
+                device_unfold=args.device_unfold):
             num += len(records)
             if out_stream is not None:
                 toad.save(out_stream, records, with_txid=args.emit_txid)
