@@ -27,10 +27,18 @@ fi
 # Networked SDR mode: with RTL_TCP=host:port set, skip the FIFO/capture
 # subprocess entirely -- detect pulls the live stream itself and
 # survives radio-server restarts.
+# DEVICE_UNFOLD=1: overlap-save on the chip (1.43x less host->device
+# traffic, no host unfold); incompatible with CARD_OUT (needs host
+# rows), so only applied when no card tee is requested.
+UNFOLD=()
+if [ -n "$DEVICE_UNFOLD" ] && [ -z "$CARD_OUT" ]; then
+    UNFOLD=(--device-unfold)
+fi
+
 if [ -n "$RTL_TCP" ]; then
     exec python -m thrifty_tpu.cli detect --rtl-tcp "$RTL_TCP" \
         --reconnect "${RECONNECT:-10}" -a "$OUTPUT" -c "$CONFIG" --quiet \
-        ${CARD_OUT:+--card-out "$CARD_OUT"}
+        "${UNFOLD[@]}" ${CARD_OUT:+--card-out "$CARD_OUT"}
 fi
 
 rm -f "$FIFO"
@@ -51,7 +59,7 @@ if [ -n "$CARD_OUT" ]; then
 fi
 $CAPTURE_CMD > "$FIFO" &
 python -m thrifty_tpu.cli detect "$FIFO" --raw -a "$OUTPUT" \
-    -c "$CONFIG" --quiet "${EXTRA[@]}" &
+    -c "$CONFIG" --quiet "${UNFOLD[@]}" "${EXTRA[@]}" &
 
 wait -n
 echo "pipeline stage exited; shutting down" >&2
