@@ -473,13 +473,25 @@ class BatchDetector:
         from thrifty_tpu.dsp import iq as iq_mod
 
         stream = jnp.concatenate([carry_u16, new_u16])
-        n_blocks = new_u16.shape[0] // self.new_len
-        idx = (jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
-               * self.new_len
-               + jnp.arange(self.config.block_len,
-                            dtype=jnp.int32)[None, :])
-        blocks = iq_mod.u16_to_iq_jax(jnp.take(stream, idx, axis=0))
-        out = self._detect_batch(blocks)
+        b = new_u16.shape[0] // self.new_len
+        new, hist = self.new_len, self.config.history_len
+        if hist <= new:
+            # Unfold as pure reshapes (same trick as the sharded
+            # streaming program, parallel/sharded.py: a gather here is
+            # catastrophically slow on TPU): row s spans
+            # stream[s*new : s*new + block] = frame s (new samples)
+            # ++ the first `hist` samples of frame s+1.
+            head = stream[: b * new].reshape(b, new)
+            tail = jnp.pad(stream[new:],
+                           (0, new - hist)).reshape(b, new)[:, :hist]
+            rows = jnp.concatenate([head, tail], axis=1)
+        else:
+            # Non-production geometries (history > advance): gather.
+            idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * new
+                   + jnp.arange(self.config.block_len,
+                                dtype=jnp.int32)[None, :])
+            rows = jnp.take(stream, idx, axis=0)
+        out = self._detect_batch(iq_mod.u16_to_iq_jax(rows))
         return out, stream[stream.shape[0]
                            - self.config.history_len:]
 
