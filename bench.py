@@ -412,10 +412,39 @@ def bench_selfcheck(template, batch, sync_mode):
         return out
 
     out = {k: float(np.asarray(v)) for k, v in diffs(raw).items()}
+
+    # Second surface: device-side overlap-save (detect_raw_stream)
+    # vs the pre-unfolded rows path, same scalar-reduction trick.
+    hist = dets["off"].config.history_len
+    stream_u16 = raw[:, 2 * hist:].reshape(-1).view(np.uint16)
+    carry0 = raw[0, :2 * hist].view(np.uint16)  # row 0's own history
+
+    @jax.jit
+    def diffs_stream(raw_in, new_u16, carry):
+        a, _ = dets["off"]._detect_batch_stream(new_u16, carry)
+        b = dets["off"]._detect_batch_raw(raw_in)
+        out = {}
+        for k in sorted(set(a) & set(b)):
+            x, y = a[k], b[k]
+            if jnp.issubdtype(x.dtype, jnp.bool_) or \
+                    jnp.issubdtype(x.dtype, jnp.integer):
+                out[k] = jnp.sum(x != y).astype(jnp.float32)
+            elif k in relative:
+                out[k] = jnp.max(jnp.abs(x - y)
+                                 / jnp.maximum(jnp.abs(y), 1e-20))
+            else:
+                out[k] = jnp.max(jnp.abs(x - y))
+        return out
+
+    for k, v in diffs_stream(raw, stream_u16, carry0).items():
+        out["stream_" + k] = float(np.asarray(v))
+
     # Exact agreement for decisions/indices; float surfaces within the
     # f32 reassociation noise of two differently-fused programs.
-    tol = {"detected": 0, "carrier_detect": 0, "carrier_bin": 0,
-           "corr_sample": 0, "template_idx": 0}
+    int_fields = {"detected", "carrier_detect", "carrier_bin",
+                  "corr_sample", "template_idx"}
+    tol = {k: 0 for k in int_fields}
+    tol.update({"stream_" + k: 0 for k in int_fields})
     ok = all(v <= tol.get(k, 1e-3) for k, v in out.items())
     return ok, out
 
