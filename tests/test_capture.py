@@ -242,3 +242,24 @@ def test_record_cards_reports_counts_after_stream_error():
     assert stats["read"] == 2 * B
     assert stats["written"] == 2 * B
     assert out.getvalue().count("\n") == 2 * B
+
+
+def test_capture_device_unfold_matches_host(raw_capture):
+    """capture --device-unfold (on-device gate over the contiguous
+    stream, host materializes only HIT rows) produces a byte-identical
+    .card archive to the host-unfold path, including with skip and a
+    deterministic t0 header."""
+    from thrifty_tpu.cli import main
+
+    cap, raw_path, _, tmp = raw_capture
+    for skip in (0, 1):
+        a_path = str(tmp / ("host%d.card" % skip))
+        b_path = str(tmp / ("dev%d.card" % skip))
+        common = ["--quiet", "--carrier-window", "7-110",
+                  "-k", str(skip), "--t0", "1.5e9"]
+        assert main(["capture", "--raw-in", raw_path,
+                     "-o", a_path] + common) == 0
+        assert main(["capture", "--raw-in", raw_path, "--device-unfold",
+                     "-o", b_path] + common) == 0
+        assert open(a_path).read() == open(b_path).read(), \
+            "skip=%d" % skip

@@ -42,22 +42,24 @@ class CarrierGate:
     Returns per-block (detected, argmax, magnitude, noise, threshold).
     """
 
-    def __init__(self, block_len, carrier_window, carrier_thresh):
+    def __init__(self, block_len, carrier_window, carrier_thresh,
+                 history_len=None):
         import jax
 
         from thrifty_tpu.dsp import carrier
 
         self.block_len = block_len
+        self.history_len = history_len  # needed for gate_stream only
         self._mask = carrier.window_mask(carrier_window, block_len)
         self._thresh = tuple(carrier_thresh)
         self._jit = jax.jit(self._program)
+        self._stream_carry = None
 
-    def _program(self, raw):
+    def _detect_blocks(self, blocks):
         import jax.numpy as jnp
 
-        from thrifty_tpu.dsp import carrier, iq
+        from thrifty_tpu.dsp import carrier
 
-        blocks = iq.raw_to_iq_jax(raw)
         mag = jnp.abs(jnp.fft.fft(blocks))
         det, idx, peak_mag, noise = carrier.detect(
             mag, self._mask, self._thresh)
@@ -67,10 +69,54 @@ class CarrierGate:
             thresh_sq = thresh_sq + d * jnp.var(mag, axis=-1)
         return det, idx, peak_mag, noise, jnp.sqrt(thresh_sq)
 
+    def _program(self, raw):
+        from thrifty_tpu.dsp import iq
+
+        return self._detect_blocks(iq.raw_to_iq_jax(raw))
+
+    def _program_stream(self, new_u16, carry):
+        # Device-side overlap-save, same reshape unfold as
+        # BatchDetector._detect_batch_stream (history <= advance by
+        # the unique-window design).
+        import jax.numpy as jnp
+
+        from thrifty_tpu.dsp import iq
+
+        hist = self.history_len
+        new = self.block_len - hist
+        stream = jnp.concatenate([carry, new_u16])
+        b = new_u16.shape[0] // new
+        head = stream[: b * new].reshape(b, new)
+        tail = jnp.pad(stream[new:],
+                       (0, new - hist)).reshape(b, new)[:, :hist]
+        # rows = full[s*new : s*new+block] = [history | new] per block.
+        rows = jnp.concatenate([head, tail], axis=1)
+        out = self._detect_blocks(iq.u16_to_iq_jax(rows))
+        return out, stream[stream.shape[0] - hist:]
+
     def __call__(self, raw):
         import jax.numpy as jnp
 
         return self._jit(jnp.asarray(raw))
+
+    def gate_stream(self, new_raw):
+        """Gate CONTIGUOUS raw stream bytes uint8 [B*2*new_len]; the
+        overlap-save unfold runs on device against a device-resident
+        carry (pre-stream history = 0x80 zero-signal bytes)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.history_len is None:
+            raise ValueError("gate_stream needs history_len")
+        if not hasattr(self, "_stream_jit"):
+            self._stream_jit = jax.jit(self._program_stream)
+        if self._stream_carry is None:
+            self._stream_carry = jnp.full(
+                (self.history_len,), 0x8080, dtype=jnp.uint16)
+        u16 = np.asarray(new_raw, dtype=np.uint8).view(np.uint16)
+        out, self._stream_carry = self._stream_jit(
+            u16, self._stream_carry)
+        return out
 
 
 def card_header(config, window, tool="thrifty-tpu capture", sdr=False,
@@ -99,7 +145,7 @@ def card_header(config, window, tool="thrifty-tpu capture", sdr=False,
 
 
 def record_cards(gate, batches, batch_size, out_stream, info_out=None,
-                 skip=0, stats=None):
+                 skip=0, stats=None, device_unfold=False):
     """Drive the gate over raw batches, writing .card lines for hits.
 
     ``batches`` yields (timestamps [b], indices [b], raw [b, 2N]).
@@ -121,9 +167,17 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
     if stats is None:
         stats = {}
     stats.update(read=0, written=0)
+    if device_unfold:
+        from numpy.lib.stride_tricks import as_strided
+
+        hist_bytes = 2 * gate.history_len
+        new_bytes = 2 * (gate.block_len - gate.history_len)
+        # Host-side tail of the previous batch: only HIT rows are
+        # materialized, cut out of [prev_tail | new bytes].
+        host_tail = np.full(hist_bytes, 128, np.uint8)
 
     def drain(entry):
-        ts, idx, n, raw, dev = entry
+        ts, idx, n, raw, tail, dev = entry
         det, amax, mag, noise, thr = (np.asarray(a)[:n] for a in dev)
         keep = det & (idx >= skip)
         idx = idx - skip
@@ -135,8 +189,14 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
                           int(idx[i]), int(amax[i]), float(mag[i]),
                           float(thr[i]), float(noise[i])), file=info_out)
         if np.any(keep):
-            card_io.write_card(out_stream, ts[keep], idx[keep],
-                               raw[:n][keep])
+            if device_unfold:
+                full = np.concatenate([tail, raw[:n * new_bytes]])
+                rows = as_strided(
+                    full, (n, hist_bytes + new_bytes), (new_bytes, 1))
+                rows = rows[keep]  # fancy index copies the hit rows
+            else:
+                rows = raw[:n][keep]
+            card_io.write_card(out_stream, ts[keep], idx[keep], rows)
             out_stream.flush()
             stats["written"] += int(np.count_nonzero(keep))
 
@@ -145,12 +205,28 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
             n = len(ts)
             if n == 0:
                 continue
-            if n < batch_size:
-                pad = batch_size - n
-                raw = np.concatenate(
-                    [raw, np.full((pad, raw.shape[1]), 128, np.uint8)])
-            dev = gate(raw)  # async dispatch
-            pending.append((ts, idx, n, raw, dev))
+            if device_unfold:
+                if n < batch_size:
+                    raw = np.concatenate(
+                        [raw, np.full((batch_size - n) * new_bytes,
+                                      128, np.uint8)])
+                dev = gate.gate_stream(raw)  # async dispatch
+                # raw stays valid while <= BUF_POOL-1 further batches
+                # are drawn (StreamPump contract); pending holds one.
+                valid = raw[:n * new_bytes]
+                prev_tail, host_tail = host_tail, (
+                    valid[-hist_bytes:].copy()
+                    if len(valid) >= hist_bytes else np.concatenate(
+                        [host_tail, valid])[-hist_bytes:])
+                pending.append((ts, idx, n, valid, prev_tail, dev))
+            else:
+                if n < batch_size:
+                    pad = batch_size - n
+                    raw = np.concatenate(
+                        [raw, np.full((pad, raw.shape[1]), 128,
+                                      np.uint8)])
+                dev = gate(raw)  # async dispatch
+                pending.append((ts, idx, n, raw, None, dev))
             if len(pending) > 1:
                 drain(pending.pop(0))
     except IOError:
@@ -193,7 +269,9 @@ def _record_main(config, args):
     """The native carrier-gated raw -> .card recorder path."""
     window = normalize_freq_range(
         config.carrier_window, config.sample_rate / config.block_size)
-    gate = CarrierGate(config.block_size, window, config.carrier_threshold)
+    gate = CarrierGate(config.block_size, window, config.carrier_threshold,
+                       history_len=config.block_history)
+    device_unfold = bool(getattr(args, "device_unfold", False))
 
     sdr = False
     if getattr(args, "rtl_tcp", None):
@@ -227,10 +305,15 @@ def _record_main(config, args):
         pump = StreamPump(in_stream, config.block_size,
                           config.block_history, config.batch_size,
                           sample_rate=config.sample_rate, t0=args.t0)
-        batches = pump.batches()
+        batches = (pump.batches_contiguous() if device_unfold
+                   else pump.batches())
     except ImportError:
         from thrifty_tpu.io import blocks as blocks_io
         pump = None
+        if device_unfold:
+            print("warning: native lib unavailable; --device-unfold "
+                  "falling back to host unfold", file=sys.stderr)
+            device_unfold = False
         if args.t0 is not None:
             block_dt = (config.block_size - config.block_history) \
                 / config.sample_rate
@@ -261,7 +344,8 @@ def _record_main(config, args):
     try:
         record_cards(
             gate, batches, config.batch_size, out_stream,
-            info_out=info_out, skip=config.capture_skip, stats=stats)
+            info_out=info_out, skip=config.capture_skip, stats=stats,
+            device_unfold=device_unfold)
     except KeyboardInterrupt:
         print("interrupted; output flushed", file=sys.stderr)
     except IOError as e:
@@ -299,6 +383,10 @@ def _main(argv=None):
     parser.add_argument("-o", "--output", type=str, default=None,
                         help="output .card file ('-'/default: stdout in "
                              "--raw-in mode)")
+    parser.add_argument("--device-unfold", action="store_true",
+                        help="carrier-gate the contiguous stream with "
+                             "the overlap-save unfold on device; only "
+                             "HIT rows are materialized on the host")
     parser.add_argument("--quiet", action="store_true",
                         help="suppress per-block detection lines")
     parser.add_argument("--t0", type=float, default=None,
