@@ -569,6 +569,10 @@ def main(argv=None):
         parser.error("--program e2e times the host ingest pipeline on "
                      "raw uint8 or .card input; --input c64 is only "
                      "meaningful with --program batch")
+    if args.device_unfold and not (
+            args.program == "e2e" and args.input in ("raw", "ingest")):
+        parser.error("--device-unfold applies to --program e2e with "
+                     "--input raw/ingest (contiguous stream sources)")
 
     _enable_compile_cache()
 

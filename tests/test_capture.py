@@ -263,3 +263,23 @@ def test_capture_device_unfold_matches_host(raw_capture):
                      "-o", b_path] + common) == 0
         assert open(a_path).read() == open(b_path).read(), \
             "skip=%d" % skip
+
+
+def test_gate_stream_history_exceeds_advance():
+    """Geometries with history > advance (supported by the host pump)
+    must also work through gate_stream via the gather fallback
+    (review finding: the reshape unfold alone would crash)."""
+    block, hist = 256, 160  # new = 96 < hist
+    gate = capture.CarrierGate(block, (3, 12), (0.0, 15.0, 0.0),
+                                   history_len=hist)
+    new = block - hist
+    rng = np.random.default_rng(5)
+    stream = rng.integers(0, 256, size=2 * new * 8, dtype=np.uint8)
+    det, amax, mag, noise, thr = (
+        np.asarray(a) for a in gate.gate_stream(stream))
+    assert det.shape == (8,)
+    # Cross-check row 2 against a host-side unfold of the same stream.
+    full = np.concatenate([np.full(2 * hist, 128, np.uint8), stream])
+    row2 = full[2 * 2 * new: 2 * 2 * new + 2 * block]
+    d2 = gate(row2[None, :])
+    np.testing.assert_allclose(np.asarray(d2[2])[0], mag[2], rtol=1e-5)

@@ -471,29 +471,12 @@ class BatchDetector:
         (outputs, new_carry); the carry stays on device across calls.
         """
         from thrifty_tpu.dsp import iq as iq_mod
+        from thrifty_tpu.dsp.unfold import unfold_stream
 
-        stream = jnp.concatenate([carry_u16, new_u16])
-        b = new_u16.shape[0] // self.new_len
-        new, hist = self.new_len, self.config.history_len
-        if hist <= new:
-            # Unfold as pure reshapes (same trick as the sharded
-            # streaming program, parallel/sharded.py: a gather here is
-            # catastrophically slow on TPU): row s spans
-            # stream[s*new : s*new + block] = frame s (new samples)
-            # ++ the first `hist` samples of frame s+1.
-            head = stream[: b * new].reshape(b, new)
-            tail = jnp.pad(stream[new:],
-                           (0, new - hist)).reshape(b, new)[:, :hist]
-            rows = jnp.concatenate([head, tail], axis=1)
-        else:
-            # Non-production geometries (history > advance): gather.
-            idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * new
-                   + jnp.arange(self.config.block_len,
-                                dtype=jnp.int32)[None, :])
-            rows = jnp.take(stream, idx, axis=0)
-        out = self._detect_batch(iq_mod.u16_to_iq_jax(rows))
-        return out, stream[stream.shape[0]
-                           - self.config.history_len:]
+        rows, carry = unfold_stream(new_u16, carry_u16,
+                                    self.config.block_len,
+                                    self.config.history_len)
+        return self._detect_batch(iq_mod.u16_to_iq_jax(rows)), carry
 
     # -- host API ------------------------------------------------------------
 

@@ -1,0 +1,40 @@
+"""Device-side overlap-save unfold of a contiguous sample stream.
+
+Shared by the single-chip detector (`BatchDetector.detect_raw_stream`)
+and the capture carrier gate (`CarrierGate.gate_stream`): both ship
+the stream's NEW samples (packed uint16 I/Q byte pairs) plus a
+device-resident history carry, and rebuild the overlap-save rows on
+device (reference geometry: fastcard/raw_reader.c:22-30).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def unfold_stream(new_u16, carry_u16, block_len, history_len):
+    """uint16 new samples [B*new_len] + carry [history_len] ->
+    (rows [B, block_len], new_carry [history_len]).
+
+    Row s spans ``full[s*new : s*new + block]`` where ``full`` is the
+    carry-prefixed stream -- i.e. ``[history | new]`` per block, the
+    standard overlap-save layout.  When history <= advance (true for
+    any usable unique-window geometry) the unfold is pure reshapes
+    (same trick as the sharded streaming program,
+    parallel/sharded.py -- a gather here is catastrophically slow on
+    TPU); other geometries fall back to a gather.
+    """
+    new = block_len - history_len
+    stream = jnp.concatenate([carry_u16, new_u16])
+    b = new_u16.shape[0] // new
+    if history_len <= new:
+        head = stream[: b * new].reshape(b, new)
+        tail = jnp.pad(stream[new:],
+                       (0, new - history_len)).reshape(b, new)[
+                           :, :history_len]
+        rows = jnp.concatenate([head, tail], axis=1)
+    else:
+        idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * new
+               + jnp.arange(block_len, dtype=jnp.int32)[None, :])
+        rows = jnp.take(stream, idx, axis=0)
+    return rows, stream[stream.shape[0] - history_len:]

@@ -133,9 +133,10 @@ class StreamPump:
                 import fcntl
                 fcntl.fcntl(self._stream.fileno(),
                             fcntl.F_SETPIPE_SZ, self._chunk)
-            except (AttributeError, OSError, ValueError):
+            except (AttributeError, OSError, ValueError, ImportError):
                 # BytesIO raises UnsupportedOperation (an OSError) on
-                # fileno(); non-pipe fds get EBADF/EINVAL -- all fine.
+                # fileno(); non-pipe fds get EBADF/EINVAL; platforms
+                # without fcntl just skip the tweak -- all fine.
                 pass
             readinto = getattr(self._stream, "readinto", None)
             if readinto is not None:
@@ -235,23 +236,32 @@ class StreamPump:
                 scratch[: self._hist_bytes] = \
                     scratch[valid - self._hist_bytes: valid].copy()
             batch_no += 1
-            idx = np.arange(block_idx, block_idx + n_blocks, dtype=np.int64)
+            ts, idx = self._stamps(block_idx, n_blocks, stamp)
             block_idx += n_blocks
-            # Per-block timestamps, backdated from the drain time by the
-            # block duration: a whole batch can span >1 s of stream, and
-            # the matchmaker needs each block's wall clock within its
-            # 0.2 s window (the reference stamps every block at capture).
-            block_dt = (self._block_bytes - self._hist_bytes) / 2 \
-                / self._sample_rate
-            if self._t0 is not None:
-                ts = self._t0 + idx * block_dt
-            else:
-                ts = stamp - (n_blocks - 1 - np.arange(n_blocks)) * block_dt
-            yield ts.astype(np.float64), idx, raw
+            yield ts, idx, raw
             if short:
                 if self._reader_error is not None:
                     raise self._reader_error
                 break
+
+    def _stamps(self, b0, n, stamp):
+        """(timestamps [n], indices [n]) for blocks b0..b0+n.
+
+        Deterministic ``t0 + idx*block_dt`` when t0 is set; otherwise
+        per-block wall clocks backdated from the drain time by the
+        block duration -- a whole batch can span >1 s of stream, and
+        the matchmaker needs each block's wall clock within its 0.2 s
+        window (the reference stamps every block at capture).  ONE
+        implementation for all three ingest paths, so --device-unfold
+        timestamps can never skew against the host path.
+        """
+        block_dt = self._new_bytes / 2 / self._sample_rate
+        idx = np.arange(b0, b0 + n, dtype=np.int64)
+        if self._t0 is not None:
+            ts = self._t0 + idx * block_dt
+        else:
+            ts = stamp - (n - 1 - np.arange(n)) * block_dt
+        return ts.astype(np.float64), idx
 
     def batches_contiguous(self):
         """Yield (timestamps [b], indices [b], new_raw [b*new_bytes]).
@@ -263,15 +273,7 @@ class StreamPump:
         cache; live sources pay exactly one host copy (ring -> warm
         buffer).  Timestamp/index semantics match :meth:`batches`.
         """
-        block_dt = self._new_bytes / 2 / self._sample_rate
-
-        def stamps(b0, n, stamp):
-            idx = np.arange(b0, b0 + n, dtype=np.int64)
-            if self._t0 is not None:
-                ts = self._t0 + idx * block_dt
-            else:
-                ts = stamp - (n - 1 - np.arange(n)) * block_dt
-            return ts.astype(np.float64), idx
+        stamps = self._stamps
 
         if self._mm is not None:
             mm, start = self._mm
@@ -320,7 +322,6 @@ class StreamPump:
         n_total = (len(base) - start) // self._new_bytes
         pool = [np.empty((self._batch_size, self._block_bytes), np.uint8)
                 for _ in range(BUF_POOL)]
-        block_dt = self._new_bytes / 2 / self._sample_rate
         b0 = 0
         batch_no = 0
         while b0 < n_total:
@@ -362,12 +363,8 @@ class StreamPump:
                     self._native.copy_rows(
                         base, off - self._hist_bytes, out,
                         self._new_bytes)
-            idx = np.arange(b0, b0 + n, dtype=np.int64)
-            if self._t0 is not None:
-                ts = self._t0 + idx * block_dt
-            else:
-                ts = stamp - (n - 1 - np.arange(n)) * block_dt
-            yield ts.astype(np.float64), idx, out
+            ts, idx = self._stamps(b0, n, stamp)
+            yield ts, idx, out
             b0 += n
             batch_no += 1
 

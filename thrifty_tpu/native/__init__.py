@@ -312,6 +312,11 @@ class RingBuffer:
             return None
         base = _lib.ttpu_ring_base(self._ring)
         buf = (ctypes.c_ubyte * n).from_address(base + off.value)
+        # The view must keep the RingBuffer (and thus the C buffer)
+        # alive: from_address carries no ownership, so without this a
+        # ring GC'd while a view is outstanding would leave the view
+        # pointing into freed heap memory.
+        buf._owner = self
         # ctypes views carry format '<B'; cast to plain 'B' so slice
         # assignment and readinto() accept it.
         return memoryview(buf).cast("B")

@@ -75,24 +75,13 @@ class CarrierGate:
         return self._detect_blocks(iq.raw_to_iq_jax(raw))
 
     def _program_stream(self, new_u16, carry):
-        # Device-side overlap-save, same reshape unfold as
-        # BatchDetector._detect_batch_stream (history <= advance by
-        # the unique-window design).
-        import jax.numpy as jnp
-
         from thrifty_tpu.dsp import iq
+        from thrifty_tpu.dsp.unfold import unfold_stream
 
-        hist = self.history_len
-        new = self.block_len - hist
-        stream = jnp.concatenate([carry, new_u16])
-        b = new_u16.shape[0] // new
-        head = stream[: b * new].reshape(b, new)
-        tail = jnp.pad(stream[new:],
-                       (0, new - hist)).reshape(b, new)[:, :hist]
-        # rows = full[s*new : s*new+block] = [history | new] per block.
-        rows = jnp.concatenate([head, tail], axis=1)
-        out = self._detect_blocks(iq.u16_to_iq_jax(rows))
-        return out, stream[stream.shape[0] - hist:]
+        rows, new_carry = unfold_stream(new_u16, carry,
+                                        self.block_len,
+                                        self.history_len)
+        return self._detect_blocks(iq.u16_to_iq_jax(rows)), new_carry
 
     def __call__(self, raw):
         import jax.numpy as jnp
