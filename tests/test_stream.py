@@ -286,3 +286,31 @@ class TestMmapPath:
             assert "mmap" in pump.stats_line()
             assert pump.overflows == 0
             list(pump.batches())
+
+
+class TestBatchesContiguous:
+    def test_matches_batches_bytes(self, tmp_path):
+        # Contiguous yields exactly the NEW bytes of each batch that
+        # batches() unfolds into rows -- both ingest paths (mmap+ring).
+        data = make_stream(2 * 28 * 11 + 3)
+        p = tmp_path / "s.raw"
+        p.write_bytes(data)
+        for src in (lambda: io.BytesIO(data),
+                    lambda: open(p, "rb")):
+            rows = [
+                (idx.copy(), raw.copy()) for _, idx, raw in
+                StreamPump(src(), 64, 16, 3, t0=1.0).batches()]
+            flat = [
+                (idx.copy(), raw.copy()) for _, idx, raw in
+                StreamPump(src(), 64, 16, 3, t0=1.0)
+                .batches_contiguous()]
+            assert len(rows) == len(flat)
+            for (i1, r1), (i2, r2) in zip(rows, flat):
+                np.testing.assert_array_equal(i1, i2)
+                # new bytes of each row == the contiguous slice
+                np.testing.assert_array_equal(
+                    r1[:, 2 * 16:].reshape(-1), r2)
+
+    def test_sub_block_stream_yields_nothing(self):
+        pump = StreamPump(io.BytesIO(b"\x80" * 10), 64, 16, 3)
+        assert list(pump.batches_contiguous()) == []
