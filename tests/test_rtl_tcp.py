@@ -498,3 +498,17 @@ def test_reconnect_many_random_even_drops():
         assert got == payload, \
             "trial %d splits %r: splice corrupted" % (trial, splits)
         assert src.reconnects == len(splits)
+
+
+def test_ppm_forwarded_to_dongle(burst_stream, tmp_path):
+    _, tpl = burst_stream
+    np.save(tmp_path / "tpl.npy", tpl)
+    srv = FakeRtlTcpServer(payload=b"\x80" * 4096)
+    assert main(["detect", "--rtl-tcp", "127.0.0.1:%d" % srv.port,
+                 "--ppm", "-12", "--quiet",
+                 "--template", str(tmp_path / "tpl.npy"),
+                 "-o", str(tmp_path / "x.toad")]) == 0
+    srv.join()
+    # u32-wrapped exactly as librtlsdr's server reads it back.
+    assert (rtl_tcp.CMD_SET_FREQ_CORRECTION,
+            (-12) & 0xFFFFFFFF) in srv.commands

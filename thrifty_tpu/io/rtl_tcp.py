@@ -90,7 +90,7 @@ def parse_hostport(text, default_port=1234):
 
 
 def make_source_cli(hostport, config, bias_tee=False, reconnect=0,
-                    quiet=False):
+                    quiet=False, ppm=None):
     """``make_source`` with the CLIs' shared failure convention.
 
     Returns the source, or ``None`` after printing ``stream error:``
@@ -102,7 +102,7 @@ def make_source_cli(hostport, config, bias_tee=False, reconnect=0,
 
     try:
         src = make_source(hostport, config, bias_tee=bias_tee,
-                          reconnect=reconnect)
+                          reconnect=reconnect, ppm=ppm)
     except OSError as e:
         print("stream error: {}".format(e), file=sys.stderr)
         return None
@@ -111,17 +111,21 @@ def make_source_cli(hostport, config, bias_tee=False, reconnect=0,
     return src
 
 
-def make_source(hostport, config, bias_tee=False, reconnect=0):
+def make_source(hostport, config, bias_tee=False, reconnect=0,
+                ppm=None):
     """Build the rtl_tcp source a CLI asked for.
 
     Shared by the detect / capture / scope entry points so the tuner
     configuration (from the settings registry) and the
-    reconnect-vs-plain choice live in one place.
+    reconnect-vs-plain choice live in one place.  ``ppm``: crystal
+    frequency correction forwarded to the dongle
+    (SET_FREQ_CORRECTION; librtlsdr's rtlsdr_set_freq_correction).
     """
     host, port = parse_hostport(hostport)
     kwargs = dict(frequency=config.tuner_freq,
                   sample_rate=config.sample_rate,
-                  gain_db=config.tuner_gain, bias_tee=bias_tee)
+                  gain_db=config.tuner_gain, bias_tee=bias_tee,
+                  freq_correction_ppm=ppm)
     if reconnect:
         return ReconnectingRtlTcpSource(host, port,
                                         max_retries=reconnect, **kwargs)

@@ -269,7 +269,8 @@ def _record_main(config, args):
         in_stream = rtl_tcp_mod.make_source_cli(
             args.rtl_tcp, config,
             bias_tee=getattr(args, "bias_tee", False),
-            reconnect=getattr(args, "reconnect", 0), quiet=args.quiet)
+            reconnect=getattr(args, "reconnect", 0), quiet=args.quiet,
+            ppm=getattr(args, "ppm", None))
         if in_stream is None:
             return 1
         sdr = True
@@ -389,6 +390,9 @@ def _main(argv=None):
                              "(configures freq/sample-rate/gain on "
                              "connect; the network replacement for the "
                              "reference's in-process librtlsdr binding)")
+    parser.add_argument("--ppm", type=int, default=None,
+                        help="crystal frequency correction in ppm "
+                             "forwarded to the rtl_tcp dongle")
     parser.add_argument("--bias-tee", action="store_true",
                         help="with --rtl-tcp: enable the dongle's bias "
                              "tee (antenna power)")

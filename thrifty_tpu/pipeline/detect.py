@@ -155,6 +155,9 @@ def _main(argv=None):
                         help="detect live from an rtl_tcp server "
                              "(implies --raw; configures freq/"
                              "sample-rate/gain on connect)")
+    parser.add_argument("--ppm", type=int, default=None,
+                        help="crystal frequency correction in ppm "
+                             "forwarded to the rtl_tcp dongle")
     parser.add_argument("--bias-tee", action="store_true",
                         help="with --rtl-tcp: enable the dongle's bias "
                              "tee (antenna power)")
@@ -265,7 +268,7 @@ def _main(argv=None):
 
         in_stream = rtl_tcp_mod.make_source_cli(
             args.rtl_tcp, config, bias_tee=args.bias_tee,
-            reconnect=args.reconnect, quiet=args.quiet)
+            reconnect=args.reconnect, quiet=args.quiet, ppm=args.ppm)
         if in_stream is None:
             return 1
         args.raw = True
