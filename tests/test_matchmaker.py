@@ -90,6 +90,10 @@ class TestBatchedEquivalence:
         dict(n=200, seed=4, ntx=5, nrx=6, span=500.0),
         # Heavy ties: quantized timestamps and energies.
         dict(n=500, seed=5, ntx=2, nrx=3, span=10.0, quantize=True),
+        # Pathological self-collision: one tx, few rx, everything in a
+        # couple of windows -> long incumbent chains with energy ties
+        # (exercises the segmented running-argmax collision path).
+        dict(n=800, seed=6, ntx=1, nrx=2, span=2.0, quantize=True),
     ]
 
     def _fuzz(self, n, seed, ntx=3, nrx=4, span=20.0, quantize=False):

@@ -96,17 +96,55 @@ def _group_seeds(ts, window):
     return seeds[np.searchsorted(seeds, np.arange(m), side="right") - 1]
 
 
+def _seg_running_winner(values, start_pos):
+    """Per-position running winner of each segment, ties replaced.
+
+    ``start_pos[i]`` is the first position of position i's segment
+    (segments are contiguous).  Returns ``inc`` with ``inc[i]`` = the
+    last position ``p <= i`` in i's segment whose value is >= every
+    earlier segment value -- exactly the reference matchmaker's
+    dict-overwrite incumbent after processing position i
+    (thrifty/matchmaker.py:44-57: strict '>' keeps the incumbent, so a
+    tie replaces it).  Exact (no key packing): a position updates the
+    incumbent iff it attains the segment's running max at its own
+    time, and the incumbent is the last such position, both computed
+    with log-doubling segmented cumulative maxima.
+    """
+    n = len(values)
+    pos = np.arange(n, dtype=np.int64)
+    # Doubling stops once the window covers the longest segment.
+    kmax = int(np.max(pos - start_pos)) + 1 if n else 1
+    run_max = np.asarray(values, dtype=np.float64).copy()
+    k = 1
+    while k < kmax:
+        valid = (pos - start_pos >= k)[k:]
+        np.maximum(run_max[k:], np.where(valid, run_max[:-k],
+                                         -np.inf), out=run_max[k:])
+        k *= 2
+    # Positions that attained their own running max (== update events).
+    inc = np.where(values == run_max, pos, np.int64(-1))
+    k = 1
+    while k < kmax:
+        valid = (pos - start_pos >= k)[k:]
+        np.maximum(inc[k:], np.where(valid, inc[:-k],
+                                     np.int64(-1)), out=inc[k:])
+        k *= 2
+    return inc
+
+
 def match_detections_arrays(detections, window=0.2):
     """Array-native core of the batched matchmaker.
 
     Groups every tx's detections in O(n log n) vectorized numpy (seed
     chain from one ``searchsorted`` jump table, per-(group, rx) winners
     from a composite-key stable argsort plus two segmented reduceats)
-    rather than the reference's per-seed inner scan.  Only collision
-    runs -- several detections of one tx on one rx inside one window,
-    an error condition that is rare by construction -- fall back to a
-    tiny per-run loop so the reference's running-best collision pair
-    order (thrifty/matchmaker.py:44-52) is reproduced exactly.
+    rather than the reference's per-seed inner scan.  Collision pairs
+    -- several detections of one tx on one rx inside one window -- are
+    also emitted fully vectorized: the reference's running-best
+    incumbent chain (thrifty/matchmaker.py:44-52) is a segmented
+    running-argmax with ties replacing (:func:`_seg_running_winner`),
+    so even pathological self-colliding traffic costs no per-pair
+    Python work.
 
     Returns a dict of numpy arrays; groups ordered by seed index (the
     reference's scan order), members by first appearance of their rx:
@@ -134,7 +172,7 @@ def match_detections_arrays(detections, window=0.2):
                     seeds=np.empty(0, np.int64),
                     collisions=np.empty((0, 2), np.int64))
 
-    collisions = []  # (seed, prev_best, j) sort keys; seed stripped below
+    collisions = []  # per-tx (seed, incumbent, challenger) array triples
     tx_seed, tx_off, tx_cnt, tx_flat = [], [], [], []
     base = 0         # offset of this tx's winners in the flat array
 
@@ -172,21 +210,20 @@ def match_detections_arrays(detections, window=0.2):
                           np.arange(len(e_s), dtype=np.int64), -1)
         winner = loc_s[np.maximum.reduceat(at_max, run_start)]
 
-        # Collision pairs only exist in multi-member runs (same tx, same
-        # rx, one window) -- an error condition that is rare by
-        # construction, so an exact per-run replay costs ~nothing.
-        for r in np.flatnonzero(run_end - run_start > 1):
-            members = loc_s[run_start[r]:run_end[r]]
-            s = int(idx[g_s[run_start[r]]])
-            win = int(members[0])
-            for j in members[1:]:
-                j = int(j)
-                # The reference emits pairs while scanning the whole
-                # group in j order (rx runs interleaved), groups in seed
-                # order -- keyed here by (group seed, j) to reproduce it.
-                collisions.append((s, int(idx[win]), int(idx[j])))
-                if not e_l[win] > e_l[j]:
-                    win = j
+        # Collision pairs only exist in multi-member runs (same tx,
+        # same rx, one window).  Every position past its run's start
+        # pairs the run's running incumbent with itself; the reference
+        # emits pairs while scanning the whole group in j order (rx
+        # runs interleaved), groups in seed order -- keyed here by
+        # (group seed, j) and ordered once at the end.
+        multi = ~change
+        if multi.any():
+            start_pos = np.repeat(run_start, counts)
+            inc = _seg_running_winner(e_s, start_pos)
+            p = np.flatnonzero(multi)
+            collisions.append((idx[g_s[p]],
+                               idx[loc_s[inc[p - 1]]],
+                               idx[loc_s[p]]))
 
         # Per group: runs ordered by first appearance of the rx, which
         # is the reference's dict insertion order; the seed's run is
@@ -215,8 +252,14 @@ def match_detections_arrays(detections, window=0.2):
     # gather index = source offset of each group + position within it
     gather = np.repeat(off_all[order] - offsets[:-1], cnt_o) \
         + np.arange(offsets[-1], dtype=np.int64)
-    coll = np.array(sorted(collisions, key=lambda c: (c[0], c[2])),
-                    dtype=np.int64).reshape(-1, 3)[:, 1:]
+    if collisions:
+        seed_c = np.concatenate([c[0] for c in collisions])
+        inc_c = np.concatenate([c[1] for c in collisions])
+        j_c = np.concatenate([c[2] for c in collisions])
+        order_c = np.lexsort((j_c, seed_c))
+        coll = np.stack([inc_c[order_c], j_c[order_c]], axis=1)
+    else:
+        coll = np.empty((0, 2), np.int64)
     return dict(winners=flat[gather], offsets=offsets,
                 seeds=seed_all[order], collisions=coll)
 
@@ -240,7 +283,11 @@ def match_detections_batched(detections, window=0.2, min_match=2):
             matches.append(flat[a:b])
         else:
             misses.append(s)
-    return matches, misses, list(map(tuple, arr["collisions"]))
+    # zip over the .tolist() columns: tuple(ndarray_row) per pair is
+    # ~50x slower when collision traffic is heavy.
+    coll = arr["collisions"]
+    return matches, misses, list(zip(coll[:, 0].tolist(),
+                                     coll[:, 1].tolist()))
 
 
 def save_matches(stream_or_path, matches):
