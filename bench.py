@@ -333,6 +333,10 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
                     "mmap" if getattr(pump, "_mm", None) is not None
                     else "ring")
                 pump_info["ring_stalls"] = pump.overflows
+                # Unmap deterministically: run_once repeats over a
+                # multi-GB file, and the mappings otherwise live
+                # until GC.
+                pump.close()
             return blocks_done, elapsed, pump_info
 
         # Best of N over the same file: single runs on this shared

@@ -96,6 +96,16 @@ def test_nearest_gain_reference_semantics():
 def test_parse_hostport():
     assert rtl_tcp.parse_hostport("radio:2001") == ("radio", 2001)
     assert rtl_tcp.parse_hostport("radio") == ("radio", 1234)
+    # IPv6: bracket syntax with/without port, and a bare literal.
+    assert rtl_tcp.parse_hostport("[::1]:2001") == ("::1", 2001)
+    assert rtl_tcp.parse_hostport("[::1]") == ("::1", 1234)
+    assert rtl_tcp.parse_hostport("[fe80::2]:") == ("fe80::2", 1234)
+    assert rtl_tcp.parse_hostport("fe80::2") == ("fe80::2", 1234)
+    # Malformed inputs are readable ValueErrors, not tracebacks from
+    # int('') -- make_source_cli maps them to 'stream error:' exit 1.
+    for bad in ("radio:", "radio:abc", "[::1", "[::1]x"):
+        with pytest.raises(ValueError):
+            rtl_tcp.parse_hostport(bad)
 
 
 def test_handshake_and_stream():

@@ -501,25 +501,22 @@ class BatchDetector:
         stream.  Pre-stream history is zero-signal (0x80 bytes), the
         same convention as the host unfold.
         """
-        new_raw = np.asarray(new_raw, dtype=np.uint8)
-        if new_raw.size % (2 * self.new_len):
-            raise ValueError("stream bytes must be a whole number of "
-                             "blocks (pad the final batch)")
         if not hasattr(self, "_detect_stream_jit"):
             self._detect_stream_jit = jax.jit(self._detect_batch_stream)
-        if getattr(self, "_stream_carry", None) is None:
-            self.reset_stream()
-        # Little-endian byte-pair view == the device bitcast packing.
-        u16 = new_raw.view(np.uint16)
-        out, self._stream_carry = self._detect_stream_jit(
-            u16, self._stream_carry)
-        return out
+        return self._stream_state.call(self._detect_stream_jit, new_raw,
+                                       new_len=self.new_len)
+
+    @property
+    def _stream_state(self):
+        from thrifty_tpu.dsp.unfold import StreamCarry
+        if getattr(self, "_stream_carry_state", None) is None:
+            self._stream_carry_state = StreamCarry(self.config.history_len)
+        return self._stream_carry_state
 
     def reset_stream(self):
         """Reset :meth:`detect_raw_stream`'s device-side history carry
         to the zero-signal (0x8080) pre-stream state."""
-        self._stream_carry = jnp.full(
-            (self.config.history_len,), 0x8080, dtype=jnp.uint16)
+        self._stream_state.reset()
 
     def soa(self, block_idx, corr_sample, corr_offset):
         """Absolute sample-of-arrival since receiver start (host, float64).

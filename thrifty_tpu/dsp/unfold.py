@@ -12,6 +12,46 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+ZERO_SIGNAL_U16 = 0x8080  # two 0x80 raw bytes = one zero-amplitude sample
+
+
+class StreamCarry:
+    """Host-side device-carry protocol for streaming overlap-save.
+
+    Owns the uint16 history carry (pre-stream state = zero-signal
+    ``0x8080`` byte pairs) and the uint8 -> packed-uint16
+    little-endian view that matches the device bitcast unpacking --
+    ONE implementation shared by the detector
+    (``BatchDetector.detect_raw_stream``) and the capture gate
+    (``CarrierGate.gate_stream``), so the carry convention can never
+    bifurcate between capture gating and detection numerics.
+    """
+
+    def __init__(self, history_len):
+        self.history_len = history_len
+        self.carry = None  # device array once streaming starts
+
+    def reset(self):
+        """Back to the zero-signal pre-stream state."""
+        self.carry = jnp.full((self.history_len,), ZERO_SIGNAL_U16,
+                              dtype=jnp.uint16)
+
+    def call(self, stream_fn, new_raw, new_len=None):
+        """Run jitted ``(new_u16, carry) -> (out, new_carry)``,
+        advancing the carry.  ``new_len``: optional whole-number-of-
+        blocks validation for the byte count."""
+        import numpy as np
+
+        new_raw = np.asarray(new_raw, dtype=np.uint8)
+        if new_len is not None and new_raw.size % (2 * new_len):
+            raise ValueError("stream bytes must be a whole number of "
+                             "blocks (pad the final batch)")
+        if self.carry is None:
+            self.reset()
+        out, self.carry = stream_fn(new_raw.view(np.uint16), self.carry)
+        return out
+
+
 def unfold_stream(new_u16, carry_u16, block_len, history_len):
     """uint16 new samples [B*new_len] + carry [history_len] ->
     (rows [B, block_len], new_carry [history_len]).

@@ -82,11 +82,30 @@ def nearest_gain(target_tenth_db, gains):
 
 
 def parse_hostport(text, default_port=1234):
-    """'host[:port]' -> (host, port)."""
-    host, sep, port = text.rpartition(":")
-    if not sep:
-        return text, default_port
-    return host, int(port)
+    """'host[:port]' -> (host, port).
+
+    IPv6 literals use the standard bracket syntax (``[::1]:1234`` or
+    ``[::1]``); a bare string with multiple colons and no bracket is
+    treated as an IPv6 host with the default port.  Raises ValueError
+    (with a readable message) on a malformed port.
+    """
+    if text.startswith("["):
+        host, sep, rest = text[1:].partition("]")
+        if not sep or (rest and not rest.startswith(":")):
+            raise ValueError("malformed rtl_tcp address: {!r}".format(text))
+        if not rest or rest == ":":
+            return host, default_port
+        port = rest[1:]
+    else:
+        host, sep, port = text.rpartition(":")
+        if not sep:
+            return text, default_port
+        if ":" in host:  # bare IPv6 literal, no port
+            return text, default_port
+    try:
+        return host, int(port)
+    except ValueError:
+        raise ValueError("bad rtl_tcp port in {!r}".format(text)) from None
 
 
 def make_source_cli(hostport, config, bias_tee=False, reconnect=0,
@@ -103,7 +122,9 @@ def make_source_cli(hostport, config, bias_tee=False, reconnect=0,
     try:
         src = make_source(hostport, config, bias_tee=bias_tee,
                           reconnect=reconnect, ppm=ppm)
-    except OSError as e:
+    except (OSError, ValueError) as e:
+        # ValueError: malformed host:port on the command line -- same
+        # supervisor-friendly exit as an unreachable radio.
         print("stream error: {}".format(e), file=sys.stderr)
         return None
     if not quiet:

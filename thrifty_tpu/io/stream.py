@@ -368,6 +368,32 @@ class StreamPump:
             b0 += n
             batch_no += 1
 
+    def close(self):
+        """Release the mmap / ring deterministically (best-effort).
+
+        Without this, a large file's mapping lives until GC collects
+        the pump.  If a consumer still holds zero-copy views over the
+        map (``batches_contiguous`` on a regular file), the OS mapping
+        survives until those arrays die -- mmap refuses to unmap
+        exported buffers -- so closing is safe at any time.  Idempotent;
+        also usable as a context manager.
+        """
+        if self._mm is not None:
+            mm, _ = self._mm
+            self._mm = None
+            try:
+                mm.close()
+            except BufferError:
+                pass  # zero-copy views still alive; GC finishes it
+        if self._ring is not None:
+            self._ring.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     @property
     def overflows(self) -> int:
         """Times the producer stalled on a full ring (backpressure)."""

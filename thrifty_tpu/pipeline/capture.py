@@ -91,21 +91,25 @@ class CarrierGate:
     def gate_stream(self, new_raw):
         """Gate CONTIGUOUS raw stream bytes uint8 [B*2*new_len]; the
         overlap-save unfold runs on device against a device-resident
-        carry (pre-stream history = 0x80 zero-signal bytes)."""
+        carry (pre-stream history = 0x80 zero-signal bytes).  The
+        carry protocol is the detector's own (`dsp.unfold.StreamCarry`),
+        so gate and detect numerics share one convention."""
         import jax
-        import jax.numpy as jnp
 
         if self.history_len is None:
             raise ValueError("gate_stream needs history_len")
         if not hasattr(self, "_stream_jit"):
             self._stream_jit = jax.jit(self._program_stream)
         if self._stream_carry is None:
-            self._stream_carry = jnp.full(
-                (self.history_len,), 0x8080, dtype=jnp.uint16)
-        u16 = np.asarray(new_raw, dtype=np.uint8).view(np.uint16)
-        out, self._stream_carry = self._stream_jit(
-            u16, self._stream_carry)
-        return out
+            from thrifty_tpu.dsp.unfold import StreamCarry
+            self._stream_carry = StreamCarry(self.history_len)
+        return self._stream_carry.call(self._stream_jit, new_raw)
+
+    def reset_stream(self):
+        """Reset the :meth:`gate_stream` carry to the pre-stream state
+        (reuse the gate on a new stream)."""
+        if self._stream_carry is not None:
+            self._stream_carry.reset()
 
 
 def card_header(config, window, tool="thrifty-tpu capture", sdr=False,
@@ -359,6 +363,7 @@ def _record_main(config, args):
                       config.sample_rate / 1e6), file=info_out)
         if pump is not None:
             print(pump.stats_line(), file=info_out)
+            pump.close()
     return exit_code
 
 

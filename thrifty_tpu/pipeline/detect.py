@@ -406,6 +406,7 @@ def _main(argv=None):
         if pump is not None:
             # Real-time margin report (cf. fastcard's at-exit stats).
             print(pump.stats_line(), file=info_out)
+            pump.close()
     return exit_code
 
 

@@ -128,9 +128,13 @@ def duplicate_mask(detections, ignore_txid=False):
         keys = ["rxid", "block", "timestamp"]
     else:
         keys = ["rxid", "txid", "block", "timestamp"]
-    # lexsort on the columns == sorting by the key tuple, but without
-    # materializing a packed structured copy and ~5x faster at serve
-    # window sizes (keys reversed: lexsort's primary key is LAST).
+    # lexsort on the columns sorts by the same key tuple as the
+    # previous structured-array argsort, without materializing a
+    # packed copy (~5x faster at serve window sizes; keys reversed:
+    # lexsort's primary key is LAST).  Rows tying on ALL keys (exact
+    # duplicate records) may order differently than the reference's
+    # unstable quicksort (thrifty/identify.py:148) -- both are
+    # unspecified there; lexsort is at least stable/deterministic.
     order = np.lexsort(tuple(detections[k] for k in reversed(keys)))
     cur = detections[order]
     prev = np.roll(cur, 1)
