@@ -130,6 +130,59 @@ class TestDetect:
         # kernel; the estimate stays the same order as the raw peak.
         assert float(mag1[0]) >= 0.7 * float(mag0[0])
 
+    def test_peak_filter_reference_semantics_on_wrapped_window(self):
+        # The reference filters the CONTIGUOUS wrapped window selection
+        # -- zero initial conditions at the window START, argmax over
+        # every filter output, peak index up to `delay` bins below the
+        # window (thrifty/carrier_detect.py:123-154).  Reproduce its
+        # exact float64 computation on a window crossing the
+        # negative-bin wrap; a whole-spectrum FIR with the mask rolled
+        # (the old formulation) mis-bins carriers near the wrap.
+        import scipy.signal
+
+        from thrifty_tpu.dsp import dirichlet
+        n, w = 1024, 300
+        weights = np.asarray(dirichlet.dirichlet_weights(5, n, w),
+                             dtype=np.float64)
+        sel = carrier.fft_window_indices(-10, 10, n)
+        mask = carrier.window_mask((-10, 10), n)
+        delay = len(weights) - int(np.argmax(weights)) - 1
+        for bin_f in (-3, -2, 2, 3, -9, 10):
+            x = synth_tone(n, bin_f, ampl=1.0, length=w, noise=0.05,
+                           seed=abs(bin_f))
+            mag = np.abs(np.fft.fft(x))
+            _, idx, pmag, _ = carrier.detect(
+                mag[None], mask, (0.0, 5.0, 0.0), peak_filter=weights)
+            filtered = np.sqrt(scipy.signal.lfilter(
+                weights[::-1] ** 2, 1, mag[sel] ** 2))
+            k = int(np.argmax(filtered))
+            assert int(idx[0]) == (k - delay + sel[0]) % n, bin_f
+            np.testing.assert_allclose(float(pmag[0]), filtered[k],
+                                       rtol=1e-5)
+
+    def test_peak_filter_symmetric_across_wrap(self):
+        # Identical carrier shapes at bins -b and +b inside a symmetric
+        # window must produce mirrored peak indices and (near-)equal
+        # filtered magnitudes -- the regression the old zero-padded
+        # whole-spectrum FIR failed.
+        from thrifty_tpu.dsp import dirichlet
+        n, w = 1024, 300
+        weights = dirichlet.dirichlet_weights(5, n, w)
+        mask = carrier.window_mask((-10, 10), n)
+        for b in (2, 3, 5):
+            mags = []
+            idxs = []
+            for bin_f in (b, -b):
+                x = synth_tone(n, bin_f, ampl=1.0, length=w, noise=0.0)
+                mag = np.abs(np.fft.fft(x))
+                _, idx, pmag, _ = carrier.detect(
+                    mag[None], mask, (0.0, 0.0, 0.0),
+                    peak_filter=weights)
+                mags.append(float(pmag[0]))
+                idxs.append(int(idx[0]))
+            assert idxs[0] == b and idxs[1] == n - b
+            np.testing.assert_allclose(mags[0], mags[1], rtol=1e-5)
+
     def test_batched(self):
         n = 512
         blocks = np.stack([

@@ -126,6 +126,68 @@ class TestEstimate:
         np.testing.assert_allclose(bat[0].tdoas["tdoa"],
                                    seq[0].tdoas["tdoa"], atol=1e-15)
 
+    def test_nearest_model_duplicate_timestamps_match_sequential(self):
+        """Several beacon pairs sharing one timestamp (same capture
+        block): bisect_left lands on the FIRST duplicate when the
+        mobile is at/before it and on the LAST when after -- the
+        batched emulation must reproduce both sides.  The duplicates
+        carry different clock residuals so a wrong pick is visible."""
+        from thrifty_tpu.io import toad as toad_mod
+
+        det = toad_mod.empty(10)
+        rows = [
+            (0, 9, 2.0, 2.0 * FS),            # duplicate ts group A
+            (1, 9, 2.0, 2.0 * FS + 100.0),
+            (0, 9, 2.0, 2.0 * FS + 5.0),      # duplicate ts group B
+            (1, 9, 2.0, 2.0 * FS + 100.0 + 9.0),
+            # mobile BEFORE the duplicates
+            (0, 3, 1.0, 1.0 * FS),
+            (1, 3, 1.0, 1.0 * FS + 100.0),
+            # mobile AT the duplicate timestamp
+            (0, 4, 2.0, 2.0 * FS + 1.0),
+            (1, 4, 2.0, 2.0 * FS + 101.0),
+            # mobile AFTER the duplicates
+            (0, 5, 3.0, 3.0 * FS),
+            (1, 5, 3.0, 3.0 * FS + 100.0),
+        ]
+        for i, (rx, tx, ts, soa) in enumerate(rows):
+            det[i]["rxid"] = rx
+            det[i]["txid"] = tx
+            det[i]["timestamp"] = ts
+            det[i]["block"] = int(soa // (16384 - 4920))
+            det[i]["soa"] = soa
+            det[i]["energy"] = 1000.0
+            det[i]["noise"] = 10.0
+        matches = [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+        beacon_pos = dict(BEACON_POS)
+        rx_pos = RX_POS
+        kwargs = dict(window_size=8, beacon_pos=beacon_pos,
+                      rx_pos=rx_pos, sample_rate=FS,
+                      model_builder=tdoa.build_model_nearest)
+        seq, _ = tdoa.estimate_tdoas(det, matches, batched=False, **kwargs)
+        bat, _ = tdoa.estimate_tdoas(det, matches, batched=True, **kwargs)
+        assert len(seq) == len(bat) == 3
+        for a, b in zip(seq, bat):
+            np.testing.assert_allclose(b.tdoas["tdoa"], a.tdoas["tdoa"],
+                                       atol=1e-15)
+
+    def test_sequential_nan_tdoa_is_failure_not_row(self):
+        """Corrupt (NaN) beacon SoAs in every window: the sequential
+        path must record failures -- not NaN .tdoa rows (the old
+        ``abs(tdoa) >= MAX_TDOA`` gate is False for NaN) and not an
+        aborted run (polyfit's SVD raises LinAlgError on NaN input)."""
+        det, matches = build_scenario()
+        beacon_rows = np.nonzero((det["txid"] == 9) & (det["rxid"] == 1))
+        det["soa"][beacon_rows] = np.nan
+        for builder in (tdoa.build_model_nearest, tdoa.build_model_poly):
+            for batched in (False, True):
+                groups, failures = tdoa.estimate_tdoas(
+                    det, matches, 8, BEACON_POS, RX_POS, FS,
+                    model_builder=builder, batched=batched)
+                for g in groups:
+                    assert np.all(np.isfinite(g.tdoas["tdoa"])), \
+                        (builder.__name__, batched)
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_batched_equivalence_random_scenarios(self, seed):
         """Property: on randomized traffic (irregular beacon cadence,

@@ -81,13 +81,33 @@ def apply_peak_filter(fft_mag, weights):
     return filtered, delay
 
 
+def _mask_to_selection(mask):
+    """Contiguous wrapped window selection from a window mask.
+
+    Reconstructs the reference's ``_get_window`` ordering
+    (thrifty/carrier_detect.py:123-130): FFT indices start..stop mod N
+    in signed-bin order.  The mask must describe one circular run (what
+    :func:`window_mask` produces); a full mask maps to 0..N-1.
+    """
+    mask = np.asarray(mask)
+    n = len(mask)
+    if mask.all():
+        return np.arange(n)
+    starts = np.flatnonzero(mask & ~np.roll(mask, 1))
+    if len(starts) != 1:
+        raise ValueError("peak_filter requires a contiguous "
+                         "(possibly wrapped) carrier window mask")
+    return (int(starts[0]) + np.arange(int(mask.sum()))) % n
+
+
 def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
     """Batched carrier detection on FFT magnitudes.
 
     Parameters
     ----------
     fft_mag : [..., N] float array (batch of FFT magnitudes)
-    mask : [N] bool array from :func:`window_mask`
+    mask : [N] bool numpy array from :func:`window_mask` (trace-time
+        constant)
     thresh_coeffs : (const, snr, stddev) static floats
     peak_filter : optional [W] unit-energy weights matching the peak's
         spectral shape (e.g. dirichlet.dirichlet_weights)
@@ -101,21 +121,30 @@ def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
     """
     n = fft_mag.shape[-1]
     if peak_filter is not None:
-        search_mag, delay = apply_peak_filter(fft_mag, peak_filter)
-        # The filter output at k estimates the peak ending at k; shift
-        # the search mask accordingly (reference applies the window to
-        # the filtered sequence and subtracts the delay afterwards).
-        search_mask = jnp.roll(jnp.asarray(mask), delay)
+        # Reference semantics (thrifty/carrier_detect.py:123-154): the
+        # FIR runs over the CONTIGUOUS wrapped window selection with
+        # zero initial conditions at the window start (so windows
+        # crossing the DC/negative-bin wrap see their real circular
+        # neighbors, and the first W-1 window bins see the reference's
+        # start-up transient), the argmax spans every filter output,
+        # and the reported peak index may fall up to ``delay`` bins
+        # below the window start.  One deliberate divergence: the peak
+        # index is reduced mod N (the reference's single ``> N``
+        # correction can leave index N itself unwrapped).
+        sel = _mask_to_selection(mask)
+        mag_win = jnp.take(fft_mag, jnp.asarray(sel), axis=-1)
+        filtered, delay = apply_peak_filter(mag_win, peak_filter)
+        filt_idx = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        peak_mag = jnp.take_along_axis(
+            filtered, filt_idx[..., None], axis=-1)[..., 0]
+        peak_idx = ((filt_idx - delay + int(sel[0])) % n).astype(
+            jnp.int32)
     else:
-        search_mag, delay = fft_mag, 0
-        search_mask = jnp.asarray(mask)
-
-    masked = jnp.where(search_mask, search_mag, -1.0)
-    filt_idx = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    peak_mag = jnp.take_along_axis(
-        search_mag, filt_idx[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
-    peak_idx = (filt_idx - delay) % n
+        masked = jnp.where(jnp.asarray(mask), fft_mag, -1.0)
+        peak_idx = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        peak_mag = jnp.take_along_axis(
+            fft_mag, peak_idx[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
 
     energy = jnp.sum(jnp.square(fft_mag), axis=-1)
     noise_rms = jnp.sqrt((energy - 2.0 * jnp.square(peak_mag)) / (n - 1))

@@ -255,8 +255,6 @@ class BatchDetector:
         # 'auto': the interleaved kernel wins on TPU; on CPU the
         # kernels fall back to the jnp reference anyway, so keep the
         # straight-line XLA program there.
-        import jax
-
         return ok and jax.default_backend() != "cpu"
 
     def _detect_batch(self, blocks):
@@ -336,7 +334,16 @@ class BatchDetector:
         """
         cfg = self.config
         if cfg.sync_mode == "fractional":
-            shift_bins = -(c_idx.astype(jnp.float32) + c_off)
+            # Wrap the peak's FFT index to its SIGNED bin before
+            # building the phase ramp: ramps for s and s+N are
+            # mathematically identical (even N), but a |shift| ~ N ramp
+            # accumulates ~2*pi*N/2 radians of f32 phase and loses ~3
+            # decimal digits of carrier alignment for negative-
+            # frequency carriers (array index near N); the signed bin
+            # keeps the ramp phase small and exact.
+            n = cfg.block_len
+            signed = ((c_idx + n // 2) % n) - n // 2
+            shift_bins = -(signed.astype(jnp.float32) + c_off)
             shifted = shift.fractional_shift_fft(blocks, shift_bins)
             spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
         elif cfg.sync_mode == "integer":
@@ -345,7 +352,11 @@ class BatchDetector:
         elif cfg.sync_mode == "preshift":
             # Integer roll + per-block fractionally pre-shifted template:
             # fractional compensation without a second signal FFT.
-            shift_total = -(c_idx.astype(jnp.float32) + c_off)
+            # Signed-bin wrap as in 'fractional': at |shift| ~ N the
+            # f32 fractional part only has ~2e-3 granularity.
+            n = cfg.block_len
+            signed = ((c_idx + n // 2) % n) - n // 2
+            shift_total = -(signed.astype(jnp.float32) + c_off)
             int_shift = jnp.round(shift_total).astype(jnp.int32)
             frac = jnp.clip(shift_total - int_shift, -0.5, 0.5)
             shifted = shift.integer_roll_fft(fft, int_shift)

@@ -30,7 +30,11 @@ def iq_to_raw(iq: np.ndarray) -> np.ndarray:
     out[..., 0::2] = iq.real
     out[..., 1::2] = iq.imag
     # Clip to the ADC range: values outside [0, 255] would wrap modulo
-    # 256 in the uint8 cast and corrupt synthesized captures.
+    # 256 in the uint8 cast and corrupt synthesized captures.  The
+    # truncating cast (floor, ~-0.5 LSB bias) is deliberate parity
+    # with the reference's complex_to_raw
+    # (thrifty/block_data.py:55-67), which the committed golden
+    # captures were generated through.
     return np.clip(out * 128.0 + DC_OFFSET, 0.0, 255.0).astype(np.uint8)
 
 

@@ -28,6 +28,14 @@ MAX_DIST = 10e3  # search bounds beyond the receiver extent
 POSITION_FIELDS = ("group_id", "timestamp", "tx", "dop", "snr", "x", "y", "z")
 
 
+def position_dtype(dims):
+    """Structured dtype of a .pos record with `dims` coordinates
+    (group_id/tx i4, timestamp/dop/snr/coords f8)."""
+    return np.dtype(
+        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
+         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+
+
 class EstimationError(Exception):
     pass
 
@@ -138,9 +146,7 @@ def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False):
         else:
             print("Failed to estimate group #{}: underdetermined".format(
                 g.group_id), file=sys.stderr)
-    dtype = np.dtype(
-        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
-         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    dtype = position_dtype(dims)
     if not usable:
         return np.zeros(0, dtype=dtype)
 
@@ -230,9 +236,7 @@ def solve(tdoa_groups, rx_pos, weighted=False):
             # One pathological group must not abort the whole run.
             print("Failed to estimate group #{}: {}".format(
                 group.group_id, e), file=sys.stderr)
-    dtype = np.dtype(
-        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
-         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    dtype = position_dtype(dims)
     if not results:
         return np.zeros(0, dtype=dtype)
     return np.array(results, dtype=dtype)
@@ -349,15 +353,11 @@ def load_positions(stream_or_path):
     if data.size == 0:
         # Empty .pos (no fixes yet): 2-D layout by default.
         dims = 2
-        dtype = np.dtype(
-            [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
-             for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+        dtype = position_dtype(dims)
         return np.zeros(0, dtype=dtype)
     data = np.atleast_2d(data)
     dims = data.shape[1] - 5
-    dtype = np.dtype(
-        [(f, "f8" if i > 2 else ("i4" if f != "timestamp" else "f8"))
-         for i, f in enumerate(POSITION_FIELDS[:5 + dims])])
+    dtype = position_dtype(dims)
     out = np.zeros(len(data), dtype=dtype)
     for i, name in enumerate(out.dtype.names):
         out[name] = data[:, i]

@@ -277,8 +277,13 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
             else:
                 sdoa = [expected_sdoa(rx0, rx1, int(p[0]["txid"]))
                         for p in pairs]
-                model = model_builder(pairs, sdoa, sample_rate,
-                                      **model_params)
+                try:
+                    model = model_builder(pairs, sdoa, sample_rate,
+                                          **model_params)
+                except np.linalg.LinAlgError:
+                    # Corrupt SoAs (NaN) can reach polyfit's SVD; one
+                    # bad window is a failure, not an aborted run.
+                    model = None
                 quality = model_quality(pairs) if model is not None \
                     else 0.0
                 if window_key is not None:
@@ -287,7 +292,11 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
                 failures.append((i0, i1))
                 continue
             tdoa = model(det0, det1)
-            if tdoa is None or abs(tdoa) >= MAX_TDOA:
+            # `not (< MAX)` instead of `>= MAX`: a NaN tdoa (corrupt
+            # SoA surviving into a polyfit) must be a failure, not a
+            # NaN row in the .tdoa file -- matching the batched path's
+            # rejection of non-finite values.
+            if tdoa is None or not abs(tdoa) < MAX_TDOA:
                 failures.append((i0, i1))
                 continue
             snr = ((det0["energy"] / det0["noise"]) ** 2
@@ -503,17 +512,27 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
                 + coef[inv, 2]
             tdoa_v = (det0["soa"][sel] - pred) / sample_rate
         elif model == "nearest":
-            # Difference against the nearest kept beacon transmission
-            # (build_model_nearest), one masked argmin per row.
-            dist = np.where(keep[inv],
-                            np.abs(arr["t"][idx][inv] - ts0[:, None]),
-                            np.inf)
-            # Tie rule mirrors build_model_nearest's bisect: on an
-            # exactly equidistant pair the LATER beacon wins (the
-            # strict `<` there keeps the right neighbor), whereas
-            # argmin would pick the earlier -- take the last minimal
-            # column (window columns are time-ordered).
-            j = dist.shape[1] - 1 - np.argmin(dist[:, ::-1], axis=1)
+            # Difference against the nearest kept beacon transmission:
+            # build_model_nearest's bisect emulated EXACTLY.  r = first
+            # kept column with t >= ts0 (bisect_left lands on the FIRST
+            # of duplicated timestamps), l = last kept column with
+            # t < ts0; l wins only on a strictly smaller distance (an
+            # equidistant pair goes right), which also reproduces the
+            # sequential path when several beacon pairs share one
+            # timestamp -- a plain masked argmin breaks both tie cases.
+            keep_r = keep[inv]
+            t_w = arr["t"][idx][inv]
+            ts0c = ts0[:, None]
+            ge = keep_r & (t_w >= ts0c)
+            lt = keep_r & (t_w < ts0c)
+            has_r, has_l = ge.any(axis=1), lt.any(axis=1)
+            rcol = np.argmax(ge, axis=1)
+            lcol = keep_r.shape[1] - 1 - np.argmax(lt[:, ::-1], axis=1)
+            take = lambda a, c: np.take_along_axis(a, c[:, None], 1)[:, 0]
+            d_l = np.abs(ts0 - take(t_w, lcol))
+            d_r = np.abs(take(t_w, rcol) - ts0)
+            use_l = has_l & (~has_r | (d_l < d_r))
+            j = np.where(use_l, lcol, rcol)  # garbage rows masked by r_ok
             soa1_w = arr["soa1"][idx]
             dsoa0 = det0["soa"][sel] - y[inv, j]
             dsoa1 = det1["soa"][sel] - soa1_w[inv, j]
