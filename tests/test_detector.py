@@ -204,6 +204,31 @@ def test_peak_filter_option(capture, output):
         assert est == pytest.approx(burst.carrier_bin, abs=0.02)
 
 
+def test_peak_filter_matches_oracle(capture):
+    """Filtered carrier stage vs the float64 oracle's reference-exact
+    _window_peak/_filter computation: identical verdicts/bins, peak
+    magnitudes within f32 noise (the filter surface just changed to
+    reference semantics; this pins it end-to-end)."""
+    from thrifty_tpu.dsp import dirichlet
+    from thrifty_tpu.oracle.numpy_ref import OracleDetector
+
+    n = 16384
+    flen = (n // len(capture.template) - 1) * 2
+    weights = dirichlet.dirichlet_weights(flen, n, len(capture.template))
+    det = BatchDetector(
+        capture.template,
+        DetectorConfig(carrier_window=(7, 110), peak_filter_len=-1))
+    out = {k: np.asarray(v) for k, v in det(capture.blocks).items()}
+    oracle = OracleDetector(capture.template, carrier_window=(7, 110),
+                            peak_filter=weights)
+    for i, block in enumerate(capture.blocks):
+        ref = oracle.detect_block(block)
+        assert bool(out["carrier_detect"][i]) == ref.carrier_detect, i
+        assert int(out["carrier_bin"][i]) == ref.carrier_bin, i
+        np.testing.assert_allclose(
+            out["carrier_energy"][i], ref.carrier_energy, rtol=1e-4)
+
+
 def test_single_row_bank_keeps_bank_semantics(capture):
     """A [1, L] bank must behave as a bank (template_idx present)."""
     det = BatchDetector(

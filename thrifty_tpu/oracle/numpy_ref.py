@@ -52,12 +52,15 @@ class OracleDetector:
 
     def __init__(self, template, block_len=16384, history_len=4920,
                  carrier_thresh=(0.0, 15.0, 0.0), carrier_window=None,
-                 corr_thresh=(0.0, 15.0, 0.0), interp_width=6):
+                 corr_thresh=(0.0, 15.0, 0.0), interp_width=6,
+                 peak_filter=None):
         self.block_len = block_len
         self.history_len = history_len
         self.carrier_thresh = carrier_thresh
         self.corr_thresh = corr_thresh
         self.interp_width = interp_width
+        self.peak_filter = None if peak_filter is None else \
+            np.asarray(peak_filter, dtype=np.float64)
 
         self.template = np.asarray(template, dtype=np.float64)
         tlen = len(self.template)
@@ -80,12 +83,28 @@ class OracleDetector:
         self.new_len = block_len - history_len
         self.carrier_len = tlen
 
-    # carrier stage (thrifty/carrier_detect.py:61-115)
+    # carrier stage (thrifty/carrier_detect.py:61-154)
     def carrier_detect(self, fft_mag):
         sel = fft_mag[self.carrier_idx]
-        k = int(np.argmax(sel))
-        peak_idx = int(self.carrier_idx[k])
-        peak_mag = sel[k]
+        if self.peak_filter is not None:
+            # Reference _filter/_window_peak: energy-domain FIR over
+            # the contiguous wrapped window selection (zero initial
+            # conditions at the window start), argmax over every
+            # filter output, peak index delay-corrected and may fall
+            # below the window (thrifty/carrier_detect.py:131-154).
+            import scipy.signal
+            w = self.peak_filter
+            delay = len(w) - int(np.argmax(w)) - 1
+            filt = np.sqrt(scipy.signal.lfilter(w[::-1] ** 2, 1,
+                                                sel ** 2))
+            k = int(np.argmax(filt))
+            peak_idx = int(
+                (k - delay + self.carrier_idx[0]) % len(fft_mag))
+            peak_mag = filt[k]
+        else:
+            k = int(np.argmax(sel))
+            peak_idx = int(self.carrier_idx[k])
+            peak_mag = sel[k]
         noise = np.sqrt(
             (np.sum(fft_mag**2) - 2 * peak_mag**2) / (len(fft_mag) - 1))
         c, s, d = self.carrier_thresh
