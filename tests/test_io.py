@@ -72,6 +72,32 @@ class TestCard:
         got = np.concatenate([b[1] for b in batches])
         assert got.tolist() == [0, 2]
 
+    def test_junk_head_row_does_not_poison_batch(self):
+        # A junk line that PARSES as '<float> <int> <valid-b64>' but
+        # with the wrong block size must be dropped alone -- it must
+        # not set the probed block size and silently drop every real
+        # row behind it (modal-length guard), in both the native
+        # tolerant batch decoder and the Python fallback.
+        import base64
+        enc = base64.b64encode(bytes(range(32))).decode()
+        blob = ("1.0 0 foob\n1.5 1 {e}\n2.0 2 {e}\n2.5 3 {e}\n"
+                .format(e=enc)).encode()
+        batches = list(card.iter_card_batches(io.BytesIO(blob), 4))
+        got = np.concatenate([b[1] for b in batches])
+        assert got.tolist() == [1, 2, 3]
+        assert batches[0][2].shape[1] == 32
+
+    def test_raw_batches_zero_history(self):
+        # history=0: `[-0:]` would carry the WHOLE block as the next
+        # tail (ever-growing blocks -> np.stack crash).
+        samples = np.arange(1, 41, dtype=np.uint8)
+        batches = list(blocks_io.raw_batches(
+            io.BytesIO(samples.tobytes()), 4, 0, batch_size=3,
+            timestamper=lambda: 0.0))
+        raw = np.concatenate([b[2] for b in batches])
+        assert raw.shape == (5, 8)
+        np.testing.assert_array_equal(raw.reshape(-1), samples)
+
 
 class TestToad:
     def make_detections(self, n=3):

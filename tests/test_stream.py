@@ -57,6 +57,24 @@ class TestStreamPump:
             np.testing.assert_array_equal(idx_a, idx_b)
             np.testing.assert_array_equal(raw_a, raw_b)
 
+    def test_zero_history_live_stream(self):
+        # history=0 through the fused ring path: the tail splice with
+        # `[-0:]` selected the whole row and broke the second batch.
+        size, history, batch = 64, 0, 3
+        data = make_stream(2 * size * 8)
+
+        class NoFileno(io.BytesIO):
+            def fileno(self):  # force the ring path (not mmap)
+                raise OSError("not a file")
+
+        pump = StreamPump(NoFileno(data), size, history, batch,
+                          timestamper=lambda: 0.0)
+        got = list(pump.batches())
+        raw = np.concatenate([b[2] for b in got])
+        assert raw.shape == (8, 2 * size)
+        np.testing.assert_array_equal(
+            raw.reshape(-1), np.frombuffer(data, dtype=np.uint8))
+
     def test_large_history_exact(self, tmp_path):
         # history > block/2 (hist_bytes > new_bytes): rows need stream
         # bytes spanning MORE than one previous block's new samples.

@@ -14,6 +14,7 @@ normally trigger (the reference's ForcibleDetector).
 
 from __future__ import annotations
 
+import sys
 import argparse
 
 import numpy as np
@@ -451,4 +452,4 @@ def _main(argv=None):
 
 
 if __name__ == "__main__":
-    _main()
+    sys.exit(_main())

@@ -119,4 +119,4 @@ def _main(argv=None):
 
 
 if __name__ == "__main__":
-    _main()
+    sys.exit(_main())

@@ -35,7 +35,9 @@ def raw_batches(stream, size, history, batch_size, timestamper=None):
             break
         new = np.frombuffer(chunk, dtype=np.uint8)
         block = np.concatenate([tail, new])
-        tail = block[-hist_bytes:]
+        # Explicit start offset: `[-hist_bytes:]` with history 0 would
+        # carry the WHOLE block as the next tail (ever-growing blocks).
+        tail = block[len(block) - hist_bytes:]
         ts_buf.append(timestamper())
         idx_buf.append(block_idx)
         raw_buf.append(block)

@@ -151,7 +151,17 @@ def _decode_batch(ts_buf, idx_buf, enc_buf):
         except (ValueError, binascii.Error):
             continue
     if decoded and len({len(d) for d in decoded}) != 1:
-        raise ValueError("inconsistent block sizes in .card file")
+        # A junk row that happens to be valid base64 of the wrong size
+        # is dropped like any other junk row (the native path's modal
+        # guard), not a fatal inconsistency.
+        sizes = np.asarray([len(d) for d in decoded])
+        uniq, counts = np.unique(sizes, return_counts=True)
+        # Tie-break toward the LARGER size (real rows are long).
+        modal = uniq[np.lexsort((uniq, counts))[-1]]
+        keep = [i for i, d in enumerate(decoded) if len(d) == modal]
+        decoded = [decoded[i] for i in keep]
+        ts_ok = [ts_ok[i] for i in keep]
+        idx_ok = [idx_ok[i] for i in keep]
     raw = np.stack(decoded) if decoded else np.zeros((0, 0), np.uint8)
     return (
         np.asarray(ts_ok, dtype=np.float64),

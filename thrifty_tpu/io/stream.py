@@ -225,7 +225,11 @@ class StreamPump:
             stamp = self._timestamper()
             if fused:
                 raw[0, : self._hist_bytes] = tail
-                tail = raw[-1, -self._hist_bytes:].copy()
+                # Explicit start offset: `[-self._hist_bytes:]` with
+                # history 0 would select the WHOLE row and break the
+                # next batch's splice.
+                tail = raw[-1, self._block_bytes - self._hist_bytes:] \
+                    .copy()
             else:
                 raw = pool[batch_no % BUF_POOL][:n_blocks]
                 np.copyto(raw, as_strided(

@@ -146,11 +146,25 @@ def b64decode_batch_tolerant(encoded_strings):
     lens = np.asarray([len(s) for s in encoded_strings], dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=offsets[1:])
     probe = np.zeros((int(lens.max()) // 4 + 2) * 3, dtype=np.uint8)
+    # Probe the block size from a row of the MODAL base64 length: a
+    # junk head row that happens to be valid (shorter) base64 must not
+    # set the size and silently drop every real block in the batch
+    # (parse_card_bytes applies the same modal-length guard).  If no
+    # modal-length row decodes, fall back to any decodable row.
+    uniq, counts = np.unique(lens, return_counts=True)
+    # Tie-break toward the LARGER length: real capture rows are long
+    # (kilobytes of base64), junk rows short.
+    modal = int(uniq[np.lexsort((uniq, counts))[-1]])
     got = -1
-    for r in range(n):  # first row that decodes cleanly sets the size
-        got = _lib.ttpu_b64_decode(
-            encoded_strings[r].encode("ascii"), int(lens[r]),
-            probe.ctypes.data, probe.size)
+    for pass_modal in (True, False):
+        for r in range(n):
+            if pass_modal != (int(lens[r]) == modal):
+                continue
+            got = _lib.ttpu_b64_decode(
+                encoded_strings[r].encode("ascii"), int(lens[r]),
+                probe.ctypes.data, probe.size)
+            if got > 0:
+                break
         if got > 0:
             break
     if got <= 0:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import sys
 import importlib.util
 import os
 
@@ -18,4 +19,4 @@ def _main(argv=None):
 
 
 if __name__ == "__main__":
-    _main()
+    sys.exit(_main())

@@ -7,6 +7,7 @@ bipolar template (reference thrifty/template_extract.py:36-58).
 
 from __future__ import annotations
 
+import sys
 import argparse
 
 import numpy as np
@@ -106,4 +107,4 @@ def _main(argv=None):
 
 
 if __name__ == "__main__":
-    _main()
+    sys.exit(_main())

@@ -7,6 +7,7 @@ sample_rate/chip_rate samples per chip with an integer sampler.
 
 from __future__ import annotations
 
+import sys
 import argparse
 
 import numpy as np
@@ -41,4 +42,4 @@ def _main(argv=None):
 
 
 if __name__ == "__main__":
-    _main()
+    sys.exit(_main())
