@@ -240,11 +240,21 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
         tmp.flush()
         file_bytes = tmp.tell()
 
-        # Compile outside the timed region.
+        # Compile outside the timed region -- the PROGRAM the timed
+        # loop will actually run (detect_raw_stream when device_unfold,
+        # detect_raw otherwise): relay compiles can exceed 10 minutes,
+        # and the transfer probe must cover the program whose outputs
+        # sink() gathers.
         drain_host = False
         if input_kind != "ingest":
-            dummy = np.full((batch, block_bytes), 128, np.uint8)
-            out = detector.detect_raw(dummy)
+            if device_unfold:
+                dummy_stream = np.full(
+                    batch * 2 * detector.new_len, 128, np.uint8)
+                out = detector.detect_raw_stream(dummy_stream)
+                detector.reset_stream()
+            else:
+                dummy = np.full((batch, block_bytes), 128, np.uint8)
+                out = detector.detect_raw(dummy)
             jax.block_until_ready(out)
             # Probe every field sink() will gather: on the tunnelled
             # backend, bool transfers can succeed while f32 outputs of
@@ -680,7 +690,7 @@ def main(argv=None):
         # Per-run spread through this environment's relay is +-20%
         # (docs/performance.md): report the median of several timing
         # runs so the recorded figure is stable run-to-run.
-        runs = sorted(timer() for _ in range(args.repeats))
+        runs = sorted(timer() for _ in range(max(args.repeats, 1)))
         sec_per_batch = runs[len(runs) // 2]
         # Relay-degradation heuristic: if the median is >2x slower than
         # the last known-good figure for this configuration, assume a
@@ -696,7 +706,7 @@ def main(argv=None):
                       "re-timing".format(args.batch * new_len
                                          / sec_per_batch, lastgood),
                       file=sys.stderr)
-            rerun = sorted(timer() for _ in range(args.repeats))
+            rerun = sorted(timer() for _ in range(max(args.repeats, 1)))
             runs = sorted(runs + rerun)
             sec_per_batch = min(sec_per_batch,
                                 rerun[len(rerun) // 2])

@@ -11,6 +11,10 @@ set -e
 CONFIG=${CONFIG:-/etc/thrifty-tpu/detector.cfg}
 OUTPUT=${OUTPUT:-/var/lib/thrifty-tpu/rx.toad}
 FIFO=${FIFO:-/tmp/thrifty-tpu-capture.fifo}
+
+# The output directory must exist (systemd's StateDirectory covers the
+# default; this covers custom OUTPUT paths and standalone runs).
+mkdir -p "$(dirname "$OUTPUT")"
 CAPTURE_CMD=${CAPTURE_CMD:-"rtl_sdr -f 433.83M -s 2.4M -g 29 -"}
 
 # Wait for NTP synchronisation: the matchmaker needs wall clocks aligned

@@ -121,8 +121,16 @@ def _pipeline():
         np.save(os.path.join(d, "tpl.npy"), tpl)
         card.write_card(os.path.join(d, "rx.card"), cap.timestamps,
                         cap.indices, iq.iq_to_raw(cap.blocks))
+        # Hermetic: an explicit empty config, or detect would pick up
+        # any ambient ./detector.cfg and the probe would depend on the
+        # operator's cwd (failing on a healthy node whose deployment
+        # config uses a different geometry than the synthetic capture).
+        cfg = os.path.join(d, "detector.cfg")
+        with open(cfg, "w"):
+            pass
         rc = detect_cli._main(
             [os.path.join(d, "rx.card"), "-o", os.path.join(d, "rx.toad"),
+             "-c", cfg,
              "--template", os.path.join(d, "tpl.npy"), "--quiet",
              "--carrier-window", "7-110"])
         assert rc in (0, None), "detect CLI rc={}".format(rc)

@@ -142,6 +142,12 @@ def _main(argv=None):
                              "freq/sample-rate/gain on connect) -- the "
                              "role of the reference's GNU Radio "
                              "scope.grc")
+    parser.add_argument("--ppm", type=int, default=None,
+                        help="crystal frequency correction in ppm "
+                             "forwarded to the rtl_tcp dongle (use the "
+                             "same value as detect/capture, or the "
+                             "scope shows carriers shifted by the "
+                             "crystal error)")
     keys = ["sample_rate", "block_size", "tuner_freq", "tuner_gain"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
@@ -159,7 +165,8 @@ def _main(argv=None):
     if args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
-        in_stream = rtl_tcp_mod.make_source_cli(args.rtl_tcp, config)
+        in_stream = rtl_tcp_mod.make_source_cli(args.rtl_tcp, config,
+                                                ppm=args.ppm)
         if in_stream is None:
             return 1
     elif args.input == "-":
@@ -173,6 +180,8 @@ def _main(argv=None):
             fig = plt.figure(figsize=(10, 7))
             count = 0
             for block in blocks:
+                if count >= args.frames:  # before writing: frames=0
+                    break                 # must export nothing
                 if state.feed(block):
                     state.render(fig)
                     path = "{}{:04d}.png".format(args.export, count)
@@ -181,7 +190,7 @@ def _main(argv=None):
                     count += 1
                     if count >= args.frames:
                         break
-            if count == 0:
+            if count == 0 and args.frames > 0:
                 print("no blocks crossed the trigger level",
                       file=sys.stderr)
                 return 1
