@@ -216,6 +216,66 @@ class TestRandomGeometryDifferential:
                     "%s: SoA diff %.2e" % (geom, soa_dev - soa_ref)
 
 
+class TestRandomGeometryBank:
+    """Random-geometry template-bank fuzz: bursts planted with a
+    random code from a 3-code Gold bank (all on one shared carrier)
+    must be detected in the right block with the right template_idx
+    and the planted lag, across all three sync modes -- bank
+    classification has no float64 oracle, so ground truth is the
+    planted identity (fixed-geometry coverage: test_code_division)."""
+
+    def test_bank_random_geometries(self):
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp import template as template_mod, xcorr
+        from thrifty_tpu.dsp.detector import BatchDetector, \
+            DetectorConfig
+
+        rng = np.random.default_rng(20260819)
+        trials = 0
+        while trials < 6:
+            bits = int(rng.integers(5, 8))
+            bank = template_mod.generate_bank(
+                bits, [0, 1, 2], float(rng.uniform(1.8, 2.4)))
+            tlen = bank.shape[1]
+            block = int(2 ** rng.integers(9, 13))
+            lo, hi = tlen + 1, block // 2
+            if lo >= hi:
+                continue
+            trials += 1
+            hist = int(rng.integers(lo, hi))
+            new = block - hist
+            num_blocks = int(rng.integers(4, 8))
+            wstart, wstop = xcorr.corr_window(block, hist, tlen)
+            cbin = int(rng.integers(7, block // 40))
+            sync = ("fractional", "integer", "preshift")[trials % 3]
+            bursts, planted = [], []
+            for b in range(1, num_blocks - 1):
+                lag = int(rng.integers(wstart, wstop))
+                code = int(rng.integers(0, 3))
+                bursts.append({"position": b * new + lag - hist,
+                               "carrier_bin": cbin,
+                               "amplitude": 0.7,
+                               "phase": float(rng.uniform(0, 6.28)),
+                               "template": bank[code]})
+                planted.append((b, lag, code))
+            stream = sim.synth_stream(num_blocks * new, bursts, bank[0],
+                                      block, noise_std=0.02, seed=trials)
+            blocks = sim.stream_to_blocks(stream, block, hist)
+            det = BatchDetector(bank, DetectorConfig(
+                block_len=block, history_len=hist, sync_mode=sync,
+                carrier_window=(3, block // 20)))
+            out = {k: np.asarray(v) for k, v in det(blocks).items()}
+            geom = "trial=%d bits=%d block=%d hist=%d sync=%s" % (
+                trials, bits, block, hist, sync)
+            for b, lag, code in planted:
+                assert bool(out["detected"][b]), "%s block=%d" % (geom, b)
+                assert int(out["template_idx"][b]) == code, \
+                    "%s block=%d: idx %d != planted %d" % (
+                        geom, b, int(out["template_idx"][b]), code)
+                assert int(out["corr_sample"][b]) == lag, \
+                    "%s block=%d" % (geom, b)
+
+
 class TestRandomGeometry:
     """Randomized (block, history, template, batch) geometry fuzz:
     for any valid overlap-save geometry, a burst planted at a known
