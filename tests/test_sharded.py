@@ -171,6 +171,61 @@ def test_stream_gather_replicates(detector):
     np.testing.assert_array_equal(detected[0], detected[1])
 
 
+def test_random_geometry_sharded_equality():
+    """Randomized (template, block, history) geometries x mesh shapes:
+    the halo-exchange streaming program must equal the single-device
+    detector on the same blocks.  Catches halo/unfold/tiling bugs at
+    shapes the fixed-geometry tests (and the production-geometry
+    dryrun) never visit."""
+    rng = np.random.default_rng(20260820)
+    mesh_shapes = [(2, 4), (1, 8), (4, 2)]
+    trials = 0
+    while trials < 3:
+        bits = int(rng.integers(5, 7))
+        tpl = template.generate(bits, 0, float(rng.uniform(1.8, 2.4)))
+        tlen = len(tpl)
+        block = int(2 ** rng.integers(9, 12))
+        lo, hi = tlen + 1, block // 2
+        if lo >= hi:
+            continue
+        hist = int(rng.integers(lo, hi))
+        num_rx, num_time = mesh_shapes[trials]
+        s_loc = int(rng.integers(2, 4))
+        total_blocks = num_time * s_loc
+        try:
+            caps = [sim.synth_capture(
+                num_blocks=total_blocks, bursts_every=2, template=tpl,
+                block_len=block, history_len=hist,
+                carrier_bin=float(min(40, block // 30)) + 0.25,
+                amplitude=0.8, noise_std=0.05, seed=100 + r,
+                quantize=False) for r in range(num_rx)]
+        except ValueError:
+            continue  # burst placement infeasible at this geometry
+        trials += 1
+        m = mesh_mod.make_mesh(num_rx=num_rx, num_time=num_time)
+        det = BatchDetector(tpl, DetectorConfig(
+            block_len=block, history_len=hist,
+            carrier_window=(3, max(block // 20, 5))))
+        streams = np.stack([
+            np.concatenate([c.blocks[b, hist:]
+                            for b in range(total_blocks)])
+            for c in caps])
+        fn = sharded.make_stream_detector(det, num_rx, s_loc, m)
+        out = {k: np.asarray(v)
+               for k, v in fn(sharded.shard_stream(streams, m)).items()}
+        geom = "trial=%d bits=%d block=%d hist=%d mesh=%dx%d" % (
+            trials, bits, block, hist, num_rx, num_time)
+        for r, cap in enumerate(caps):
+            ref = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+            np.testing.assert_array_equal(
+                out["detected"][r], ref["detected"], err_msg=geom)
+            np.testing.assert_array_equal(
+                out["corr_sample"][r], ref["corr_sample"], err_msg=geom)
+            np.testing.assert_allclose(
+                out["corr_offset"][r], ref["corr_offset"], atol=2e-4,
+                err_msg=geom)
+
+
 def test_stream_detector_with_template_bank():
     """The halo-exchange streaming program supports template banks:
     per-block winning template survives the rx/time sharding."""
