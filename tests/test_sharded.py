@@ -211,10 +211,16 @@ def test_random_geometry_sharded_equality():
                             for b in range(total_blocks)])
             for c in caps])
         fn = sharded.make_stream_detector(det, num_rx, s_loc, m)
-        out = {k: np.asarray(v)
-               for k, v in fn(sharded.shard_stream(streams, m)).items()}
+        dev = sharded.shard_stream(streams, m)
+        out = {k: np.asarray(v) for k, v in fn(dev).items()}
         geom = "trial=%d bits=%d block=%d hist=%d mesh=%dx%d" % (
             trials, bits, block, hist, num_rx, num_time)
+        # GSPMD twin must equal the shard_map program here too.
+        gs = sharded.make_stream_detector_gspmd(det, total_blocks, m)
+        out_gs = {k: np.asarray(v) for k, v in gs(dev).items()}
+        for k in out:
+            np.testing.assert_allclose(out_gs[k], out[k], atol=2e-4,
+                                       err_msg="%s gspmd:%s" % (geom, k))
         for r, cap in enumerate(caps):
             ref = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
             np.testing.assert_array_equal(
