@@ -225,3 +225,33 @@ class TestRingWriteView:
         ring.commit(0)
         ring.close()
         assert ring.write_view(8) is None
+
+
+class TestSanitizerStress:
+    """Build and run the C++ sanitizer stress harness when the
+    toolchain supports it (the reference ships no race detection;
+    SURVEY.md section 5).  ASan+UBSan only here -- TSan roughly
+    doubles the runtime and is covered by `make -C thrifty_tpu/native
+    stress` in development."""
+
+    def test_asan_stress(self):
+        import os
+        import shutil
+        import subprocess
+
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        d = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "thrifty_tpu", "native")
+        build = subprocess.run(
+            ["make", "-C", d, "stress_asan"],
+            capture_output=True, text=True, timeout=300)
+        if build.returncode != 0:
+            pytest.skip("sanitizer build unavailable: " +
+                        build.stderr[-200:])
+        run = subprocess.run(
+            [os.path.join(d, "stress_asan")],
+            env={**os.environ, "ASAN_OPTIONS": "halt_on_error=1"},
+            capture_output=True, text=True, timeout=300)
+        assert run.returncode == 0, run.stderr[-2000:]
+        assert "all checks passed" in run.stdout
