@@ -87,6 +87,31 @@ class TestCard:
         assert got.tolist() == [1, 2, 3]
         assert batches[0][2].shape[1] == 32
 
+    def test_non_ascii_junk_row_skipped(self):
+        # Binary garbage on a junk line (U+FFFD after the text read)
+        # must be dropped, not crash the ascii re-encode in the native
+        # tolerant batch decoder.
+        import base64
+        enc = base64.b64encode(bytes(range(32))).decode()
+        blob = ("1.0 0 {e}\n2.0 1 \xff\xfejunk\n3.0 2 {e}\n"
+                .format(e=enc)).encode("utf-8")
+        batches = list(card.iter_card_batches(io.BytesIO(blob), 3))
+        got = np.concatenate([b[1] for b in batches])
+        assert got.tolist() == [0, 2]
+
+    def test_mixed_size_capture_fails_loudly(self):
+        # A genuinely mixed-size capture (many rows of two sizes) is
+        # an error, not a silent majority vote -- same contract as the
+        # whole-file native parse.
+        import base64
+        a = base64.b64encode(bytes(range(32))).decode()
+        b = base64.b64encode(bytes(range(16))).decode()
+        rows = ["{}.0 {} {}".format(i, i, a if i % 2 else b)
+                for i in range(40)]
+        blob = ("\n".join(rows) + "\n").encode()
+        with pytest.raises(ValueError, match="inconsistent block sizes"):
+            list(card.iter_card_batches(io.BytesIO(blob), 40))
+
     def test_raw_batches_zero_history(self):
         # history=0: `[-0:]` would carry the WHOLE block as the next
         # tail (ever-growing blocks -> np.stack crash).

@@ -182,17 +182,29 @@ class BlockDiagnostics:
 
     def _plot_filtered_fft(self, ax):
         # Dirichlet matched peak filter on the magnitude spectrum
-        # (reference carrier_detect.py:128-154), via the same FIR the
-        # detector uses so the displayed alignment matches detection.
+        # (reference carrier_detect.py:128-154), computed EXACTLY as
+        # detection does: the FIR runs over the contiguous wrapped
+        # carrier-window selection with zero initial conditions at the
+        # window start, delay-realigned, so the displayed curve is the
+        # surface the peak search actually ran on (a whole-spectrum
+        # FIR would diverge at the window start and across the DC
+        # wrap).
         from thrifty_tpu.dsp.carrier import apply_peak_filter
         from thrifty_tpu.dsp.dirichlet import dirichlet_weights
         n = self.oracle.block_len
         w = dirichlet_weights((n // self.oracle.carrier_len - 1) * 2,
                               n, self.oracle.carrier_len)
-        filt, delay = apply_peak_filter(self.fft_mag[None, :], w)
-        filt = np.roll(np.asarray(filt)[0], -delay)
+        sel = self.oracle.carrier_idx
+        filt, delay = apply_peak_filter(
+            self.fft_mag[sel][None, :], w)
+        filt = np.asarray(filt)[0]
+        full = np.full(n, np.nan)
+        # Filter output at selection position k estimates the peak at
+        # position k - delay; place it there.
+        aligned = filt[delay:]
+        full[sel[: len(aligned)]] = aligned
         ax.plot(self.fft_mag, lw=0.3, label="|FFT|")
-        ax.plot(filt, lw=0.5, label="peak-filtered")
+        ax.plot(full, lw=0.5, label="peak-filtered (window)")
         ax.set_yscale("log")
         ax.legend()
         ax.set_title("Dirichlet peak-filtered spectrum")

@@ -152,12 +152,16 @@ def _decode_batch(ts_buf, idx_buf, enc_buf):
             continue
     if decoded and len({len(d) for d in decoded}) != 1:
         # A junk row that happens to be valid base64 of the wrong size
-        # is dropped like any other junk row (the native path's modal
-        # guard), not a fatal inconsistency.
+        # is dropped like any other junk row, keeping the
+        # dominant-by-bytes size (real rows are kilobytes, so byte
+        # mass out-votes short junk even in tiny batches).  A large
+        # mismatched fraction is a genuinely mixed-size capture and
+        # fails loudly (same cap as the native paths).
         sizes = np.asarray([len(d) for d in decoded])
         uniq, counts = np.unique(sizes, return_counts=True)
-        # Tie-break toward the LARGER size (real rows are long).
-        modal = uniq[np.lexsort((uniq, counts))[-1]]
+        modal = uniq[np.lexsort((uniq, uniq * counts))[-1]]
+        if np.sum(sizes != modal) > max(2, 0.1 * len(decoded)):
+            raise ValueError("inconsistent block sizes in .card file")
         keep = [i for i, d in enumerate(decoded) if len(d) == modal]
         decoded = [decoded[i] for i in keep]
         ts_ok = [ts_ok[i] for i in keep]

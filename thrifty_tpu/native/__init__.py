@@ -141,20 +141,27 @@ def b64decode_batch_tolerant(encoded_strings):
     n = len(encoded_strings)
     if n == 0:
         return np.zeros((0, 0), dtype=np.uint8), np.zeros(0, dtype=bool)
-    joined = "\n".join(encoded_strings).encode("ascii")
+    # errors='replace': junk lines can carry non-ASCII bytes (already
+    # U+FFFD after the text-mode read); '?' is not valid base64, so
+    # such rows are flagged bad instead of crashing the whole batch.
+    joined = "\n".join(encoded_strings).encode("ascii", "replace")
     offsets = np.zeros(n, dtype=np.int64)
     lens = np.asarray([len(s) for s in encoded_strings], dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=offsets[1:])
     probe = np.zeros((int(lens.max()) // 4 + 2) * 3, dtype=np.uint8)
-    # Probe the block size from a row of the MODAL base64 length: a
+    # Probe the block size from the DOMINANT-BY-BYTES base64 length: a
     # junk head row that happens to be valid (shorter) base64 must not
-    # set the size and silently drop every real block in the batch
-    # (parse_card_bytes applies the same modal-length guard).  If no
-    # modal-length row decodes, fall back to any decodable row.
+    # set the size and silently drop every real block in the batch,
+    # even if short junk rows outnumber real rows in a tiny batch
+    # (real capture rows are kilobytes; byte mass is the robust vote).
+    # A large length-mismatched fraction is a genuinely mixed-size
+    # capture, which must fail loudly -- same contract and cap as the
+    # whole-file parse_card_bytes.  If no modal-length row decodes,
+    # fall back to any decodable row.
     uniq, counts = np.unique(lens, return_counts=True)
-    # Tie-break toward the LARGER length: real capture rows are long
-    # (kilobytes of base64), junk rows short.
-    modal = int(uniq[np.lexsort((uniq, counts))[-1]])
+    modal = int(uniq[np.lexsort((uniq, uniq * counts))[-1]])
+    if np.sum(lens != modal) > max(2, 0.1 * n):
+        raise ValueError("inconsistent block sizes in .card file")
     got = -1
     for pass_modal in (True, False):
         for r in range(n):

@@ -117,13 +117,15 @@ static void ring_stress() {
     std::vector<uint8_t> rows(4 * kBlock);
     int64_t pos = 0;  // absolute stream offset consumed so far
     bool unfold_mode = false;
-    while (true) {
+    bool corrupt = false;  // NEVER return early: the producer blocks on
+                           // a full ring and unjoined threads terminate
+    while (!corrupt) {
         if (unfold_mode) {
             int64_t got_bytes = 0;
             int64_t blocks = ttpu_ring_read_unfold(
                 ring, rows.data(), kBlock, kHist, 4, &got_bytes, 3);
             if (blocks == 0) break;
-            for (int64_t b = 0; b < blocks; ++b) {
+            for (int64_t b = 0; b < blocks && !corrupt; ++b) {
                 // Row b spans stream [pos + b*new - hist, pos + b*new
                 // + new).  Row 0's history precedes this batch's ring
                 // span (the Python pump overwrites it with its carried
@@ -133,7 +135,8 @@ static void ring_stress() {
                     uint8_t want = (uint8_t)(abs & 0xFF);
                     if (rows[b * kBlock + i] != want) {
                         CHECK(false, "ring unfold pattern mismatch");
-                        return;
+                        corrupt = true;
+                        break;
                     }
                 }
             }
@@ -145,7 +148,8 @@ static void ring_stress() {
                 uint8_t want = (uint8_t)((pos + i) & 0xFF);
                 if (plain[i] != want) {
                     CHECK(false, "ring read pattern mismatch");
-                    return;
+                    corrupt = true;
+                    break;
                 }
             }
             pos += got;
@@ -153,8 +157,11 @@ static void ring_stress() {
         }
         unfold_mode = !unfold_mode;
     }
-    CHECK(pos >= kTotal - kBlock, "consumer drained less than produced");
+    if (!corrupt)
+        CHECK(pos >= kTotal - kBlock, "consumer drained less than produced");
 
+    // Unblock + reap the helper threads on every path (incl. failure).
+    ttpu_ring_close(ring);
     producer.join();
     stats.join();
     ttpu_ring_free(ring);
