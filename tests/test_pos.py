@@ -172,6 +172,33 @@ class TestSolveBatchedGroups:
         assert err_w < err_u / 5
         assert err_w < 2.0
 
+    def test_multi_start_escapes_mirror_basin(self):
+        """Near-collinear receiver array, transmitter well off the
+        line: the TDOA objective has a mirror local minimum with a
+        clearly WORSE residual, and the centroid start sits on the
+        symmetry line -- single-start GN rolled into the wrong basin
+        and converged 17 km from the (noise-free, exact) solution.
+        Multi-start from the receiver bounding-box corners must find
+        the true minimum."""
+        from thrifty_tpu.pipeline import tdoa as tdoa_mod
+
+        C = tdoa_mod.SPEED_OF_LIGHT
+        rx = {0: np.array([2066.0, -1867.0]), 1: np.array([439.0, 29.0]),
+              2: np.array([-1205.0, 1922.0]), 3: np.array([-2837.0, 3821.0])}
+        tx = np.array([9754.6, 3013.4])
+        rows = []
+        for i in range(4):
+            for j in range(i + 1, 4):
+                t = (np.linalg.norm(tx - rx[i])
+                     - np.linalg.norm(tx - rx[j])) / C
+                rows.append((i, j, t, 1e4, 1.0, 0, 0))
+        g = tdoa_mod.TdoaGroup(
+            group_id=0, timestamp=0.0, tx=3,
+            tdoas=np.array(rows, dtype=tdoa_mod.TDOA_DTYPE))
+        got = pos.solve_batched([g], rx)
+        np.testing.assert_allclose([got["x"][0], got["y"][0]], tx,
+                                   atol=1.0)
+
     def test_near_singular_geometry_reports_huge_dop(self):
         """Near-degenerate geometry must yield a huge *finite* DOP (so
         downstream weighting distrusts the fix) -- only exact

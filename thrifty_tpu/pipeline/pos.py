@@ -255,32 +255,66 @@ def _make_batched_solver(dims, iters, damping):
 
     def run(measured, wgt, mask_f, r0, r1, lo, hi):
         def step(pos, _):
-            p0 = r0 - pos[:, None, :]
-            p1 = r1 - pos[:, None, :]
+            # pos: [G, K, D] -- K independent starts per group.
+            p0 = r0[:, None] - pos[:, :, None, :]
+            p1 = r1[:, None] - pos[:, :, None, :]
             d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
             d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
-            resid = (measured - (d0 - d1)) * wgt
+            resid = (measured[:, None] - (d0 - d1)) * wgt[:, None]
             jacmat = (p0 / d0[..., None] - p1 / d1[..., None]) \
-                * wgt[..., None]
-            jtj = jnp.einsum("gpi,gpj->gij", jacmat, jacmat)
+                * wgt[:, None, :, None]
+            jtj = jnp.einsum("gkpi,gkpj->gkij", jacmat, jacmat)
             # Levenberg-Marquardt diagonal damping keeps steps in-basin.
             diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
             jtj = jtj + damping * (diag + 1e-9)[..., None] \
                 * jnp.eye(dims)
-            jtr = jnp.einsum("gpi,gp->gi", jacmat, resid)
+            jtr = jnp.einsum("gkpi,gkp->gki", jacmat, resid)
             # jacmat is d(residual)/d(pos), so the Gauss-Newton step is
             # pos - (J^T J)^-1 J^T r.
             delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
             return jnp.clip(pos - delta, lo, hi), None
 
-        # Initialize at the centroid of the involved receivers -- well
-        # inside the solution basin for any surrounded transmitter.
+        # MULTI-START: the TDOA objective has mirror local minima when
+        # the receiver array is (near-)collinear/coplanar, and the
+        # receiver centroid sits exactly on the symmetry manifold --
+        # one start can roll into the wrong basin and converge there
+        # (a scipy trust-region run from a luckier basin then
+        # disagrees by kilometers).  Start from the centroid AND the
+        # corners of the involved receivers' bounding box (which
+        # straddle any symmetry line/plane), run all starts through
+        # the same fixed-iteration scan, keep the lowest-residual
+        # solution.  K = 2^dims + 1 starts cost a few extra tiny
+        # matrix solves per group -- noise next to the dispatch.
         denom = jnp.maximum(jnp.sum(mask_f, axis=-1), 1.0)[..., None]
-        init = jnp.sum(
-            0.5 * (r0 + r1) * mask_f[..., None], axis=1) / denom
-        init = init.astype(measured.dtype)
+        mids = 0.5 * (r0 + r1)
+        centroid = jnp.sum(mids * mask_f[..., None], axis=1) / denom
+        big = jnp.where(mask_f[..., None] > 0, mids, -jnp.inf)
+        small = jnp.where(mask_f[..., None] > 0, mids, jnp.inf)
+        rx_hi = jnp.max(big, axis=1)
+        rx_lo = jnp.min(small, axis=1)
+        corners = []
+        for c in range(1 << dims):
+            corner = jnp.stack(
+                [jnp.where((c >> d) & 1, rx_hi[:, d], rx_lo[:, d])
+                 for d in range(dims)], axis=-1)
+            # Inflate away from the centroid so starts separate even
+            # for small arrays.
+            corners.append(centroid + 1.5 * (corner - centroid))
+        init = jnp.stack([centroid] + corners, axis=1)
+        init = jnp.clip(init.astype(measured.dtype), lo, hi)
+
         pos, _ = jax.lax.scan(step, init, None, length=iters)
-        return pos
+
+        # Pick the start with the lowest weighted residual norm.
+        p0 = r0[:, None] - pos[:, :, None, :]
+        p1 = r1[:, None] - pos[:, :, None, :]
+        d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
+        d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
+        resid = (measured[:, None] - (d0 - d1)) * wgt[:, None]
+        score = jnp.sum(resid * resid, axis=-1)
+        best = jnp.argmin(score, axis=1)
+        return jnp.take_along_axis(
+            pos, best[:, None, None], axis=1)[:, 0]
 
     return jax.jit(run)
 
