@@ -60,9 +60,11 @@ class PositioningServer:
         self.settle_s = settle_s
         self.keep_txid = keep_txid
         # 'scipy' solves each group with the trust-region solver;
-        # 'batched' uses the vmapped Gauss-Newton program; 'auto'
-        # switches to batched once a step carries >= 16 fresh groups
-        # (high-rate operation).
+        # 'batched' (and 'auto', its alias since the multi-start
+        # upgrade) uses the batched multi-start Gauss-Newton program:
+        # one dispatch per step regardless of load, and robust to the
+        # mirror basins of near-collinear arrays that trap any
+        # single-start solver (docs/design.md).
         if solver not in ("auto", "scipy", "batched"):
             raise ValueError("unknown solver: " + solver)
         self.solver = solver
@@ -135,8 +137,7 @@ class PositioningServer:
             integrated, work, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
 
-        use_batched = self.solver == "batched" or (
-            self.solver == "auto" and len(fresh) >= 16)
+        use_batched = self.solver != "scipy"
         if use_batched:
             results = pos_mod.solve_batched(fresh, self.rx_pos)
         else:
@@ -227,9 +228,11 @@ def _main(argv=None):
                         help="also Kalman-track fixes into FILE")
     parser.add_argument("--solver", type=str, default="auto",
                         choices=["auto", "scipy", "batched"],
-                        help="position solver: 'auto' switches to the "
-                             "batched Gauss-Newton program at high fix "
-                             "rates [default: auto]")
+                        help="position solver: the batched multi-start "
+                             "Gauss-Newton program by default ('auto' "
+                             "== 'batched'); 'scipy' forces the "
+                             "per-group trust-region solver "
+                             "[default: auto]")
     args = parser.parse_args(argv)
 
     if args.interval >= args.history - 1.0:
