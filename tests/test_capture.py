@@ -213,6 +213,56 @@ def test_detect_loads_tpl_template(tmp_path):
     np.testing.assert_allclose(tpl.load_template(npy), template)
 
 
+def test_capture_roundtrip_random_geometries(tmp_path):
+    """capture -> .card -> detect == detect-on-raw at random
+    (template, block, history) geometries, byte-identical .toad files
+    -- extends the fixed-geometry round trip above the same way the
+    detector fuzzes do."""
+    from thrifty_tpu.cli import main
+    from thrifty_tpu.dsp import template as template_mod
+
+    rng = np.random.default_rng(20260821)
+    trials = 0
+    while trials < 3:
+        bits = int(rng.integers(5, 8))
+        tpl = template_mod.generate(bits, 0, float(rng.uniform(1.8, 2.4)))
+        tlen = len(tpl)
+        block = int(2 ** rng.integers(10, 13))
+        lo, hi = tlen + 1, block // 2
+        if lo >= hi:
+            continue
+        hist = int(rng.integers(lo, hi))
+        try:
+            cap = sim.synth_capture(
+                num_blocks=10, bursts_every=3, template=tpl,
+                block_len=block, history_len=hist, carrier_bin=20.25,
+                amplitude=0.7, noise_std=0.04, seed=50 + trials)
+        except ValueError:
+            continue
+        trials += 1
+        d = tmp_path / ("g%d" % trials)
+        d.mkdir()
+        raw_path = str(d / "rx.bin")
+        iq.iq_to_raw(cap.blocks[:, hist:].reshape(-1)).tofile(raw_path)
+        tpl_path = str(d / "tpl.npy")
+        np.save(tpl_path, tpl)
+        geom = ["--block-size", str(block), "--history", str(hist),
+                "--carrier-window", "7-110", "--t0", "1500000000"]
+        card_path = str(d / "rt.card")
+        assert main(["capture", "--raw-in", raw_path, "-o", card_path,
+                     "--quiet", "-k", "0"] + geom) == 0
+        toad_raw, toad_card = str(d / "a.toad"), str(d / "b.toad")
+        common = ["--quiet", "--template", tpl_path] + geom
+        assert main(["detect", raw_path, "--raw",
+                     "-o", toad_raw] + common) == 0
+        assert main(["detect", card_path, "-o", toad_card] + common) == 0
+        a, b = toad.load_toad(toad_raw), toad.load_toad(toad_card)
+        assert len(a) == len(b) >= len(cap.bursts), \
+            "bits=%d block=%d hist=%d" % (bits, block, hist)
+        for f in a.dtype.names:
+            np.testing.assert_array_equal(a[f], b[f], err_msg=f)
+
+
 def test_record_cards_reports_counts_after_stream_error():
     """A dying stream must leave the shared stats reflecting what was
     flushed to the archive, so the at-exit summary does not claim
