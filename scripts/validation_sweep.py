@@ -1,0 +1,345 @@
+#!/usr/bin/env python
+"""Randomized differential validation sweep across the framework.
+
+Packages the offline campaigns used to validate the TPU-first
+implementations against their reference-semantics oracles, so they
+can be re-run at any scale after a change (or on new hardware):
+
+  detector    f32 batched detector vs the float64 oracle at random
+              (template, block, history) geometries, signed/wrapped
+              carrier windows, both oracle-covered sync modes, filter
+              on/off (tests/test_fuzz.py::TestRandomGeometryDifferential
+              is the CI-sized version).
+  matchmaker  batched greedy matcher vs the sequential scan, dense
+              self-collisions and exact ties included.
+  tdoa        sequential vs batched TDOA for all four clock models on
+              random multi-receiver networks with clock drift,
+              duplicate beacon times, quantized timestamps, and NaN
+              corruption.
+  pos         scipy trust-region vs batched multi-start Gauss-Newton
+              multilateration on random geometries (incl.
+              near-collinear arrays); reports quality gaps, not just
+              disagreements (mirror-ambiguous geometries disagree
+              legitimately -- see docs/design.md).
+
+Each suite prints one JSON line; exit code 1 if any suite reports
+divergences (pos: quality regressions vs scipy on well-posed in-array
+cases).
+
+Usage:
+  python scripts/validation_sweep.py --trials 50
+  python scripts/validation_sweep.py --suite tdoa --trials 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def sweep_detector(trials, rng):
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import dirichlet
+    from thrifty_tpu.dsp import template as template_mod, xcorr
+    from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+    from thrifty_tpu.oracle.numpy_ref import (FastdetOracleDetector,
+                                              OracleDetector)
+
+    stats = dict(trials=0, blocks=0, skipped_offbin=0, oracle_failed=0,
+                 divergences=0)
+    worst = 0.0
+    examples = []
+    while stats["trials"] < trials:
+        bits = int(rng.integers(5, 8))
+        tpl = template_mod.generate(bits, int(rng.integers(0, 3)),
+                                    float(rng.uniform(1.6, 2.6)))
+        tlen = len(tpl)
+        block = int(2 ** rng.integers(9, 13))
+        if tlen + 1 >= block // 2:
+            continue
+        stats["trials"] += 1
+        t = stats["trials"]
+        hist = int(rng.integers(tlen + 1, block // 2))
+        new = block - hist
+        nb = int(rng.integers(4, 8))
+        wstart, wstop = xcorr.corr_window(block, hist, tlen)
+        half = block // 20
+        kind = ("pos", "neg", "wrap")[t % 3]
+        if kind == "pos":
+            window, cbin = (3, half), int(rng.integers(5, half - 1))
+        elif kind == "neg":
+            window, cbin = (-half, -3), -int(rng.integers(5, half - 1))
+        else:
+            window = (-half, half)
+            cbin = int(rng.integers(3, half - 1)) * \
+                (1 if rng.integers(2) else -1)
+        sync = ("fractional", "integer")[int(rng.integers(2))]
+        flen = int(rng.choice([0, 0, 5, 7]))
+        bursts, planted = [], []
+        for b in range(1, nb - 1):
+            lag = int(rng.integers(wstart, wstop))
+            bursts.append({"position": b * new + lag - hist,
+                           "carrier_bin": cbin, "amplitude": 0.7,
+                           "phase": float(rng.uniform(0, 6.28))})
+            planted.append((b, lag))
+        stream = sim.synth_stream(nb * new, bursts, tpl, block,
+                                  noise_std=0.02, seed=t)
+        blocks = sim.stream_to_blocks(stream, block, hist)
+        det = BatchDetector(tpl, DetectorConfig(
+            block_len=block, history_len=hist, carrier_window=window,
+            sync_mode=sync, peak_filter_len=flen))
+        out = {k: np.asarray(v) for k, v in det(blocks).items()}
+        weights = dirichlet.dirichlet_weights(flen, block, tlen) \
+            if flen else None
+        ocls = OracleDetector if sync == "fractional" \
+            else FastdetOracleDetector
+        oracle = ocls(tpl, block_len=block, history_len=hist,
+                      carrier_window=window, peak_filter=weights)
+        geom = "t%d bits=%d blk=%d h=%d win=%s sync=%s flen=%d" % (
+            t, bits, block, hist, window, sync, flen)
+        for b, lag in planted:
+            stats["blocks"] += 1
+            try:
+                ref = oracle.detect_block(blocks[b])
+            except RuntimeError:
+                # The reference's own unbounded curve_fit can fail to
+                # converge at degenerate geometries (see
+                # docs/golden_validation.md); no oracle to compare
+                # against, but our detector must still have found the
+                # planted lag.
+                stats["oracle_failed"] += 1
+                if bool(out["detected"][b]) \
+                        and int(out["corr_sample"][b]) != lag:
+                    stats["divergences"] += 1
+                    if len(examples) < 5:
+                        examples.append(("planted_lag", geom, b))
+                continue
+            bad = None
+            if bool(out["carrier_detect"][b]) != ref.carrier_detect:
+                bad = "carrier_verdict"
+            elif not ref.carrier_detect:
+                continue
+            elif int(out["carrier_bin"][b]) != ref.carrier_bin:
+                bad = "carrier_bin"
+            elif bool(out["detected"][b]) \
+                    and int(out["corr_sample"][b]) != lag:
+                bad = "planted_lag"
+            elif abs(ref.carrier_offset) > 1.0:
+                stats["skipped_offbin"] += 1
+                continue
+            elif bool(out["detected"][b]) != ref.detected:
+                bad = "corr_verdict"
+            elif ref.detected:
+                if int(out["corr_sample"][b]) != ref.corr_sample:
+                    bad = "corr_sample"
+                else:
+                    d = abs(float(out["corr_sample"][b]
+                                  + out["corr_offset"][b])
+                            - (ref.corr_sample + ref.corr_offset))
+                    worst = max(worst, d)
+                    if d > 1e-2:
+                        bad = "soa"
+            if bad:
+                stats["divergences"] += 1
+                if len(examples) < 5:
+                    examples.append((bad, geom, b))
+    stats["worst_soa_diff"] = worst
+    stats["examples"] = examples
+    return stats
+
+
+def sweep_matchmaker(trials, rng):
+    from thrifty_tpu.io import toad
+    from thrifty_tpu.pipeline.matchmaker import (match_detections,
+                                                 match_detections_batched)
+
+    stats = dict(trials=0, divergences=0, examples=[])
+    for t in range(trials):
+        stats["trials"] += 1
+        n = int(rng.integers(50, 2500))
+        d = toad.empty(n)
+        d["txid"] = rng.integers(0, int(rng.integers(1, 4)), n)
+        d["rxid"] = rng.integers(0, int(rng.integers(1, 4)), n)
+        quantize = bool(rng.integers(2))
+        ts = rng.uniform(0, float(rng.choice([2.0, 30.0, 500.0])), n)
+        d["timestamp"] = np.sort(np.round(ts, 2) if quantize else ts)
+        d["energy"] = (rng.integers(0, 5, n).astype(np.float64)
+                       if quantize else rng.random(n))
+        w = float(rng.choice([0.0, 0.05, 0.5, 5.0]))
+        mm = int(rng.integers(1, 4))
+        a = match_detections(d, w, mm)
+        b = match_detections_batched(d, w, mm)
+        same = (a[0] == b[0] and a[1] == b[1]
+                and [(int(x), int(y)) for x, y in a[2]]
+                == [(int(x), int(y)) for x, y in b[2]])
+        if not same:
+            stats["divergences"] += 1
+            if len(stats["examples"]) < 5:
+                stats["examples"].append(("mismatch", t, n, w, mm))
+    return stats
+
+
+def sweep_tdoa(trials, rng):
+    from thrifty_tpu import sim
+    from thrifty_tpu.pipeline import matchmaker, tdoa
+
+    models = [tdoa.build_model_poly, tdoa.build_model_nearest,
+              tdoa.build_model_weighted_poly, tdoa.build_model_linear]
+    stats = dict(trials=0, comparisons=0, divergences=0, examples=[])
+    for trial in range(trials):
+        stats["trials"] += 1
+        n_rx = int(rng.integers(2, 6))
+        rx_pos = {i: rng.uniform(-1e4, 1e4, 2) for i in range(n_rx)}
+        beacon_pos = {9: rng.uniform(-5e3, 5e3, 2)}
+        mobile_pos = {3: rng.uniform(-5e3, 5e3, 2)}
+        duration = float(rng.uniform(10, 40))
+        be = float(rng.choice([0.25, 1.0, 3.0]))
+        schedule = [(9, t) for t in np.arange(0.5, duration, be)]
+        schedule += [(3, float(t)) for t in
+                     rng.uniform(1, duration - 1, int(rng.integers(1, 6)))]
+        if rng.integers(2):
+            schedule += [(9, 0.5 + be * int(rng.integers(0, 3)))]
+        det = sim.synth_network(
+            rx_pos, {**beacon_pos, **mobile_pos}, schedule, 2.4e6,
+            clock_offsets={i: float(rng.normal(0, 5e3))
+                           for i in range(1, n_rx)},
+            clock_drifts={i: float(rng.normal(0, 3e-6))
+                          for i in range(1, n_rx)},
+            soa_noise=float(rng.choice([0.0, 0.01, 0.1])), seed=trial)
+        if rng.integers(2):
+            det["timestamp"] = np.round(det["timestamp"], 1)
+        if rng.integers(3) == 0 and len(det) > 4:
+            det["soa"][int(rng.integers(0, len(det)))] = np.nan
+        matches, _, _ = matchmaker.match_detections(det)
+        w = float(rng.choice([2.0, 8.0, 20.0]))
+        for mb in models:
+            stats["comparisons"] += 1
+            bad = None
+            try:
+                seq, sf = tdoa.estimate_tdoas(
+                    det, matches, w, beacon_pos, rx_pos, 2.4e6,
+                    model_builder=mb, batched=False)
+                bat, bf = tdoa.estimate_tdoas(
+                    det, matches, w, beacon_pos, rx_pos, 2.4e6,
+                    model_builder=mb, batched=True)
+            except Exception as e:  # noqa: BLE001 -- reported
+                bad = "exception: " + repr(e)[:60]
+            else:
+                if len(seq) != len(bat):
+                    bad = "group_count"
+                elif sorted(map(tuple, sf)) != sorted(map(tuple, bf)):
+                    bad = "failures"
+                else:
+                    for a, b in zip(seq, bat):
+                        if len(a.tdoas) != len(b.tdoas):
+                            bad = "row_count"
+                            break
+                        if len(a.tdoas) and not np.all(
+                                np.abs(a.tdoas["tdoa"]
+                                       - b.tdoas["tdoa"]) < 1e-11):
+                            bad = "tdoa_diff"
+                            break
+                        if np.any(~np.isfinite(a.tdoas["tdoa"])):
+                            bad = "nonfinite"
+                            break
+            if bad:
+                stats["divergences"] += 1
+                if len(stats["examples"]) < 5:
+                    stats["examples"].append((bad, trial, mb.__name__))
+    return stats
+
+
+def sweep_pos(trials, rng):
+    from thrifty_tpu.pipeline import pos
+    from thrifty_tpu.pipeline import tdoa as tdoa_mod
+
+    C = tdoa_mod.SPEED_OF_LIGHT
+    stats = dict(trials=0, comparisons=0, gn_worse_100m_wellposed=0,
+                 gn_better_100m=0, examples=[])
+    for trial in range(trials):
+        stats["trials"] += 1
+        n_rx = int(rng.integers(3, 7))
+        spread = float(rng.choice([2e3, 1e4, 3e4]))
+        rx = {i: rng.uniform(-spread, spread, 2) for i in range(n_rx)}
+        if rng.integers(4) == 0:  # near-collinear array
+            base = rng.uniform(-spread, spread, 2)
+            d = rng.uniform(-1, 1, 2)
+            d /= np.linalg.norm(d)
+            rx = {i: base + d * (i * spread / n_rx)
+                  + rng.normal(0, spread * 1e-3, 2)
+                  for i in range(n_rx)}
+        inside = bool(rng.integers(2))
+        tx = rng.uniform(-spread, spread, 2) if inside \
+            else rng.uniform(-3 * spread, 3 * spread, 2)
+        noise_ns = float(rng.choice([0.0, 5.0, 50.0]))
+        rows = []
+        for i in range(n_rx):
+            for j in range(i + 1, n_rx):
+                t = (np.linalg.norm(tx - rx[i])
+                     - np.linalg.norm(tx - rx[j])) / C
+                rows.append((i, j, t + rng.normal(0, noise_ns * 1e-9),
+                             1e4, 1.0, 0, 0))
+        g = tdoa_mod.TdoaGroup(
+            group_id=trial, timestamp=0.0, tx=3,
+            tdoas=np.array(rows, dtype=tdoa_mod.TDOA_DTYPE))
+        ref = pos.solve([g], rx)
+        got = pos.solve_batched([g], rx)
+        if len(ref) == 0 or len(got) == 0:
+            continue
+        stats["comparisons"] += 1
+        err_ref = float(np.hypot(ref["x"][0] - tx[0], ref["y"][0] - tx[1]))
+        err_got = float(np.hypot(got["x"][0] - tx[0], got["y"][0] - tx[1]))
+        # Well-posed = transmitter inside the array spread AND scipy
+        # solved it well; a >100 m GN regression there is a solver
+        # defect (mirror-ambiguous geometries legitimately disagree --
+        # equal residuals -- and far-field extrapolation is ill-posed
+        # for both).
+        if inside and err_ref < 50.0 and err_got - err_ref > 100.0:
+            stats["gn_worse_100m_wellposed"] += 1
+            if len(stats["examples"]) < 5:
+                stats["examples"].append(
+                    ("gn_worse", trial, err_ref, err_got))
+        if err_ref - err_got > 100.0:
+            stats["gn_better_100m"] += 1
+    return stats
+
+
+SUITES = {"detector": sweep_detector, "matchmaker": sweep_matchmaker,
+          "tdoa": sweep_tdoa, "pos": sweep_pos}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--suite", choices=sorted(SUITES) + ["all"],
+                        default="all")
+    parser.add_argument("--trials", type=int, default=30)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a JAX platform (e.g. cpu)")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    failed = False
+    for name in (sorted(SUITES) if args.suite == "all" else [args.suite]):
+        rng = np.random.default_rng(args.seed)
+        stats = SUITES[name](args.trials, rng)
+        key = ("gn_worse_100m_wellposed" if name == "pos"
+               else "divergences")
+        bad = stats.get(key, 0)
+        failed |= bad > 0
+        print(json.dumps({"suite": name, "ok": bad == 0, **stats}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

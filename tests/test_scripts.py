@@ -169,6 +169,23 @@ def test_scaling_sweep_smoke(tmp_path):
     assert rows[0]["efficiency"] == 1.0
 
 
+def test_validation_sweep_smoke(tmp_path):
+    """The differential validation sweep runs all four suites clean at
+    a few trials (the offline tool for large campaigns; see
+    docs/golden_validation.md for recorded results)."""
+    import json
+
+    res = run_script("validation_sweep.py",
+                     ["--platform", "cpu", "--trials", "3"],
+                     str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [json.loads(x) for x in res.stdout.splitlines()
+             if x.startswith("{")]
+    assert sorted(r["suite"] for r in lines) == \
+        ["detector", "matchmaker", "pos", "tdoa"]
+    assert all(r["ok"] for r in lines), lines
+
+
 def test_tpu_golden_check_script(tmp_path):
     """The on-chip golden-check script also passes on the CPU backend
     (the dev harness for what deployments run on a real chip)."""
