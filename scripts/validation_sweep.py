@@ -265,19 +265,28 @@ def sweep_pos(trials, rng):
                  gn_better_100m=0, examples=[])
     for trial in range(trials):
         stats["trials"] += 1
-        n_rx = int(rng.integers(3, 7))
+        dims = 3 if trial % 4 == 3 else 2
+        n_rx = int(rng.integers(dims + 1, 7))
         spread = float(rng.choice([2e3, 1e4, 3e4]))
-        rx = {i: rng.uniform(-spread, spread, 2) for i in range(n_rx)}
+        rx = {i: rng.uniform(-spread, spread, dims)
+              for i in range(n_rx)}
+        if dims == 3:
+            # Realistic near-coplanar deployment: tiny altitude spread
+            # (the 3-D analog of the collinear mirror ambiguity).
+            for i in rx:
+                rx[i][2] *= 1e-2
         if rng.integers(4) == 0:  # near-collinear array
-            base = rng.uniform(-spread, spread, 2)
-            d = rng.uniform(-1, 1, 2)
+            base = rng.uniform(-spread, spread, dims)
+            d = rng.uniform(-1, 1, dims)
             d /= np.linalg.norm(d)
             rx = {i: base + d * (i * spread / n_rx)
-                  + rng.normal(0, spread * 1e-3, 2)
+                  + rng.normal(0, spread * 1e-3, dims)
                   for i in range(n_rx)}
         inside = bool(rng.integers(2))
-        tx = rng.uniform(-spread, spread, 2) if inside \
-            else rng.uniform(-3 * spread, 3 * spread, 2)
+        tx = rng.uniform(-spread, spread, dims) if inside \
+            else rng.uniform(-3 * spread, 3 * spread, dims)
+        if dims == 3:
+            tx[2] = float(rng.uniform(0, spread * 0.1))
         noise_ns = float(rng.choice([0.0, 5.0, 50.0]))
         rows = []
         for i in range(n_rx):

@@ -254,25 +254,44 @@ def _make_batched_solver(dims, iters, damping):
     import jax.numpy as jnp
 
     def run(measured, wgt, mask_f, r0, r1, lo, hi):
-        def step(pos, _):
-            # pos: [G, K, D] -- K independent starts per group.
+        def residuals(pos):
             p0 = r0[:, None] - pos[:, :, None, :]
             p1 = r1[:, None] - pos[:, :, None, :]
             d0 = jnp.maximum(jnp.linalg.norm(p0, axis=-1), 1e-6)
             d1 = jnp.maximum(jnp.linalg.norm(p1, axis=-1), 1e-6)
             resid = (measured[:, None] - (d0 - d1)) * wgt[:, None]
+            return resid, p0, p1, d0, d1
+
+        def step(state, _):
+            # pos: [G, K, D] -- K independent starts per group; lam:
+            # [G, K] per-start Marquardt damping.  A fixed damping
+            # stalls in the long narrow valleys of ill-conditioned
+            # geometry (near-coplanar arrays barely observe z), so
+            # this is real Levenberg-Marquardt: try the damped step,
+            # accept it only if the residual decreased (lam /= 4),
+            # otherwise stay and raise lam x8 -- all per (group,
+            # start) via where, keeping the scan fixed-iteration.
+            pos, lam = state
+            resid, p0, p1, d0, d1 = residuals(pos)
+            cost = jnp.sum(resid * resid, axis=-1)
             jacmat = (p0 / d0[..., None] - p1 / d1[..., None]) \
                 * wgt[:, None, :, None]
             jtj = jnp.einsum("gkpi,gkpj->gkij", jacmat, jacmat)
-            # Levenberg-Marquardt diagonal damping keeps steps in-basin.
             diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
-            jtj = jtj + damping * (diag + 1e-9)[..., None] \
+            jtj = jtj + lam[..., None, None] * (diag + 1e-9)[..., None] \
                 * jnp.eye(dims)
             jtr = jnp.einsum("gkpi,gkp->gki", jacmat, resid)
             # jacmat is d(residual)/d(pos), so the Gauss-Newton step is
             # pos - (J^T J)^-1 J^T r.
             delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
-            return jnp.clip(pos - delta, lo, hi), None
+            cand = jnp.clip(pos - delta, lo, hi)
+            cand_resid, _, _, _, _ = residuals(cand)
+            cand_cost = jnp.sum(cand_resid * cand_resid, axis=-1)
+            accept = cand_cost < cost
+            pos = jnp.where(accept[..., None], cand, pos)
+            lam = jnp.clip(jnp.where(accept, lam * 0.25, lam * 8.0),
+                           1e-9, 1e9)
+            return (pos, lam), None
 
         # MULTI-START: the TDOA objective has mirror local minima when
         # the receiver array is (near-)collinear/coplanar, and the
@@ -303,7 +322,9 @@ def _make_batched_solver(dims, iters, damping):
         init = jnp.stack([centroid] + corners, axis=1)
         init = jnp.clip(init.astype(measured.dtype), lo, hi)
 
-        pos, _ = jax.lax.scan(step, init, None, length=iters)
+        lam0 = jnp.full(init.shape[:2], damping, init.dtype)
+        (pos, _), _ = jax.lax.scan(step, (init, lam0), None,
+                                   length=iters)
 
         # Pick the start with the lowest weighted residual norm.
         p0 = r0[:, None] - pos[:, :, None, :]
