@@ -74,11 +74,15 @@ class DetectorConfig:
     # 0.89-1.17 through this environment's high-variance tunnel; see
     # docs/performance.md) -- round 1's separate-plane kernel lost
     # ~30% to an extra HBM materialization pass, which this layout
-    # eliminates.  'auto' resolves to ON on TPU (when the static
-    # constraints below hold): the kernel guarantees the one-pass
-    # magnitude/argmax/energy reduction by construction instead of
-    # relying on XLA's fusion heuristics, at no measured cost.
-    # OFF on CPU (kernels fall back to the jnp reference there).
+    # eliminates.  'auto' resolves to ON on TPU (when batch % 8 == 0,
+    # block_len % 2048 == 0, and no carrier peak filter -- the filter
+    # is a magnitude-domain FIR the raw-power kernel cannot search):
+    # the kernel guarantees the one-pass magnitude/argmax/energy
+    # reduction by construction instead of relying on XLA's fusion
+    # heuristics, at no measured cost.  Every sync mode, corr/carrier
+    # interpolator, and stddev threshold term is supported on the
+    # kernel path (tests/test_pallas.py sweeps the full option
+    # matrix).  OFF on CPU (kernels fall back to the jnp reference).
     use_pallas: str = "auto"
 
 
@@ -179,18 +183,20 @@ class BatchDetector:
             carrier_clip = 0.5 if fastdet_mode else None
             self._interp = (
                 lambda mag, idx, values=None:
-                dirichlet.parabolic_interpolate(mag, idx, clip=carrier_clip))
+                dirichlet.parabolic_interpolate(mag, idx, clip=carrier_clip,
+                                                values=values))
         elif carrier_interp == "polyfit":
             poly = dirichlet.make_polyfit_interpolator(config.interp_width)
-            self._interp = lambda mag, idx, values=None: poly(mag, idx)
+            self._interp = (
+                lambda mag, idx, values=None: poly(mag, idx, values=values))
         elif carrier_interp == "gaussian":
             self._interp = (
                 lambda mag, idx, values=None:
-                dirichlet.gaussian_interpolate(mag, idx))
+                dirichlet.gaussian_interpolate(mag, idx, values=values))
         elif carrier_interp == "cosine":
             self._interp = (
                 lambda mag, idx, values=None:
-                dirichlet.cosine_interpolate(mag, idx))
+                dirichlet.cosine_interpolate(mag, idx, values=values))
         elif carrier_interp == "none":
             self._interp = (
                 lambda mag, idx, values=None:
@@ -212,7 +218,8 @@ class BatchDetector:
         elif config.corr_interp == "autocorr":
             ac = xcorr.make_autocorr_interpolator(
                 tmpl2d if self.bank else tmpl2d[0], clip=clip)
-            self._corr_interp = lambda mag, idx, **kw: ac(mag, idx)
+            self._corr_interp = lambda mag, idx, **kw: ac(mag, idx, **kw)
+            self._corr_neigh_half = ac.width
         elif config.corr_interp == "none":
             self._corr_interp = xcorr.none_interpolate
         elif config.corr_interp == "maximise":
@@ -233,24 +240,21 @@ class BatchDetector:
         if cfg.use_pallas == "off":
             return False
         ok = (
-            cfg.carrier_thresh[2] == 0 and cfg.corr_thresh[2] == 0
-            and cfg.block_len % 2048 == 0 and batch % 8 == 0
+            cfg.block_len % 2048 == 0 and batch % 8 == 0
             and (not self.bank or (batch * self.num_templates) % 8 == 0)
-            # The mag-free pallas path gathers tiny neighborhoods and
-            # needs interpolators that accept precomputed values.
-            and cfg.corr_interp == "gaussian"
-            and self.carrier_interp_resolved == "dirichlet"
             # The fused kernel searches raw power; a magnitude-domain
-            # peak filter needs the XLA path.
+            # peak filter needs the XLA path.  Every interpolator and
+            # both optional stddev threshold terms are supported (the
+            # kernel gathers tiny neighborhoods / reduces the masked
+            # magnitude statistics in the same pass).
             and cfg.peak_filter_len == 0
         )
         if cfg.use_pallas == "on":
             if not ok:
                 raise ValueError(
                     "use_pallas='on' requires: batch divisible by 8 "
-                    "(got {}), block_len divisible by 2048, no stddev "
-                    "threshold term, corr_interp='gaussian' and "
-                    "carrier_interp='dirichlet'".format(batch))
+                    "(got {}), block_len divisible by 2048, and no "
+                    "carrier peak filter".format(batch))
             return True
         # 'auto': the interleaved kernel wins on TPU; on CPU the
         # kernels fall back to the jnp reference anyway, so keep the
@@ -375,52 +379,96 @@ class BatchDetector:
         """Same math as _detect_batch, with magnitudes never materialized.
 
         The fused Pallas kernel returns (windowed argmax, peak power,
-        total power) in one pass; interpolation neighborhoods are
-        gathered from the complex arrays (a few elements per block).
+        total power[, masked power/magnitude sums for the optional
+        stddev threshold terms]) in one pass; interpolation
+        neighborhoods are gathered from the complex arrays (a few
+        elements per block), and the 'maximise' interpolator evaluates
+        the correlation spectrum band-limited exactly as the XLA path.
         """
         from thrifty_tpu.dsp import pallas_kernels
 
         cfg = self.config
         n = cfg.block_len
-        c_const, c_snr, _ = cfg.carrier_thresh
-        u_const, u_snr, _ = cfg.corr_thresh
-        width = cfg.interp_width
-        offs = jnp.arange(-(width // 2), width // 2 + 1)
+        c_const, c_snr, c_std = cfg.carrier_thresh
+        u_const, u_snr, u_std = cfg.corr_thresh
 
-        # Stage 1: carrier peak + energy in one pass.
+        def var_from_stats(stat_pow, stat_mag, count):
+            # var(mag) from one-pass sufficient statistics; matches the
+            # XLA path's jnp.var up to f32 reassociation (tested).
+            mean = stat_mag / count
+            return stat_pow / count - jnp.square(mean)
+
+        # Stage 1: carrier peak + energy (+ optional mag stats) in one
+        # pass.  The carrier stddev term runs over every FFT bin
+        # (reference thrifty/carrier_detect.py:100-115).
         fft = jnp.fft.fft(blocks)
-        c_idx, c_peak_pow, c_energy = pallas_kernels.fused_power_peak(
-            fft, self._carrier_mask)
+        c_stats = np.ones(n, dtype=bool) if c_std else None
+        c_out = pallas_kernels.fused_power_peak(
+            fft, self._carrier_mask, stats_mask=c_stats)
+        c_idx, c_peak_pow, c_energy = c_out[:3]
         c_mag = jnp.sqrt(c_peak_pow)
         c_noise = jnp.sqrt((c_energy - 2.0 * c_peak_pow) / (n - 1))
-        c_det = c_mag > jnp.sqrt(c_const + c_snr * jnp.square(c_noise))
+        c_thresh_sq = c_const + c_snr * jnp.square(c_noise)
+        if c_std:
+            c_thresh_sq = c_thresh_sq + c_std * var_from_stats(
+                c_out[3], c_out[4], n)
+        c_det = c_mag > jnp.sqrt(c_thresh_sq)
 
-        # Stage 2: Dirichlet fit on a gathered complex neighborhood.
-        neigh = jnp.abs(jnp.take_along_axis(
-            fft, (c_idx[:, None] + offs) % n, axis=-1))
-        c_off = self._interp(None, c_idx, values=neigh)
+        # Stage 2: sub-bin fit on a gathered complex neighborhood
+        # (dirichlet/polyfit use width+1 points, the 3-point fits their
+        # own neighbours; carrier bins wrap circularly).
+        if self.carrier_interp_resolved == "none":
+            c_off = self._interp(None, c_idx)
+        else:
+            if self.carrier_interp_resolved in ("dirichlet", "polyfit"):
+                w = cfg.interp_width
+                offs = jnp.arange(-(w // 2), w // 2 + 1)
+            else:
+                offs = jnp.asarray([-1, 0, 1])
+            neigh = jnp.abs(jnp.take_along_axis(
+                fft, (c_idx[:, None] + offs) % n, axis=-1))
+            c_off = self._interp(None, c_idx, values=neigh)
         c_off = jnp.where(c_det, c_off, 0.0)
 
         # Stage 3 + 4: carrier removal and despread; peak via the fused
         # kernel on the full-length circular correlation with non-unique
-        # lags masked out.
-        corr_full = self._remove_carrier_and_despread(
-            blocks, fft, c_idx, c_off, n)
+        # lags masked out.  The corr stddev term runs over the unique
+        # corr_len lags only, like the XLA path's sliced jnp.var.
+        maximise = cfg.corr_interp == "maximise"
+        corr_ret = self._remove_carrier_and_despread(
+            blocks, fft, c_idx, c_off, n, with_spec=maximise)
+        corr_full, spec = corr_ret if maximise else (corr_ret, None)
         flat = corr_full.reshape(-1, n)
-        p_idx, p_peak_pow, _ = pallas_kernels.fused_power_peak(
-            flat, self._corr_mask_full)
+        u_stats = None
+        if u_std:
+            u_stats = np.zeros(n, dtype=bool)
+            u_stats[:self.corr_len] = True
+        p_out = pallas_kernels.fused_power_peak(
+            flat, self._corr_mask_full, stats_mask=u_stats)
+        p_idx, p_peak_pow = p_out[0], p_out[1]
         p_mag = jnp.sqrt(p_peak_pow)
+        if u_std:
+            u_var = var_from_stats(p_out[3], p_out[4], self.corr_len)
 
-        neigh3 = jnp.abs(jnp.take_along_axis(
-            flat, (p_idx[:, None] + jnp.asarray([-1, 0, 1])) % n, axis=-1))
-        p_off = xcorr.gaussian_interpolate(
-            None, p_idx, values=neigh3, length=self.corr_len,
-            clip=self.corr_clip)
         if self.bank:
             shape = (blocks.shape[0], self.num_templates)
             p_idx = p_idx.reshape(shape)
             p_mag = p_mag.reshape(shape)
-            p_off = p_off.reshape(shape)
+            if u_std:
+                u_var = u_var.reshape(shape)
+
+        # Sub-sample offset, per interpolator family.
+        if cfg.corr_interp == "none":
+            p_off = jnp.zeros(p_idx.shape, dtype=jnp.float32)
+        elif maximise:
+            p_off = self._maximise(spec, p_idx)
+        else:
+            half = getattr(self, "_corr_neigh_half", 1)
+            offs = jnp.arange(-half, half + 1)
+            neigh = jnp.abs(jnp.take_along_axis(
+                corr_full, (p_idx[..., None] + offs) % n, axis=-1))
+            p_off = self._corr_interp(None, p_idx, values=neigh,
+                                      length=self.corr_len)
 
         # Stage 5: noise / threshold (identical formulas).
         signal_energy = jnp.sum(
@@ -428,7 +476,10 @@ class BatchDetector:
         if self.bank:
             signal_energy = signal_energy[:, None]
         noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
-        p_det = p_mag > jnp.sqrt(u_const + u_snr * jnp.square(noise))
+        u_thresh_sq = u_const + u_snr * jnp.square(noise)
+        if u_std:
+            u_thresh_sq = u_thresh_sq + u_std * u_var
+        p_det = p_mag > jnp.sqrt(u_thresh_sq)
         p_off = jnp.where(p_det, p_off, 0.0)
 
         if self.bank:

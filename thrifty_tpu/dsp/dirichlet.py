@@ -140,16 +140,21 @@ def make_dirichlet_interpolator(
     return interpolate
 
 
-def parabolic_interpolate(mag, peak_idx, clip=None):
+def parabolic_interpolate(mag, peak_idx, clip=None, values=None):
     """Batched 3-point parabolic sub-bin interpolation.
 
     offset = (c - a) / (4b - 2a - 2c) on neighbours (a, b, c)
     (reference thrifty/carrier_sync.py:199-204).  ``clip`` bounds the
     offset to +-clip; fastdet clips its carrier offset to +-0.5
     (fastdet/corr_detector.cpp:88-101), the Python reference does not.
+    ``values`` bypasses the gather with a precomputed [..., 3]
+    neighborhood (carrier bins wrap circularly, so no bounds mask).
     """
-    offs = jnp.asarray([-1, 0, 1])
-    y = _gather_neighborhood(mag, peak_idx, offs)
+    if values is None:
+        offs = jnp.asarray([-1, 0, 1])
+        y = _gather_neighborhood(mag, peak_idx, offs)
+    else:
+        y = values
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     den = 4.0 * b - 2.0 * a - 2.0 * c
     den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
@@ -159,7 +164,7 @@ def parabolic_interpolate(mag, peak_idx, clip=None):
     return offset
 
 
-def gaussian_interpolate(mag, peak_idx, clip=None):
+def gaussian_interpolate(mag, peak_idx, clip=None, values=None):
     """Batched 3-point Gaussian (log-parabolic) sub-bin interpolation.
 
     offset = (ln c - ln a) / (4 ln b - 2 ln a - 2 ln c) on neighbours
@@ -171,9 +176,15 @@ def gaussian_interpolate(mag, peak_idx, clip=None):
     carrier_interpolators.py guards, while the correlation surface
     clamps at array edges with soa_estimator.py's clip/bounds rules --
     both variants are pinned by golden tests against the reference.
+    ``values`` bypasses the gather with a precomputed [..., 3]
+    neighborhood.
     """
-    offs = jnp.asarray([-1, 0, 1])
-    y = jnp.maximum(_gather_neighborhood(mag, peak_idx, offs), 1e-30)
+    if values is None:
+        offs = jnp.asarray([-1, 0, 1])
+        y = _gather_neighborhood(mag, peak_idx, offs)
+    else:
+        y = values
+    y = jnp.maximum(y, 1e-30)
     la, lb, lc = (jnp.log(y[..., 0]), jnp.log(y[..., 1]),
                   jnp.log(y[..., 2]))
     den = 4.0 * lb - 2.0 * la - 2.0 * lc
@@ -184,16 +195,20 @@ def gaussian_interpolate(mag, peak_idx, clip=None):
     return offset
 
 
-def cosine_interpolate(mag, peak_idx):
+def cosine_interpolate(mag, peak_idx, values=None):
     """Batched 3-point cosine-fit sub-bin interpolation.
 
     Fits y_k = A cos(w k + theta) through the peak's neighbours
     (reference thrifty/experimental/carrier_interpolators.py:84-93);
     returns 0 where the fit is invalid ((a + c) / 2b > 1, the
-    reference's guard).
+    reference's guard).  ``values`` bypasses the gather with a
+    precomputed [..., 3] neighborhood.
     """
-    offs = jnp.asarray([-1, 0, 1])
-    y = _gather_neighborhood(mag, peak_idx, offs)
+    if values is None:
+        offs = jnp.asarray([-1, 0, 1])
+        y = _gather_neighborhood(mag, peak_idx, offs)
+    else:
+        y = values
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     b = jnp.maximum(b, 1e-30)
     cos_w = (a + c) / (2.0 * b)
@@ -214,9 +229,14 @@ def make_polyfit_interpolator(width: int):
     vand = np.stack([xs**2, xs, np.ones_like(xs)], axis=1)
     pinv = np.linalg.pinv(vand)  # [3, P]
 
-    def interpolate(mag, peak_idx):
-        offs = jnp.asarray(xs.astype(np.int64))
-        y = _gather_neighborhood(mag, peak_idx, offs)
+    def interpolate(mag, peak_idx, values=None):
+        # ``values`` bypasses the gather with a precomputed
+        # [..., width+1] neighborhood.
+        if values is None:
+            offs = jnp.asarray(xs.astype(np.int64))
+            y = _gather_neighborhood(mag, peak_idx, offs)
+        else:
+            y = values
         coeffs = jnp.einsum("kp,...p->...k", jnp.asarray(pinv, y.dtype), y)
         a2, a1 = coeffs[..., 0], coeffs[..., 1]
         a2 = jnp.where(jnp.abs(a2) < 1e-30, 1e-30, a2)

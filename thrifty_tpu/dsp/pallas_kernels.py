@@ -41,19 +41,37 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def fused_power_peak_reference(re, im, mask):
-    """jnp reference: (windowed argmax of power, peak power, total power)."""
+def fused_power_peak_reference(re, im, mask, stats_mask=None):
+    """jnp reference: (windowed argmax of power, peak power, total power).
+
+    With ``stats_mask`` ([N] bool: which samples count), two extra
+    reductions are returned in the same pass -- the masked power sum
+    and the masked MAGNITUDE sum, sufficient statistics for the
+    reference's optional ``d*std(mag)^2`` threshold term
+    (thrifty/carrier_detect.py:100-115 third coefficient)::
+
+        var(mag) = stat_pow/m - (stat_mag/m)**2,  m = stats_mask.sum()
+    """
     power = jnp.square(re) + jnp.square(im)
     masked = jnp.where(mask, power, -1.0)
     idx = jnp.argmax(masked, axis=-1).astype(jnp.int32)
     peak = jnp.take_along_axis(power, idx[..., None], axis=-1)[..., 0]
     total = jnp.sum(power, axis=-1)
-    return idx, peak, total
+    if stats_mask is None:
+        return idx, peak, total
+    sm = jnp.asarray(stats_mask)
+    stat_pow = jnp.sum(jnp.where(sm, power, 0.0), axis=-1)
+    stat_mag = jnp.sum(jnp.where(sm, jnp.sqrt(power), 0.0), axis=-1)
+    return idx, peak, total, stat_pow, stat_mag
 
 
-def _kernel(re_ref, im_ref, mask_ref, idx_ref, peak_ref, sum_ref,
-            *, chunks, chunk):
+def _kernel(*refs, chunks, chunk, want_stats):
     """Single-pass reduction over one row-tile of [TB, N]."""
+    if want_stats:
+        (re_ref, im_ref, mask_ref, smask_ref,
+         idx_ref, peak_ref, sum_ref, spow_ref, smag_ref) = refs
+    else:
+        re_ref, im_ref, mask_ref, idx_ref, peak_ref, sum_ref = refs
     j = pl.program_id(1)
 
     re = re_ref[...]
@@ -65,12 +83,19 @@ def _kernel(re_ref, im_ref, mask_ref, idx_ref, peak_ref, sum_ref,
     local_max = jnp.max(masked, axis=-1)
     local_sum = jnp.sum(power, axis=-1)
     local_arg = local_arg + j * chunk
+    if want_stats:
+        sm = smask_ref[...]
+        local_spow = jnp.sum(power * sm, axis=-1)
+        local_smag = jnp.sum(jnp.sqrt(power) * sm, axis=-1)
 
     @pl.when(j == 0)
     def _():
         idx_ref[...] = local_arg[:, None]
         peak_ref[...] = local_max[:, None]
         sum_ref[...] = local_sum[:, None]
+        if want_stats:
+            spow_ref[...] = local_spow[:, None]
+            smag_ref[...] = local_smag[:, None]
 
     @pl.when(j != 0)
     def _():
@@ -79,14 +104,19 @@ def _kernel(re_ref, im_ref, mask_ref, idx_ref, peak_ref, sum_ref,
         peak_ref[...] = jnp.where(
             better, local_max, peak_ref[..., 0])[:, None]
         sum_ref[...] = (sum_ref[..., 0] + local_sum)[:, None]
+        if want_stats:
+            spow_ref[...] = (spow_ref[..., 0] + local_spow)[:, None]
+            smag_ref[...] = (smag_ref[..., 0] + local_smag)[:, None]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("row_tile", "chunk", "interpret"))
-def _fused_call(re, im, mask_f32, row_tile, chunk, interpret=False):
+def _fused_call(re, im, mask_f32, smask_f32, row_tile, chunk,
+                interpret=False):
     b, n = re.shape
     chunks = n // chunk
     grid = (b // row_tile, chunks)
+    want_stats = smask_f32 is not None
 
     data_spec = pl.BlockSpec(
         (row_tile, chunk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -95,30 +125,45 @@ def _fused_call(re, im, mask_f32, row_tile, chunk, interpret=False):
     out_spec = pl.BlockSpec(
         (row_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
 
-    idx, peak, total = pl.pallas_call(
-        functools.partial(_kernel, chunks=chunks, chunk=chunk),
+    in_specs = [data_spec, data_spec, mask_spec]
+    inputs = [re, im, mask_f32]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    ]
+    if want_stats:
+        in_specs.append(mask_spec)
+        inputs.append(smask_f32)
+        out_shape += [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 2
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, chunks=chunks, chunk=chunk,
+                          want_stats=want_stats),
         grid=grid,
-        in_specs=[data_spec, data_spec, mask_spec],
-        out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=[out_spec] * len(out_shape),
+        out_shape=out_shape,
         interpret=interpret,
-    )(re, im, mask_f32)
-    return idx[:, 0], peak[:, 0], total[:, 0]
+    )(*inputs)
+    return tuple(o[:, 0] for o in outs)
 
 
-def _kernel_interleaved(y_ref, mask_ref, idx_ref, peak_ref, sum_ref,
-                        *, chunk):
+def _kernel_interleaved(*refs, chunk, want_stats):
     """Single-pass reduction over one [TB, chunk] tile of interleaved
     float32 (re, im) data.
 
     power_k sits at even lane 2k as y^2 + roll(y^2, -1); odd lanes hold
     garbage pair sums and are masked out (the mask is non-zero only on
-    even lanes, so pairs never straddle the roll's chunk wrap).
+    even lanes, so pairs never straddle the roll's chunk wrap).  With
+    ``want_stats``, the stats mask (also even-lane-only) selects which
+    complex samples contribute masked power / magnitude sums.
     """
+    if want_stats:
+        (y_ref, mask_ref, smask_ref,
+         idx_ref, peak_ref, sum_ref, spow_ref, smag_ref) = refs
+    else:
+        y_ref, mask_ref, idx_ref, peak_ref, sum_ref = refs
     j = pl.program_id(1)
 
     y = y_ref[...]
@@ -130,12 +175,19 @@ def _kernel_interleaved(y_ref, mask_ref, idx_ref, peak_ref, sum_ref,
     local_max = jnp.max(masked, axis=-1)
     local_sum = jnp.sum(p, axis=-1)  # re^2 + im^2 across the two lanes
     local_arg = local_arg + j * chunk
+    if want_stats:
+        sm = smask_ref[...]
+        local_spow = jnp.sum(q * sm, axis=-1)
+        local_smag = jnp.sum(jnp.sqrt(q) * sm, axis=-1)
 
     @pl.when(j == 0)
     def _():
         idx_ref[...] = local_arg[:, None]
         peak_ref[...] = local_max[:, None]
         sum_ref[...] = local_sum[:, None]
+        if want_stats:
+            spow_ref[...] = local_spow[:, None]
+            smag_ref[...] = local_smag[:, None]
 
     @pl.when(j != 0)
     def _():
@@ -144,14 +196,18 @@ def _kernel_interleaved(y_ref, mask_ref, idx_ref, peak_ref, sum_ref,
         peak_ref[...] = jnp.where(
             better, local_max, peak_ref[..., 0])[:, None]
         sum_ref[...] = (sum_ref[..., 0] + local_sum)[:, None]
+        if want_stats:
+            spow_ref[...] = (spow_ref[..., 0] + local_spow)[:, None]
+            smag_ref[...] = (smag_ref[..., 0] + local_smag)[:, None]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("row_tile", "chunk", "interpret"))
-def _fused_call_interleaved(y, mask_f32, row_tile, chunk,
+def _fused_call_interleaved(y, mask_f32, smask_f32, row_tile, chunk,
                             interpret=False):
     b, n2 = y.shape
     grid = (b // row_tile, n2 // chunk)
+    want_stats = smask_f32 is not None
 
     data_spec = pl.BlockSpec(
         (row_tile, chunk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -160,24 +216,34 @@ def _fused_call_interleaved(y, mask_f32, row_tile, chunk,
     out_spec = pl.BlockSpec(
         (row_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
 
-    idx, peak, total = pl.pallas_call(
-        functools.partial(_kernel_interleaved, chunk=chunk),
+    in_specs = [data_spec, mask_spec]
+    inputs = [y, mask_f32]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    ]
+    if want_stats:
+        in_specs.append(mask_spec)
+        inputs.append(smask_f32)
+        out_shape += [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 2
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_interleaved, chunk=chunk,
+                          want_stats=want_stats),
         grid=grid,
-        in_specs=[data_spec, mask_spec],
-        out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=[out_spec] * len(out_shape),
+        out_shape=out_shape,
         interpret=interpret,
-    )(y, mask_f32)
+    )(*inputs)
     # The argmax lives on even interleaved lanes: halve to sample index.
-    return jnp.right_shift(idx[:, 0], 1), peak[:, 0], total[:, 0]
+    return (jnp.right_shift(outs[0][:, 0], 1),) + tuple(
+        o[:, 0] for o in outs[1:])
 
 
 def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None,
-                     layout="interleaved"):
+                     layout="interleaved", stats_mask=None):
     """One-pass windowed power argmax + peak + energy over [B, N] complex.
 
     Parameters
@@ -186,19 +252,32 @@ def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None,
     mask : [N] bool numpy array (window; True = searchable)
     layout : 'interleaved' (bitcast in place, default) or 'planes'
         (separate re/im float32 arrays; costs an extra HBM pass).
-    Returns (peak_idx int32 [B], peak_power f32 [B], total_power f32 [B]).
+    stats_mask : optional [N] bool numpy array; when given, the same
+        pass also reduces the masked power sum and masked magnitude
+        sum (the sufficient statistics for the reference's optional
+        ``d*std(mag)^2`` threshold term) and the return grows to
+        ``(idx, peak, total, stat_pow, stat_mag)``.
+
+    Returns (peak_idx int32 [B], peak_power f32 [B], total_power f32 [B]
+    [, stat_pow f32 [B], stat_mag f32 [B]]).
 
     Falls back to the jnp reference when shapes do not tile cleanly.
     """
     b, n = x.shape
     mask = np.asarray(mask)
+    if stats_mask is not None:
+        stats_mask = np.asarray(stats_mask)
+
+    def reference(re, im):
+        return fused_power_peak_reference(
+            re, im, jnp.asarray(mask),
+            None if stats_mask is None else jnp.asarray(stats_mask))
 
     if interpret is None:
         if jax.devices()[0].platform == "cpu":
             # Compiled CPU path: interpreter is slow; use the reference.
-            re = jnp.real(x).astype(jnp.float32)
-            im = jnp.imag(x).astype(jnp.float32)
-            return fused_power_peak_reference(re, im, jnp.asarray(mask))
+            return reference(jnp.real(x).astype(jnp.float32),
+                             jnp.imag(x).astype(jnp.float32))
         interpret = False
 
     if layout == "interleaved" and x.dtype == jnp.complex64 \
@@ -207,8 +286,13 @@ def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None,
         y = jnp.asarray(x).view(jnp.float32)  # [B, 2N], zero-copy view
         mask_ilv = np.zeros(2 * n, dtype=np.float32)
         mask_ilv[0::2] = mask
+        smask_ilv = None
+        if stats_mask is not None:
+            sm = np.zeros(2 * n, dtype=np.float32)
+            sm[0::2] = stats_mask
+            smask_ilv = jnp.asarray(sm)[None, :]
         return _fused_call_interleaved(
-            y, jnp.asarray(mask_ilv)[None, :], row_tile, chunk,
+            y, jnp.asarray(mask_ilv)[None, :], smask_ilv, row_tile, chunk,
             interpret=interpret)
 
     re = jnp.real(x).astype(jnp.float32)
@@ -217,7 +301,9 @@ def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None,
         n % chunk == 0 and b % row_tile == 0 and chunk % LANE == 0
     )
     if not usable:
-        return fused_power_peak_reference(re, im, jnp.asarray(mask))
+        return reference(re, im)
     mask_f32 = jnp.asarray(mask.astype(np.float32))[None, :]
-    return _fused_call(re, im, mask_f32, row_tile, chunk,
+    smask_f32 = None if stats_mask is None \
+        else jnp.asarray(stats_mask.astype(np.float32))[None, :]
+    return _fused_call(re, im, mask_f32, smask_f32, row_tile, chunk,
                        interpret=interpret)

@@ -138,18 +138,24 @@ def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     return jnp.where(in_bounds, offset, 0.0)
 
 
-def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6):
+def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6,
+                       values=None, length=None):
     """Batched cosine-fit sub-sample peak interpolation (alternative).
 
     Fits y_k = A*cos(w*k + theta) through the three points around the
     peak: w = arccos((a+c)/2b), offset = -arctan2-style phase over w
     (reference thrifty/experimental/xcorr_interpolators.py cosine).
-    Returns 0 where the fit is invalid (|a+c| > 2b).
+    Returns 0 where the fit is invalid (|a+c| > 2b).  ``values``
+    bypasses the gather with a precomputed [..., 3] neighborhood
+    (pass ``length`` for the bounds check then).
     """
-    n = corr_mag.shape[-1]
-    safe_idx = jnp.clip(peak_idx, 1, n - 2)
-    idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
-    y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    n = corr_mag.shape[-1] if length is None else length
+    if values is None:
+        safe_idx = jnp.clip(peak_idx, 1, n - 2)
+        idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
+        y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    else:
+        y = values
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     b = jnp.maximum(b, 1e-30)
     cos_w = (a + c) / (2.0 * b)
@@ -163,10 +169,11 @@ def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6):
     return jnp.where(valid & in_bounds, offset, 0.0)
 
 
-def none_interpolate(corr_mag, peak_idx, clip: float = 0.6):
+def none_interpolate(corr_mag, peak_idx, clip: float = 0.6,
+                     values=None, length=None):
     """Integer-only peaks: offset is always 0 (reference
     thrifty/experimental/xcorr_interpolators.py:31-32)."""
-    del corr_mag, clip
+    del corr_mag, clip, values, length
     return jnp.zeros(peak_idx.shape, dtype=jnp.float32)
 
 
@@ -334,11 +341,18 @@ def make_autocorr_interpolator(template, oversample: int = 16,
             v0, v1 = tbl[i0], tbl[i0 + 1]
         return v0 * (1 - frac) + v1 * frac
 
-    def interpolate(corr_mag, peak_idx):
-        n = corr_mag.shape[-1]
-        safe = jnp.clip(peak_idx, width, n - width - 1)
-        idx = safe[..., None] + jnp.asarray(ks)
-        y = jnp.take_along_axis(corr_mag, idx, axis=-1).astype(jnp.float32)
+    def interpolate(corr_mag, peak_idx, values=None, length=None):
+        # ``values`` bypasses the gather with a precomputed
+        # [..., 2*width+1] magnitude neighborhood (pass ``length`` for
+        # the bounds check then).
+        n = corr_mag.shape[-1] if length is None else length
+        if values is None:
+            safe = jnp.clip(peak_idx, width, n - width - 1)
+            idx = safe[..., None] + jnp.asarray(ks)
+            y = jnp.take_along_axis(corr_mag, idx,
+                                    axis=-1).astype(jnp.float32)
+        else:
+            y = values.astype(jnp.float32)
         kgrid = jnp.asarray(ks, dtype=jnp.float32)
 
         amp0 = y[..., width]
@@ -371,15 +385,24 @@ def make_autocorr_interpolator(template, oversample: int = 16,
         in_bounds = (peak_idx >= width) & (peak_idx < n - width)
         return jnp.where(in_bounds, offset, 0.0)
 
+    interpolate.width = width  # neighborhood half-width for callers
     return interpolate
 
 
-def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6):
-    """Batched parabolic sub-sample peak interpolation (alternative)."""
-    n = corr_mag.shape[-1]
-    safe_idx = jnp.clip(peak_idx, 1, n - 2)
-    idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
-    y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6,
+                          values=None, length=None):
+    """Batched parabolic sub-sample peak interpolation (alternative).
+
+    ``values`` bypasses the gather with a precomputed [..., 3]
+    neighborhood (pass ``length`` for the bounds check then).
+    """
+    n = corr_mag.shape[-1] if length is None else length
+    if values is None:
+        safe_idx = jnp.clip(peak_idx, 1, n - 2)
+        idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
+        y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
+    else:
+        y = values
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     den = 2.0 * b - a - c
     den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
