@@ -377,7 +377,7 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
     return samples / elapsed, stats
 
 
-def bench_selfcheck(template, batch, sync_mode):
+def bench_selfcheck(template, batch, sync_mode, wide=False):
     """On-device Pallas-vs-XLA path equivalence, tunnel-safe.
 
     The interpret-mode kernel test (tests/test_pallas.py) can't run the
@@ -388,6 +388,11 @@ def bench_selfcheck(template, batch, sync_mode):
     difference to one f32 scalar on device -- scalars transfer fine.
     Bool/int fields report the mismatch count; float fields report
     max |a-b| (absolute for offsets, relative for energies/noise).
+
+    ``wide`` additionally sweeps the widened kernel surface on the
+    chip (alternative corr/carrier interpolators, stddev threshold
+    terms) -- one extra compiled program per config, so opt-in through
+    the slow compile relay.
     """
     import jax
     import jax.numpy as jnp
@@ -453,12 +458,56 @@ def bench_selfcheck(template, batch, sync_mode):
     for k, v in diffs_stream(raw, stream_u16, carry0).items():
         out["stream_" + k] = float(np.asarray(v))
 
+    if wide:
+        # The widened kernel surface: every config below engages the
+        # fused kernel with a different neighborhood/statistics path.
+        wide_cfgs = [
+            ("parabolic_polyfit", dict(corr_interp="parabolic",
+                                       carrier_interp="polyfit")),
+            ("autocorr_integer", dict(corr_interp="autocorr",
+                                      sync_mode="integer")),
+            ("maximise", dict(corr_interp="maximise")),
+            ("stddev", dict(corr_thresh=(0.0, 15.0, 0.5),
+                            carrier_thresh=(0.0, 15.0, 0.25))),
+        ]
+        for name, kw in wide_cfgs:
+            pair = {}
+            for mode in ("on", "off"):
+                cfg = DetectorConfig(carrier_window=(7, 110),
+                                     use_pallas=mode, **kw)
+                pair[mode] = BatchDetector(template, cfg)
+
+            @jax.jit
+            def wdiffs(raw_in, pair=pair):
+                a = pair["on"]._detect_batch_raw(raw_in)
+                b = pair["off"]._detect_batch_raw(raw_in)
+                o = {}
+                for k in sorted(set(a) & set(b)):
+                    x, y = a[k], b[k]
+                    if jnp.issubdtype(x.dtype, jnp.bool_) or \
+                            jnp.issubdtype(x.dtype, jnp.integer):
+                        o[k] = jnp.sum(x != y).astype(jnp.float32)
+                    elif k in relative:
+                        o[k] = jnp.max(jnp.abs(x - y)
+                                       / jnp.maximum(jnp.abs(y), 1e-20))
+                    else:
+                        o[k] = jnp.max(jnp.abs(x - y))
+                return o
+
+            for k, v in wdiffs(raw).items():
+                out[name + ":" + k] = float(np.asarray(v))
+
     # Exact agreement for decisions/indices; float surfaces within the
     # f32 reassociation noise of two differently-fused programs.
     int_fields = {"detected", "carrier_detect", "carrier_bin",
                   "corr_sample", "template_idx"}
     tol = {k: 0 for k in int_fields}
     tol.update({"stream_" + k: 0 for k in int_fields})
+    for name, _ in (wide_cfgs if wide else ()):
+        tol.update({name + ":" + k: 0 for k in int_fields})
+        # The golden-section 'maximise' search amplifies f32
+        # reassociation noise near the flat peak (tests/test_pallas.py).
+        tol[name + ":corr_offset"] = 2e-3 if name == "maximise" else 1e-3
     ok = all(v <= tol.get(k, 1e-3) for k, v in out.items())
     return ok, out
 
@@ -573,6 +622,11 @@ def main(argv=None):
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a JAX profiler trace of the timed "
                              "region into DIR")
+    parser.add_argument("--wide", action="store_true",
+                        help="selfcheck: also sweep the widened kernel "
+                             "surface (alt interpolators, stddev "
+                             "threshold terms); one extra compile per "
+                             "config")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -618,13 +672,15 @@ def main(argv=None):
     template = sim.make_template()
 
     if args.program == "selfcheck":
-        ok, diffs = bench_selfcheck(template, args.batch, args.sync_mode)
+        ok, diffs = bench_selfcheck(template, args.batch, args.sync_mode,
+                                    wide=args.wide)
         print(json.dumps({
             "metric": "pallas_xla_selfcheck",
             "value": 1.0 if ok else 0.0,
             "unit": "pass",
             "vs_baseline": 1.0 if ok else 0.0,
             "batch": args.batch, "sync_mode": args.sync_mode,
+            "wide": args.wide,
             "field_diffs": diffs,
         }))
         return 0 if ok else 1
