@@ -106,3 +106,18 @@ def test_selfcheck_program():
     d = data["field_diffs"]
     assert d["detected"] == 0 and d["corr_sample"] == 0
     assert d["corr_offset"] <= 1e-3
+
+
+def test_selfcheck_wide_program():
+    """--wide sweeps the widened kernel surface (alt interpolators,
+    stddev threshold terms) through the same scalar-reduction check."""
+    res = run_bench(["--program", "selfcheck", "--batch", "16", "--wide"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["value"] == 1.0 and data["wide"] is True
+    d = data["field_diffs"]
+    for cfg in ("parabolic_polyfit", "autocorr_integer", "maximise",
+                "stddev"):
+        assert d[cfg + ":detected"] == 0, cfg
+        assert d[cfg + ":corr_sample"] == 0, cfg
