@@ -413,22 +413,28 @@ def bench_selfcheck(template, batch, sync_mode, wide=False):
     relative = {"carrier_energy", "carrier_noise", "corr_energy",
                 "corr_noise"}
 
-    @jax.jit
-    def diffs(raw_in):
-        a = dets["on"]._detect_batch_raw(raw_in)
-        b = dets["off"]._detect_batch_raw(raw_in)
-        out = {}
+    def field_diffs(a, b):
+        # Bool/int fields: mismatch count; float fields: max |a-b|
+        # (relative for the energy/noise surfaces) -- each reduced to
+        # one f32 scalar ON DEVICE (scalars transfer through the
+        # tunnel; full FFT-program outputs do not).
+        o = {}
         for k in sorted(set(a) & set(b)):
             x, y = a[k], b[k]
             if jnp.issubdtype(x.dtype, jnp.bool_) or \
                     jnp.issubdtype(x.dtype, jnp.integer):
-                out[k] = jnp.sum(x != y).astype(jnp.float32)
+                o[k] = jnp.sum(x != y).astype(jnp.float32)
             elif k in relative:
-                denom = jnp.maximum(jnp.abs(y), 1e-20)
-                out[k] = jnp.max(jnp.abs(x - y) / denom)
+                o[k] = jnp.max(jnp.abs(x - y)
+                               / jnp.maximum(jnp.abs(y), 1e-20))
             else:
-                out[k] = jnp.max(jnp.abs(x - y))
-        return out
+                o[k] = jnp.max(jnp.abs(x - y))
+        return o
+
+    @jax.jit
+    def diffs(raw_in):
+        return field_diffs(dets["on"]._detect_batch_raw(raw_in),
+                           dets["off"]._detect_batch_raw(raw_in))
 
     out = {k: float(np.asarray(v)) for k, v in diffs(raw).items()}
 
@@ -441,19 +447,7 @@ def bench_selfcheck(template, batch, sync_mode, wide=False):
     @jax.jit
     def diffs_stream(raw_in, new_u16, carry):
         a, _ = dets["off"]._detect_batch_stream(new_u16, carry)
-        b = dets["off"]._detect_batch_raw(raw_in)
-        out = {}
-        for k in sorted(set(a) & set(b)):
-            x, y = a[k], b[k]
-            if jnp.issubdtype(x.dtype, jnp.bool_) or \
-                    jnp.issubdtype(x.dtype, jnp.integer):
-                out[k] = jnp.sum(x != y).astype(jnp.float32)
-            elif k in relative:
-                out[k] = jnp.max(jnp.abs(x - y)
-                                 / jnp.maximum(jnp.abs(y), 1e-20))
-            else:
-                out[k] = jnp.max(jnp.abs(x - y))
-        return out
+        return field_diffs(a, dets["off"]._detect_batch_raw(raw_in))
 
     for k, v in diffs_stream(raw, stream_u16, carry0).items():
         out["stream_" + k] = float(np.asarray(v))
@@ -479,20 +473,8 @@ def bench_selfcheck(template, batch, sync_mode, wide=False):
 
             @jax.jit
             def wdiffs(raw_in, pair=pair):
-                a = pair["on"]._detect_batch_raw(raw_in)
-                b = pair["off"]._detect_batch_raw(raw_in)
-                o = {}
-                for k in sorted(set(a) & set(b)):
-                    x, y = a[k], b[k]
-                    if jnp.issubdtype(x.dtype, jnp.bool_) or \
-                            jnp.issubdtype(x.dtype, jnp.integer):
-                        o[k] = jnp.sum(x != y).astype(jnp.float32)
-                    elif k in relative:
-                        o[k] = jnp.max(jnp.abs(x - y)
-                                       / jnp.maximum(jnp.abs(y), 1e-20))
-                    else:
-                        o[k] = jnp.max(jnp.abs(x - y))
-                return o
+                return field_diffs(pair["on"]._detect_batch_raw(raw_in),
+                                   pair["off"]._detect_batch_raw(raw_in))
 
             for k, v in wdiffs(raw).items():
                 out[name + ":" + k] = float(np.asarray(v))

@@ -217,6 +217,46 @@ class TestPallasPathExtras:
             corr_thresh=(0.0, 15.0, 0.5)))
         assert out["detected"].any()  # planted bursts still detected
 
+    def test_stddev_var_never_negative(self):
+        """A near-constant magnitude surface (time-domain impulses give
+        exactly flat |FFT|) cancels E[x^2]-E[x]^2 to -epsilon in f32;
+        the clamped kernel-path variance must not NaN the threshold."""
+        import unittest.mock as mock
+
+        from thrifty_tpu.dsp import template as template_mod
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+        import thrifty_tpu.dsp.pallas_kernels as pkmod
+
+        tpl = template_mod.generate(5, 0, 2.0)
+        blocks = np.zeros((8, 2048), dtype=np.complex64)
+        blocks[:, 100] = 3.0 + 0j  # impulse -> |FFT| constant
+        kw = dict(block_len=2048, history_len=256,
+                  carrier_window=(7, 110),
+                  carrier_thresh=(0.0, 0.0, 2.0),  # pure stddev term
+                  corr_thresh=(0.0, 0.0, 2.0))
+        std = BatchDetector(tpl, DetectorConfig(use_pallas="off", **kw))
+        out_std = {k: np.asarray(v)
+                   for k, v in std._detect_batch(blocks).items()}
+        orig = pkmod.fused_power_peak
+
+        def interpreted(x, m, **k):
+            k["interpret"] = True
+            return orig(x, m, **k)
+
+        det = BatchDetector(tpl, DetectorConfig(use_pallas="on", **kw))
+        with mock.patch.object(pkmod, "fused_power_peak", interpreted):
+            out_pal = {k: np.asarray(v)
+                       for k, v in det._detect_batch(blocks).items()}
+        np.testing.assert_array_equal(out_pal["detected"],
+                                      out_std["detected"])
+        np.testing.assert_array_equal(out_pal["carrier_detect"],
+                                      out_std["carrier_detect"])
+        # Flat spectrum, zero variance: the carrier threshold is 0 and
+        # the constant |FFT| peak must be detected on BOTH paths (a
+        # NaN threshold would make every comparison False).
+        assert out_std["carrier_detect"].all()
+        assert out_pal["carrier_detect"].all()
+
     def test_bank_mode_interpolators(self):
         """Template bank on the kernel path: autocorr (per-template
         shape tables) and maximise (spectrum) need the bank reshape."""

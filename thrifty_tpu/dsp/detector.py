@@ -395,12 +395,20 @@ class BatchDetector:
         def var_from_stats(stat_pow, stat_mag, count):
             # var(mag) from one-pass sufficient statistics; matches the
             # XLA path's jnp.var up to f32 reassociation (tested).
+            # Clamped at 0: the uncentered E[x^2]-E[x]^2 form can
+            # cancel to -epsilon in f32 on near-constant magnitude
+            # surfaces, and a negative threshold term would turn the
+            # sqrt into NaN (jnp.var is non-negative by construction).
             mean = stat_mag / count
-            return stat_pow / count - jnp.square(mean)
+            return jnp.maximum(stat_pow / count - jnp.square(mean), 0.0)
 
         # Stage 1: carrier peak + energy (+ optional mag stats) in one
         # pass.  The carrier stddev term runs over every FFT bin
-        # (reference thrifty/carrier_detect.py:100-115).
+        # (reference thrifty/carrier_detect.py:100-115).  The all-true
+        # stats mask makes the masked power sum redundant with the
+        # total-power output, but the term is rarely enabled and the
+        # extra reduce is trivial next to the FFTs -- one kernel
+        # variant beats a third specialization.
         fft = jnp.fft.fft(blocks)
         c_stats = np.ones(n, dtype=bool) if c_std else None
         c_out = pallas_kernels.fused_power_peak(
@@ -425,8 +433,7 @@ class BatchDetector:
                 offs = jnp.arange(-(w // 2), w // 2 + 1)
             else:
                 offs = jnp.asarray([-1, 0, 1])
-            neigh = jnp.abs(jnp.take_along_axis(
-                fft, (c_idx[:, None] + offs) % n, axis=-1))
+            neigh = jnp.abs(dirichlet.gather_neighborhood(fft, c_idx, offs))
             c_off = self._interp(None, c_idx, values=neigh)
         c_off = jnp.where(c_det, c_off, 0.0)
 
@@ -465,8 +472,8 @@ class BatchDetector:
         else:
             half = getattr(self, "_corr_neigh_half", 1)
             offs = jnp.arange(-half, half + 1)
-            neigh = jnp.abs(jnp.take_along_axis(
-                corr_full, (p_idx[..., None] + offs) % n, axis=-1))
+            neigh = jnp.abs(dirichlet.gather_neighborhood(
+                corr_full, p_idx, offs))
             p_off = self._corr_interp(None, p_idx, values=neigh,
                                       length=self.corr_len)
 

@@ -63,11 +63,18 @@ def dirichlet_weights(filter_len: int, block_len: int, carrier_len: int):
     return coeffs / np.sqrt(np.sum(coeffs**2))
 
 
-def _gather_neighborhood(fft_mag, peak_idx, offsets):
-    """Gather fft_mag[..., peak_idx + k] for k in offsets, with wrap."""
-    n = fft_mag.shape[-1]
+def gather_neighborhood(values, peak_idx, offsets):
+    """Gather values[..., peak_idx + k] for k in offsets, with wrap.
+
+    Works on magnitude or complex arrays (the detector's kernel path
+    gathers complex neighborhoods and takes |.| afterwards).
+    """
+    n = values.shape[-1]
     idx = (peak_idx[..., None] + offsets) % n
-    return jnp.take_along_axis(fft_mag, idx, axis=-1)
+    return jnp.take_along_axis(values, idx, axis=-1)
+
+
+_gather_neighborhood = gather_neighborhood
 
 
 def make_dirichlet_interpolator(

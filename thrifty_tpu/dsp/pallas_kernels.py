@@ -65,7 +65,7 @@ def fused_power_peak_reference(re, im, mask, stats_mask=None):
     return idx, peak, total, stat_pow, stat_mag
 
 
-def _kernel(*refs, chunks, chunk, want_stats):
+def _kernel(*refs, chunk, want_stats):
     """Single-pass reduction over one row-tile of [TB, N]."""
     if want_stats:
         (re_ref, im_ref, mask_ref, smask_ref,
@@ -114,8 +114,7 @@ def _kernel(*refs, chunks, chunk, want_stats):
 def _fused_call(re, im, mask_f32, smask_f32, row_tile, chunk,
                 interpret=False):
     b, n = re.shape
-    chunks = n // chunk
-    grid = (b // row_tile, chunks)
+    grid = (b // row_tile, n // chunk)
     want_stats = smask_f32 is not None
 
     data_spec = pl.BlockSpec(
@@ -138,7 +137,7 @@ def _fused_call(re, im, mask_f32, smask_f32, row_tile, chunk,
         out_shape += [jax.ShapeDtypeStruct((b, 1), jnp.float32)] * 2
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, chunks=chunks, chunk=chunk,
+        functools.partial(_kernel, chunk=chunk,
                           want_stats=want_stats),
         grid=grid,
         in_specs=in_specs,
