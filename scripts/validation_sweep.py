@@ -303,8 +303,13 @@ def sweep_pos(trials, rng):
         if len(ref) == 0 or len(got) == 0:
             continue
         stats["comparisons"] += 1
-        err_ref = float(np.hypot(ref["x"][0] - tx[0], ref["y"][0] - tx[1]))
-        err_got = float(np.hypot(got["x"][0] - tx[0], got["y"][0] - tx[1]))
+        # Full-dimensional error: grading 3-D trials by horizontal
+        # error only would let a z-axis solver regression pass silently.
+        names = ("x", "y", "z")[:dims]
+        err_ref = float(np.linalg.norm(
+            [ref[c][0] - tx[d] for d, c in enumerate(names)]))
+        err_got = float(np.linalg.norm(
+            [got[c][0] - tx[d] for d, c in enumerate(names)]))
         # Well-posed = transmitter inside the array spread AND scipy
         # solved it well; a >100 m GN regression there is a solver
         # defect (mirror-ambiguous geometries legitimately disagree --

@@ -378,3 +378,16 @@ class TestGateOptionMatrix:
             assert pf == 0
         n_engaged = len(self.SYNC) * len(self.CORR) * len(self.CARRIER)
         assert len(engaged) == n_engaged
+
+
+def test_all_false_mask_rejected():
+    """An empty search window must fail loudly and identically on every
+    path: the kernels' -1.0 init sentinel would otherwise report
+    peak_power=-1 (NaN magnitude downstream) while the jnp reference
+    returns power[0]."""
+    x, _ = make_data(b=8, n=2048)
+    empty = np.zeros(2048, dtype=bool)
+    with pytest.raises(ValueError, match="no True"):
+        pk.fused_power_peak(x, empty)
+    with pytest.raises(ValueError, match="no True"):
+        pk.fused_power_peak(x, empty, interpret=True, layout="planes")

@@ -305,3 +305,41 @@ class TestIO:
         assert back[0]["group_id"] == 1
         assert back[0]["x"] == pytest.approx(results[0]["x"])
         assert back[0]["timestamp"] == pytest.approx(123.456789)
+
+
+class TestUnknownReceiver:
+    """A group referencing a receiver absent from the coordinate config
+    (stale pos-rx.cfg, extra receiver) is skipped with a diagnostic --
+    an uncaught KeyError here aborted the whole batch run and killed
+    the live server loop."""
+
+    def _groups(self):
+        tx = np.array([3000.0, 3000.0])
+        good = tdoa.TdoaGroup(0, 0.0, 3, forward_tdoas(tx, RX4, PAIRS4))
+        rows = forward_tdoas(tx, RX4, PAIRS4).copy()
+        rows["rx1"][0] = 7  # receiver 7 has no coordinates
+        bad = tdoa.TdoaGroup(1, 1.0, 3, rows)
+        return [good, bad]
+
+    def test_solve_skips_and_reports(self, capsys):
+        got = pos.solve(self._groups(), RX4)
+        assert got["group_id"].tolist() == [0]
+        assert "not in coordinate config" in capsys.readouterr().err
+
+    def test_solve_batched_skips_and_reports(self, capsys):
+        got = pos.solve_batched(self._groups(), RX4)
+        assert got["group_id"].tolist() == [0]
+        assert "not in coordinate config" in capsys.readouterr().err
+
+    def test_verbose_false_is_silent(self, capsys):
+        pos.solve(self._groups(), RX4, verbose=False)
+        pos.solve_batched(self._groups(), RX4, verbose=False)
+        assert capsys.readouterr().err == ""
+
+    def test_verbose_false_silences_underdetermined(self, capsys):
+        tx = np.array([3000.0, 3000.0])
+        under = tdoa.TdoaGroup(
+            0, 0.0, 3, forward_tdoas(tx, RX4, [(0, 1)]))
+        pos.solve([under], RX4, verbose=False)
+        pos.solve_batched([under], RX4, verbose=False)
+        assert capsys.readouterr().err == ""

@@ -522,3 +522,19 @@ def test_ppm_forwarded_to_dongle(burst_stream, tmp_path):
     # u32-wrapped exactly as librtlsdr's server reads it back.
     assert (rtl_tcp.CMD_SET_FREQ_CORRECTION,
             (-12) & 0xFFFFFFFF) in srv.commands
+
+
+def test_close_stops_reconnecting():
+    """read after close() must fail, not silently reopen the radio:
+    the reconnect wrapper used to treat the EBADF from its own
+    shutdown as a stream failure and re-dial the server."""
+    srv = FakeRtlTcpServer(payload=bytes(512))
+    src = rtl_tcp.ReconnectingRtlTcpSource(
+        "127.0.0.1", srv.port, max_retries=3, initial_backoff_s=0.01,
+        frequency=433.83e6, sample_rate=2.4e6)
+    assert len(src.read(64)) == 64
+    src.close()
+    with pytest.raises(IOError, match="closed"):
+        src.read(64)
+    assert src.reconnects == 0
+    srv.join()

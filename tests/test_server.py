@@ -206,3 +206,51 @@ class TestServerCli:
             x, y = float(line.split()[5]), float(line.split()[6])
             assert np.linalg.norm(
                 np.array([x, y]) - MOBILE_POS[3]) < 30.0
+
+
+class TestFeedSanitization:
+    """feed() rejects input that would crash or brick the live loop."""
+
+    def make_server(self, **kw):
+        return server_mod.PositioningServer(
+            rx_pos=RX_POS, beacon_pos=BEACON_POS, freqmap=FREQMAP,
+            sample_rate=FS, match_window=0.2, tdoa_est_window=8.0,
+            window_s=30.0, settle_s=1.0, **kw)
+
+    def test_unknown_receiver_detections_dropped(self, capsys):
+        """A receiver missing from pos-rx.cfg must not KeyError-kill
+        the server loop (tdoa geometry lookups); its detections are
+        dropped with a warn-once."""
+        det = scenario(duration=15.0)
+        bad = det[:5].copy()
+        bad["rxid"] = 7  # not in RX_POS
+        srv = self.make_server()
+        srv.feed(np.concatenate([det, bad]))
+        fixes = srv.step()  # must not raise
+        assert len(fixes) > 0
+        assert capsys.readouterr().err.count("rx 7") == 1
+        srv.feed(bad)
+        srv.step()
+        assert "rx 7" not in capsys.readouterr().err  # warn-once
+
+    def test_far_future_timestamp_does_not_brick_window(self, capsys):
+        """One clock-glitch detection at T+1e9 used to become "now",
+        trim every legitimate detection out of the window, and keep
+        doing so forever (it always survived its own trim)."""
+        det = scenario(duration=15.0)
+        glitch = det[:1].copy()
+        glitch["timestamp"] = det["timestamp"].max() + 1e9
+        srv = self.make_server(clock=lambda: 20.0)
+        srv.feed(np.concatenate([det, glitch]))
+        fixes = srv.step()
+        assert len(fixes) > 0  # the window survived
+        assert "future" in capsys.readouterr().err
+        # The glitch record itself was rejected, not retained.
+        assert float(np.max(srv._detections["timestamp"])) < 1e6
+
+    def test_historical_replay_unaffected(self):
+        """--once on old files: timestamps far in the PAST are fine."""
+        det = scenario(duration=15.0)
+        srv = self.make_server(clock=lambda: 1.8e9)
+        srv.feed(det)
+        assert len(srv.step()) > 0

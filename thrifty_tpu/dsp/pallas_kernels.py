@@ -65,13 +65,41 @@ def fused_power_peak_reference(re, im, mask, stats_mask=None):
     return idx, peak, total, stat_pow, stat_mag
 
 
+def _merge_chunk(j, out_refs, local_arg, local_max, local_sum,
+                 local_stats):
+    """Cross-chunk reduction shared by both kernel layouts: initialize
+    the output refs on the first chunk, then merge (argmax keeps the
+    EARLIEST chunk on ties via strict >; sums accumulate)."""
+    idx_ref, peak_ref, sum_ref = out_refs[:3]
+    stats_refs = out_refs[3:]
+
+    @pl.when(j == 0)
+    def _():
+        idx_ref[...] = local_arg[:, None]
+        peak_ref[...] = local_max[:, None]
+        sum_ref[...] = local_sum[:, None]
+        for ref, local in zip(stats_refs, local_stats):
+            ref[...] = local[:, None]
+
+    @pl.when(j != 0)
+    def _():
+        better = local_max > peak_ref[..., 0]
+        idx_ref[...] = jnp.where(better, local_arg, idx_ref[..., 0])[:, None]
+        peak_ref[...] = jnp.where(
+            better, local_max, peak_ref[..., 0])[:, None]
+        sum_ref[...] = (sum_ref[..., 0] + local_sum)[:, None]
+        for ref, local in zip(stats_refs, local_stats):
+            ref[...] = (ref[..., 0] + local)[:, None]
+
+
 def _kernel(*refs, chunk, want_stats):
     """Single-pass reduction over one row-tile of [TB, N]."""
     if want_stats:
-        (re_ref, im_ref, mask_ref, smask_ref,
-         idx_ref, peak_ref, sum_ref, spow_ref, smag_ref) = refs
+        re_ref, im_ref, mask_ref, smask_ref = refs[:4]
+        out_refs = refs[4:]
     else:
-        re_ref, im_ref, mask_ref, idx_ref, peak_ref, sum_ref = refs
+        re_ref, im_ref, mask_ref = refs[:3]
+        out_refs = refs[3:]
     j = pl.program_id(1)
 
     re = re_ref[...]
@@ -83,30 +111,14 @@ def _kernel(*refs, chunk, want_stats):
     local_max = jnp.max(masked, axis=-1)
     local_sum = jnp.sum(power, axis=-1)
     local_arg = local_arg + j * chunk
+    local_stats = ()
     if want_stats:
         sm = smask_ref[...]
-        local_spow = jnp.sum(power * sm, axis=-1)
-        local_smag = jnp.sum(jnp.sqrt(power) * sm, axis=-1)
+        local_stats = (jnp.sum(power * sm, axis=-1),
+                       jnp.sum(jnp.sqrt(power) * sm, axis=-1))
 
-    @pl.when(j == 0)
-    def _():
-        idx_ref[...] = local_arg[:, None]
-        peak_ref[...] = local_max[:, None]
-        sum_ref[...] = local_sum[:, None]
-        if want_stats:
-            spow_ref[...] = local_spow[:, None]
-            smag_ref[...] = local_smag[:, None]
-
-    @pl.when(j != 0)
-    def _():
-        better = local_max > peak_ref[..., 0]
-        idx_ref[...] = jnp.where(better, local_arg, idx_ref[..., 0])[:, None]
-        peak_ref[...] = jnp.where(
-            better, local_max, peak_ref[..., 0])[:, None]
-        sum_ref[...] = (sum_ref[..., 0] + local_sum)[:, None]
-        if want_stats:
-            spow_ref[...] = (spow_ref[..., 0] + local_spow)[:, None]
-            smag_ref[...] = (smag_ref[..., 0] + local_smag)[:, None]
+    _merge_chunk(j, out_refs, local_arg, local_max, local_sum,
+                 local_stats)
 
 
 @functools.partial(jax.jit,
@@ -159,10 +171,11 @@ def _kernel_interleaved(*refs, chunk, want_stats):
     complex samples contribute masked power / magnitude sums.
     """
     if want_stats:
-        (y_ref, mask_ref, smask_ref,
-         idx_ref, peak_ref, sum_ref, spow_ref, smag_ref) = refs
+        y_ref, mask_ref, smask_ref = refs[:3]
+        out_refs = refs[3:]
     else:
-        y_ref, mask_ref, idx_ref, peak_ref, sum_ref = refs
+        y_ref, mask_ref = refs[:2]
+        out_refs = refs[2:]
     j = pl.program_id(1)
 
     y = y_ref[...]
@@ -174,30 +187,14 @@ def _kernel_interleaved(*refs, chunk, want_stats):
     local_max = jnp.max(masked, axis=-1)
     local_sum = jnp.sum(p, axis=-1)  # re^2 + im^2 across the two lanes
     local_arg = local_arg + j * chunk
+    local_stats = ()
     if want_stats:
         sm = smask_ref[...]
-        local_spow = jnp.sum(q * sm, axis=-1)
-        local_smag = jnp.sum(jnp.sqrt(q) * sm, axis=-1)
+        local_stats = (jnp.sum(q * sm, axis=-1),
+                       jnp.sum(jnp.sqrt(q) * sm, axis=-1))
 
-    @pl.when(j == 0)
-    def _():
-        idx_ref[...] = local_arg[:, None]
-        peak_ref[...] = local_max[:, None]
-        sum_ref[...] = local_sum[:, None]
-        if want_stats:
-            spow_ref[...] = local_spow[:, None]
-            smag_ref[...] = local_smag[:, None]
-
-    @pl.when(j != 0)
-    def _():
-        better = local_max > peak_ref[..., 0]
-        idx_ref[...] = jnp.where(better, local_arg, idx_ref[..., 0])[:, None]
-        peak_ref[...] = jnp.where(
-            better, local_max, peak_ref[..., 0])[:, None]
-        sum_ref[...] = (sum_ref[..., 0] + local_sum)[:, None]
-        if want_stats:
-            spow_ref[...] = (spow_ref[..., 0] + local_spow)[:, None]
-            smag_ref[...] = (smag_ref[..., 0] + local_smag)[:, None]
+    _merge_chunk(j, out_refs, local_arg, local_max, local_sum,
+                 local_stats)
 
 
 @functools.partial(jax.jit,
@@ -264,6 +261,13 @@ def fused_power_peak(x, mask, row_tile=8, chunk=2048, interpret=None,
     """
     b, n = x.shape
     mask = np.asarray(mask)
+    if not mask.any():
+        # An empty search window is a config error.  Refuse it here so
+        # both paths fail identically: the kernels' -1.0 sentinel would
+        # otherwise surface as peak_power=-1 (NaN magnitude) while the
+        # jnp reference reports power[argmax of all-(-1)] = power[0].
+        raise ValueError("search mask has no True entries "
+                         "(empty carrier/correlation window)")
     if stats_mask is not None:
         stats_mask = np.asarray(stats_mask)
 

@@ -294,6 +294,7 @@ class ReconnectingRtlTcpSource:
         # next session's bytes were appended directly.
         self._parity = 0
         self.reconnects = 0
+        self._closed = False
         self._src = self._connect_initial()
 
     def _connect_initial(self):
@@ -337,15 +338,24 @@ class ReconnectingRtlTcpSource:
         delay = self._backoff
         last_err = None
         while True:
-            if self._src is not None:
+            if self._closed:
+                # close() was called (possibly from another thread
+                # while we were blocked in recv): report end-of-stream
+                # instead of "reconnecting" to a radio the caller just
+                # asked us to release.
+                raise IOError("rtl_tcp source is closed")
+            src = self._src
+            if src is not None:
                 try:
-                    n = self._src.readinto(b)
+                    n = src.readinto(b)
                     if n:
                         self._parity ^= n & 1
                         return n
                 except IOError as err:
+                    if self._closed:
+                        raise IOError("rtl_tcp source is closed") from None
                     last_err = err
-                self._src.close()
+                src.close()
                 self._src = None
             if attempts >= self._max_retries:
                 # Chain the root cause so the operator can tell a
@@ -380,8 +390,13 @@ class ReconnectingRtlTcpSource:
                 return 1
 
     def close(self):
+        # Mark closed FIRST: a reader thread blocked in recv wakes with
+        # an OSError from the socket teardown and must see the flag
+        # before deciding to reconnect.
+        self._closed = True
         if self._src is not None:
             self._src.close()
+            self._src = None
 
     def describe(self):
         if self._src is None:

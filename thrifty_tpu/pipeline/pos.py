@@ -53,9 +53,21 @@ def solve_1d(tdoas, rx_pos):
 
 
 def _geometry(tdoas, rx_pos):
+    missing = _missing_receivers(tdoas, rx_pos)
+    if missing:
+        raise EstimationError(
+            "receiver(s) {} not in coordinate config".format(
+                sorted(missing)))
     rx0 = np.array([rx_pos[int(r)] for r in tdoas["rx0"]], dtype=np.float64)
     rx1 = np.array([rx_pos[int(r)] for r in tdoas["rx1"]], dtype=np.float64)
     return rx0, rx1
+
+
+def _missing_receivers(tdoas, rx_pos):
+    """Receiver ids referenced by the TDOA rows but absent from the
+    coordinate config (stale pos-rx.cfg, extra receiver)."""
+    return {int(r) for r in np.concatenate([tdoas["rx0"], tdoas["rx1"]])
+            if int(r) not in rx_pos}
 
 
 def solve_group(tdoas, rx_pos, weighted=False):
@@ -125,7 +137,8 @@ def dop(pos, rx_pos, rx_pairs):
     return float(np.sqrt(np.trace(m)))
 
 
-def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False):
+def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False,
+                  verbose=True):
     """Solve many TDOA groups at once with the JAX Gauss-Newton solver.
 
     Groups are padded to a common pair count and solved as one jitted
@@ -136,14 +149,26 @@ def solve_batched(tdoa_groups, rx_pos, iters=30, weighted=False):
     scaled by sqrt(SNR) normalized to unit mean per group -- the same
     maximum-likelihood weighting as :func:`solve_group` (reference TODO
     thrifty/pos_est.py:59).
+
+    ``verbose=False`` silences the per-group failure lines: the live
+    server deliberately retries not-yet-solvable groups (a lagging
+    receiver may complete them) every step, and would otherwise
+    re-print the same diagnostic dozens of times per group.
     """
     dims = len(next(iter(rx_pos.values())))
     usable = []
     for g in tdoa_groups:
+        missing = _missing_receivers(g.tdoas, rx_pos)
+        if missing:
+            if verbose:
+                print("Failed to estimate group #{}: receiver(s) {} not "
+                      "in coordinate config".format(
+                          g.group_id, sorted(missing)), file=sys.stderr)
+            continue
         uniq = np.unique(np.concatenate([g.tdoas["rx0"], g.tdoas["rx1"]]))
         if len(uniq) >= dims + 1:
             usable.append(g)
-        else:
+        elif verbose:
             print("Failed to estimate group #{}: underdetermined".format(
                 g.group_id), file=sys.stderr)
     dtype = position_dtype(dims)
@@ -214,8 +239,12 @@ def _dop_batched(positions, rx0, rx1, mask):
     return np.where(ok, np.sqrt(np.where(ok, traces, 1.0)), -1.0)
 
 
-def solve(tdoa_groups, rx_pos, weighted=False):
-    """Solve every TDOA group; returns a structured array of positions."""
+def solve(tdoa_groups, rx_pos, weighted=False, verbose=True):
+    """Solve every TDOA group; returns a structured array of positions.
+
+    ``verbose=False`` silences the per-group failure lines (see
+    :func:`solve_batched`).
+    """
     num_rx = len(rx_pos)
     dims = len(next(iter(rx_pos.values())))
     results = []
@@ -231,11 +260,14 @@ def solve(tdoa_groups, rx_pos, weighted=False):
             results.append(
                 (group.group_id, group.timestamp, group.tx, dop_est, snr)
                 + tuple(coords))
-        except (EstimationError, ValueError,
+        except (EstimationError, ValueError, KeyError,
                 np.linalg.LinAlgError) as e:
             # One pathological group must not abort the whole run.
-            print("Failed to estimate group #{}: {}".format(
-                group.group_id, e), file=sys.stderr)
+            # (KeyError: solve_1d's direct rx_pos lookups; the N-D path
+            # reports unknown receivers as EstimationError.)
+            if verbose:
+                print("Failed to estimate group #{}: {}".format(
+                    group.group_id, e), file=sys.stderr)
     dtype = position_dtype(dims)
     if not results:
         return np.zeros(0, dtype=dtype)

@@ -44,12 +44,26 @@ class PositioningServer:
     step() must be called at intervals shorter than
     ``window_s - settle_s``: a settle-deferred group needs at least one
     later step before it scrolls out of the sliding window.
+
+    future_tol_s : float
+        feed() rejects detections stamped more than this far ahead of
+        the server's own clock.  Receivers are NTP-disciplined to the
+        same timebase (the reference's matching precondition,
+        rpi/detect.sh:17-18), so a far-future timestamp is a clock
+        glitch or a corrupt line -- and because step() derives "now"
+        from the max timestamp, one such record would otherwise trim
+        every legitimate detection out of the sliding window forever.
+        Historical replays (timestamps in the past) are unaffected.
+    clock : callable
+        Time source for the future check (default time.time);
+        injectable for tests.
     """
 
     def __init__(self, rx_pos, beacon_pos, freqmap=None,
                  sample_rate=2.4e6, match_window=0.2,
                  tdoa_est_window=8.0, window_s=30.0, settle_s=1.0,
-                 keep_txid=False, solver="auto"):
+                 keep_txid=False, solver="auto", future_tol_s=300.0,
+                 clock=None):
         self.rx_pos = rx_pos
         self.beacon_pos = beacon_pos
         self.freqmap = freqmap
@@ -68,8 +82,13 @@ class PositioningServer:
         if solver not in ("auto", "scipy", "batched"):
             raise ValueError("unknown solver: " + solver)
         self.solver = solver
+        self.future_tol_s = future_tol_s
+        self._clock = clock if clock is not None else time_mod.time
         # Warn-once set for unmapped receivers (step() runs every poll).
         self._warned_rx = set()
+        # Warn-once sets for feed()-time rejections.
+        self._warned_unknown_rx = set()
+        self._warned_future_rx = set()
         self._detections = toad.empty(0)
         # Solved transmissions per txid as sorted timestamp lists: a
         # group is a duplicate iff a solved fix for its transmitter lies
@@ -78,7 +97,37 @@ class PositioningServer:
         self._solved = {}  # txid -> sorted [timestamps]
 
     def feed(self, detections):
-        """Add new detection records (any order, any receiver)."""
+        """Add new detection records (any order, any receiver).
+
+        Records from receivers absent from the coordinate config are
+        dropped (they can never contribute to a clock model or a TDOA
+        pair, and would crash the geometry lookups downstream), as are
+        far-future timestamps (see ``future_tol_s``); both warn once
+        per receiver.
+        """
+        if not len(detections):
+            return
+        known = np.array([int(r) in self.rx_pos
+                          for r in detections["rxid"]])
+        if not known.all():
+            for r in set(int(r) for r in detections["rxid"][~known]):
+                if r not in self._warned_unknown_rx:
+                    self._warned_unknown_rx.add(r)
+                    print("warning: dropping detections from rx {} "
+                          "(not in receiver coordinate config)"
+                          .format(r), file=sys.stderr)
+            detections = detections[known]
+        horizon = self._clock() + self.future_tol_s
+        sane = detections["timestamp"] <= horizon
+        if not sane.all():
+            for r in set(int(r) for r in detections["rxid"][~sane]):
+                if r not in self._warned_future_rx:
+                    self._warned_future_rx.add(r)
+                    print("warning: dropping detection(s) from rx {} "
+                          "stamped >{:.0f}s in the future (clock "
+                          "glitch or corrupt line?)".format(
+                              r, self.future_tol_s), file=sys.stderr)
+            detections = detections[sane]
         if len(detections):
             self._detections = np.concatenate(
                 [self._detections, detections])
@@ -137,11 +186,16 @@ class PositioningServer:
             integrated, work, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
 
+        # verbose=False: an underdetermined group here is a normal
+        # transient (a lagging receiver may still complete it); it is
+        # retried every step and would re-print the same line ~30
+        # times per group at production poll rates.
         use_batched = self.solver != "scipy"
         if use_batched:
-            results = pos_mod.solve_batched(fresh, self.rx_pos)
+            results = pos_mod.solve_batched(fresh, self.rx_pos,
+                                            verbose=False)
         else:
-            results = pos_mod.solve(fresh, self.rx_pos)
+            results = pos_mod.solve(fresh, self.rx_pos, verbose=False)
         # Mark solved only what actually produced a fix: a group that
         # failed (e.g. underdetermined until a lagging receiver's
         # detections arrive) is retried on later steps.
