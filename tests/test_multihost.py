@@ -127,3 +127,35 @@ def test_two_process_distributed(tmp_path):
         np.testing.assert_array_equal(
             data["samples"][r], ref["corr_sample"])
         assert ref["detected"][3 + r]  # the planted burst
+
+
+import jax
+
+
+class TestInitializeIdempotent:
+    """The wrapper must swallow BOTH phrasings jax has used for the
+    repeat-initialization error; 'should only be called once.' (jax
+    0.9) previously escaped and crashed the second caller."""
+
+    @pytest.mark.parametrize("msg", [
+        "jax.distributed is already initialized",
+        "distributed.initialize should only be called once.",
+    ])
+    def test_repeat_init_swallowed(self, monkeypatch, msg):
+        from thrifty_tpu.parallel import distributed
+
+        def boom(**kw):
+            raise RuntimeError(msg)
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        distributed.initialize()  # must not raise
+
+    def test_genuine_failure_raises(self, monkeypatch):
+        from thrifty_tpu.parallel import distributed
+
+        def boom(**kw):
+            raise RuntimeError("coordinator unreachable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="unreachable"):
+            distributed.initialize()

@@ -36,6 +36,7 @@ int64_t ttpu_b64_decode_batch(const char*, const int64_t*, const int64_t*,
 int64_t ttpu_count_newlines(const char*, int64_t);
 int64_t ttpu_card_scan_mt(const char*, int64_t, double*, int64_t*,
                           int64_t*, int64_t*, int64_t, int);
+void ttpu_raw_to_iq(const uint8_t*, float*, int64_t, int);
 void ttpu_unfold(const uint8_t*, int64_t, uint8_t*, int64_t, int64_t,
                  int64_t, uint8_t);
 void ttpu_copy_rows(const uint8_t*, uint8_t*, int64_t, int64_t, int64_t,
@@ -233,10 +234,37 @@ static void card_scan_stress() {
     for (auto& th : threads) th.join();
 }
 
+// --- 4. concurrent raw->IQ conversions (first-use LUT init race) -----------
+
+static void raw_to_iq_stress() {
+    const int64_t kBytes = 1 << 16;
+    std::vector<uint8_t> raw(kBytes);
+    for (int64_t i = 0; i < kBytes; ++i) raw[i] = (uint8_t)(i * 13);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < 4; ++t) {
+        threads.emplace_back([&, t] {
+            std::vector<float> out(kBytes);
+            ttpu_raw_to_iq(raw.data(), out.data(), kBytes, 1 + t % 3);
+            for (int64_t i = 0; i < kBytes; ++i) {
+                float want = ((float)raw[i] - 127.4f) * (1.0f / 128.0f);
+                if (out[i] != want) {
+                    CHECK(false, "raw_to_iq value mismatch (LUT race?)");
+                    break;
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
 int main() {
+    // raw_to_iq first: the LUT-init race only exists before ANY thread
+    // has completed the first conversion in this process.
+    std::thread d(raw_to_iq_stress);
     std::thread a(ring_stress);
     std::thread b(b64_stress);
     std::thread c(card_scan_stress);
+    d.join();
     a.join();
     b.join();
     c.join();

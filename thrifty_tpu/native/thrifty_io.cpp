@@ -427,13 +427,16 @@ int64_t ttpu_card_scan(const char* text, int64_t text_len,
 // ---------------------------------------------------------------------------
 
 static float IQ_LUT[256];
-static bool lut_init_done = false;
+static std::once_flag lut_once;
 
+// Thread-safe like b64_init: two Python threads may enter
+// ttpu_raw_to_iq concurrently (ctypes releases the GIL), and a plain
+// bool flag would not order the table stores before the flag store.
 static void lut_init() {
-    if (lut_init_done) return;
-    for (int i = 0; i < 256; ++i)
-        IQ_LUT[i] = ((float)i - 127.4f) * (1.0f / 128.0f);
-    lut_init_done = true;
+    std::call_once(lut_once, [] {
+        for (int i = 0; i < 256; ++i)
+            IQ_LUT[i] = ((float)i - 127.4f) * (1.0f / 128.0f);
+    });
 }
 
 // Convert n_bytes of interleaved uint8 IQ to n_bytes floats (pairs of

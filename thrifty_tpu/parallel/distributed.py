@@ -36,8 +36,12 @@ def initialize(coordinator_address=None, num_processes=None,
             **kwargs,
         )
     except RuntimeError as e:
-        if "already" not in str(e):
-            raise  # genuinely failed; only repeat-initialization is ok
+        # Only repeat-initialization is ok.  jax has phrased that error
+        # both as "...is already initialized" and as "...should only be
+        # called once." across versions; match both.
+        msg = str(e)
+        if "already" not in msg and "only be called once" not in msg:
+            raise  # genuinely failed
 
 
 def pod_mesh(num_rx=None):

@@ -83,7 +83,10 @@ def make_stream_detector(detector, num_rx, blocks_per_shard, mesh,
         # has no predecessor; ppermute leaves its halo zero (matching the
         # zero-padded first block of the reference readers).
         perm = [(i, i + 1) for i in range(num_time - 1)]
-        tail = chunk[:, -history:]
+        # Explicit start offset: `[:, -history:]` with history 0 would
+        # select the WHOLE chunk as the halo (same -0 pitfall defended
+        # in io/stream.py's splice).
+        tail = chunk[:, chunk.shape[1] - history:]
         halo = lax.ppermute(tail, AXIS_TIME, perm) if num_time > 1 \
             else jnp.zeros_like(tail)
         full = jnp.concatenate([halo, chunk], axis=1)

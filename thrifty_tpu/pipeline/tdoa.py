@@ -627,11 +627,25 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
            + (det1["energy"] / det1["noise"]) ** 2) / 2.0
     groups = []
     rows_gid = np.asarray(rows_gid)
+    rows_i0 = np.asarray(rows_i0)
+    rows_i1 = np.asarray(rows_i1)
     rx0s = det0["rxid"]
     rx1s = det1["rxid"]
+    # One stable sort by group id replaces a full-array rescan per
+    # group (O(groups x rows) at production rates); the stable order
+    # keeps each group's rows in original (ascending) row order, so
+    # outputs are identical to the per-group nonzero scan.
+    sel_by_gid = {}
+    ok_idx = np.nonzero(row_ok)[0]
+    if len(ok_idx):
+        order = ok_idx[np.argsort(rows_gid[ok_idx], kind="stable")]
+        gids = rows_gid[order]
+        bounds = np.nonzero(np.diff(gids))[0] + 1
+        for run in np.split(order, bounds):
+            sel_by_gid[int(rows_gid[run[0]])] = run
     for group_idx, _ in mobile_matches:
-        sel = np.nonzero((rows_gid == group_idx) & row_ok)[0]
-        if len(sel) == 0:
+        sel = sel_by_gid.get(int(group_idx))
+        if sel is None:
             continue
         tdoas = np.zeros(len(sel), dtype=TDOA_DTYPE)
         tdoas["rx0"] = rx0s[sel]
@@ -639,8 +653,8 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         tdoas["tdoa"] = row_tdoa[sel]
         tdoas["snr"] = snr[sel]
         tdoas["model_quality"] = row_quality[sel]
-        tdoas["det0_idx"] = [rows_i0[i] for i in sel]
-        tdoas["det1_idx"] = [rows_i1[i] for i in sel]
+        tdoas["det0_idx"] = rows_i0[sel]
+        tdoas["det1_idx"] = rows_i1[sel]
         ts, tx = group_meta[group_idx]
         groups.append(TdoaGroup(
             group_id=group_idx, timestamp=ts, tx=tx, tdoas=tdoas))
