@@ -333,3 +333,49 @@ def test_gate_stream_history_exceeds_advance():
     row2 = full[2 * 2 * new: 2 * 2 * new + 2 * block]
     d2 = gate(row2[None, :])
     np.testing.assert_allclose(np.asarray(d2[2])[0], mag[2], rtol=1e-5)
+
+
+def test_record_cards_flushes_in_flight_batch_on_interrupt():
+    """SIGTERM (KeyboardInterrupt) is how every live run under a
+    supervisor ends; the one batch kept in flight by design must still
+    reach the archive before the exception surfaces."""
+    import io as io_mod
+
+    from thrifty_tpu.pipeline.capture import record_cards
+
+    B, NB = 4, 2 * 64
+
+    def gate(raw):
+        n = len(raw)
+        return (np.ones(n, bool), np.zeros(n, np.int64),
+                np.ones(n), np.zeros(n), np.zeros(n))
+
+    def batches():
+        raw = np.full((B, NB), 128, np.uint8)
+        yield np.arange(B, dtype=np.float64), np.arange(B), raw
+        yield np.arange(B, dtype=np.float64) + B, np.arange(B) + B, raw
+        raise KeyboardInterrupt
+
+    out, stats = io_mod.StringIO(), {}
+    with pytest.raises(KeyboardInterrupt):
+        record_cards(gate, batches(), B, out, stats=stats)
+    assert stats["written"] == 2 * B
+    assert out.getvalue().count("\n") == 2 * B
+
+
+def test_carrier_gate_keeps_ultra_strong_block():
+    """A full-length pure carrier drives the noise-variance estimate
+    negative; the gate must ARCHIVE it like fastcard (cardet.c keeps
+    the signed power), not NaN-reject the strongest block like the
+    reference Python."""
+    n = 1024
+    t = np.arange(n)
+    x = 100.0 * np.exp(2j * np.pi * 40 * t / n)
+    raw = iq.iq_to_raw(
+        np.clip(x / np.max(np.abs(x)) * 0.99, -1, 1).astype(np.complex64)
+    )[None, :]
+    gate = capture.CarrierGate(n, (7, 110), (0.0, 15.0, 0.0))
+    det, idx, mag, noise, thr = (np.asarray(a) for a in gate(raw))
+    assert bool(det[0])
+    assert int(idx[0]) == 40
+    assert np.isfinite(float(thr[0]))

@@ -195,3 +195,44 @@ class TestDetect:
         det, idx, _, _ = carrier.detect(mag, mask, (0.0, 15.0, 0.0))
         assert det.tolist() == [True, True, False]
         assert idx.tolist()[:2] == [10, 20]
+
+
+class TestUltraStrongCarrier:
+    def test_detected_not_nan_rejected(self):
+        """A carrier holding more than half the block energy makes the
+        noise variance negative.  The reference Python's sqrt-first
+        formula turns that into a NaN threshold and silently rejects
+        the strongest blocks; we follow fastcard/cardet.c:22-27 (signed
+        power in the threshold) and detect them."""
+        import jax.numpy as jnp
+
+        n = 1024
+        x = synth_tone(n, 40, ampl=100.0, length=n)  # full-length tone
+        mag = np.abs(np.fft.fft(x)).astype(np.float32)
+        assert np.sum(mag**2) < 2 * np.max(mag) ** 2  # negative regime
+        mask = carrier.window_mask((7, 110), n)
+        det, idx, peak, noise = carrier.detect(
+            jnp.asarray(mag)[None, :], mask, (0.0, 15.0, 0.0))
+        assert bool(np.asarray(det)[0])
+        assert int(np.asarray(idx)[0]) == 40
+        assert float(np.asarray(noise)[0]) == 0.0  # clamped, not NaN
+
+    def test_normal_regime_bit_identical(self):
+        """The signed-variance fix must not change results at any
+        physical noise level (variance >= 0): same decision, same
+        noise, same peak as the original formula computed by hand."""
+        import jax.numpy as jnp
+
+        n = 1024
+        x = synth_tone(n, 60, ampl=1.0, length=n // 4, noise=0.05)
+        mag = np.abs(np.fft.fft(x)).astype(np.float32)
+        mask = carrier.window_mask((7, 110), n)
+        det, idx, peak, noise = carrier.detect(
+            jnp.asarray(mag)[None, :], mask, (0.0, 15.0, 0.0))
+        peak_ref = np.float32(mag[np.asarray(idx)[0]])
+        var = np.float32(
+            (np.float32(np.sum(np.square(mag))) - 2 * peak_ref**2)
+            / np.float32(n - 1))
+        assert var > 0
+        assert float(np.asarray(noise)[0]) == pytest.approx(
+            float(np.sqrt(var)), rel=1e-6)

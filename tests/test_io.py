@@ -216,3 +216,66 @@ class TestRawBlocks:
         # Second block overlaps the last `history` samples of the first.
         np.testing.assert_array_equal(
             raw[1, :2 * history], raw[0, -2 * history:])
+
+
+class TestShortReadSources:
+    def test_raw_batches_socketlike_short_reads(self):
+        """Socket-backed sources (rtl_tcp) return short reads
+        mid-stream; raw_batches must read-fully per block and only
+        treat an EMPTY read as EOF (a short read used to end a live
+        capture after the first network packet)."""
+        samples = np.arange(256, dtype=np.uint8)
+
+        class Trickle:
+            """Returns at most 7 bytes per read()."""
+
+            def __init__(self, data):
+                self._b = io.BytesIO(data)
+
+            def read(self, n):
+                return self._b.read(min(n, 7))
+
+        got = list(blocks_io.raw_batches(
+            Trickle(samples.tobytes()), 8, 2, batch_size=4,
+            timestamper=lambda: 0.0))
+        ref = list(blocks_io.raw_batches(
+            io.BytesIO(samples.tobytes()), 8, 2, batch_size=4,
+            timestamper=lambda: 0.0))
+        assert len(got) == len(ref)
+        for (_, gi, gr), (_, ri, rr) in zip(got, ref):
+            np.testing.assert_array_equal(gi, ri)
+            np.testing.assert_array_equal(gr, rr)
+
+
+class TestReadCardFallbackParity:
+    def test_wrong_size_junk_row_tolerated_without_native(self):
+        """One stray wrong-size valid-base64 row must parse identically
+        with and without the native lib (the python fallback used to
+        raise ValueError on ANY mixed size)."""
+        import base64
+
+        enc = base64.b64encode(bytes(range(64))).decode()
+        junk = base64.b64encode(b"word").decode()
+        blob = ("1.0 0 {e}\n1.5 1 {j}\n2.0 2 {e}\n3.0 3 {e}\n"
+                .format(e=enc, j=junk)).encode()
+        ts, idx, raw = card.read_card(io.BytesIO(blob), native=False)
+        assert idx.tolist() == [0, 2, 3]
+        assert raw.shape == (3, 64)
+        try:
+            from thrifty_tpu.native import parse_card_bytes  # noqa: F401
+        except ImportError:
+            return
+        ts_n, idx_n, raw_n = card.read_card(io.BytesIO(blob), native=True)
+        np.testing.assert_array_equal(idx, idx_n)
+        np.testing.assert_array_equal(raw, raw_n)
+
+    def test_mostly_junk_still_fails_loudly(self):
+        import base64
+
+        a = base64.b64encode(bytes(range(32))).decode()
+        b = base64.b64encode(bytes(range(16))).decode()
+        rows = ["{}.0 {} {}".format(i, i, a if i % 2 else b)
+                for i in range(40)]
+        blob = ("\n".join(rows) + "\n").encode()
+        with pytest.raises(ValueError, match="inconsistent block sizes"):
+            card.read_card(io.BytesIO(blob), native=False)

@@ -147,11 +147,25 @@ def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
         )[..., 0]
 
     energy = jnp.sum(jnp.square(fft_mag), axis=-1)
-    noise_rms = jnp.sqrt((energy - 2.0 * jnp.square(peak_mag)) / (n - 1))
+    # Signed noise variance (fastcard/cardet.c:22-27 keeps the signed
+    # power): an ultra-strong carrier holding more than half the total
+    # energy drives it negative.  The reference Python takes sqrt first
+    # (carrier_detect.py:99-107), so its threshold goes NaN and it
+    # silently REJECTS exactly the strongest blocks; fastcard detects
+    # them.  We follow fastcard: threshold from the signed variance
+    # (identical results whenever the variance is non-negative, i.e.
+    # every physical noise level), clamped at zero only for the
+    # reported noise magnitude.
+    noise_var = (energy - 2.0 * jnp.square(peak_mag)) / (n - 1)
+    noise_rms = jnp.sqrt(jnp.maximum(noise_var, 0.0))
 
     c, s, d = thresh_coeffs
-    thresh_sq = c + s * jnp.square(noise_rms)
+    # square(noise_rms) (not noise_var) in the non-negative branch
+    # keeps the threshold bit-identical to the pre-fix numerics there
+    # (sqrt-then-square rounds differently from the raw variance).
+    thresh_sq = c + s * jnp.where(
+        noise_var < 0.0, noise_var, jnp.square(noise_rms))
     if d:  # statically gated: std term is rarely enabled
         thresh_sq = thresh_sq + d * jnp.var(fft_mag, axis=-1)
-    detected = peak_mag > jnp.sqrt(thresh_sq)
+    detected = peak_mag > jnp.sqrt(jnp.maximum(thresh_sq, 0.0))
     return detected, peak_idx, peak_mag, noise_rms

@@ -415,12 +415,18 @@ class BatchDetector:
             fft, self._carrier_mask, stats_mask=c_stats)
         c_idx, c_peak_pow, c_energy = c_out[:3]
         c_mag = jnp.sqrt(c_peak_pow)
-        c_noise = jnp.sqrt((c_energy - 2.0 * c_peak_pow) / (n - 1))
-        c_thresh_sq = c_const + c_snr * jnp.square(c_noise)
+        # Signed variance for the decision, clamped for the reported
+        # noise -- same ultra-strong-carrier semantics as
+        # carrier.detect (fastcard/cardet.c:22-27; the reference
+        # Python's sqrt-first NaN would reject the strongest blocks).
+        c_noise_var = (c_energy - 2.0 * c_peak_pow) / (n - 1)
+        c_noise = jnp.sqrt(jnp.maximum(c_noise_var, 0.0))
+        c_thresh_sq = c_const + c_snr * jnp.where(
+            c_noise_var < 0.0, c_noise_var, jnp.square(c_noise))
         if c_std:
             c_thresh_sq = c_thresh_sq + c_std * var_from_stats(
                 c_out[3], c_out[4], n)
-        c_det = c_mag > jnp.sqrt(c_thresh_sq)
+        c_det = c_mag > jnp.sqrt(jnp.maximum(c_thresh_sq, 0.0))
 
         # Stage 2: sub-bin fit on a gathered complex neighborhood
         # (dirichlet/polyfit use width+1 points, the 3-point fits their

@@ -14,6 +14,24 @@ import time as time_mod
 import numpy as np
 
 
+def make_t0_stamper(t0, size, history, sample_rate):
+    """Deterministic per-block timestamper: block k is stamped
+    ``t0 + k * (size - history) / sample_rate``.
+
+    One shared implementation for every ingest fallback path (detect
+    and capture) so the timestamp convention can never skew between
+    them -- StreamPump's t0 mode follows the same rule.
+    """
+    block_dt = (size - history) / sample_rate
+    counter = {"n": 0}
+
+    def stamper():
+        counter["n"] += 1
+        return t0 + (counter["n"] - 1) * block_dt
+
+    return stamper
+
+
 def raw_batches(stream, size, history, batch_size, timestamper=None):
     """Yield (timestamps [b], indices [b], raw [b, 2*size]) batches.
 
@@ -31,6 +49,15 @@ def raw_batches(stream, size, history, batch_size, timestamper=None):
     block_idx = 0
     while True:
         chunk = stream.read(new_bytes)
+        # Read-fully: socket-backed sources (rtl_tcp) legitimately
+        # return short reads mid-stream; only an EMPTY read means EOF.
+        # Treating a short read as EOF would end a live capture after
+        # the first network packet.
+        while 0 < len(chunk) < new_bytes:
+            more = stream.read(new_bytes - len(chunk))
+            if not more:
+                break
+            chunk += more
         if len(chunk) < new_bytes:
             break
         new = np.frombuffer(chunk, dtype=np.uint8)

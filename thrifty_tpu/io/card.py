@@ -76,28 +76,16 @@ def read_card(stream_or_path, native=True):
         n = 0
         return (np.zeros(0), np.zeros(0, np.int64), np.zeros((0, n), np.uint8))
 
-    decoded, ts_ok, idx_ok = [], [], []
-    for ts, ix, e in zip(timestamps, indices, encoded):
-        try:
-            decoded.append(np.frombuffer(
-                base64.b64decode(e, validate=True), dtype=np.uint8))
-            ts_ok.append(ts)
-            idx_ok.append(ix)
-        except (ValueError, binascii.Error):
-            continue  # junk payload: skip the row, keep the capture
-    if not decoded:
-        return (np.zeros(0), np.zeros(0, np.int64),
-                np.zeros((0, 0), np.uint8))
-    lengths = {len(d) for d in decoded}
-    if len(lengths) != 1:
-        raise ValueError("inconsistent block sizes in .card file")
-    raw = np.stack(decoded)
-
-    return (
-        np.asarray(ts_ok, dtype=np.float64),
-        np.asarray(idx_ok, dtype=np.int64),
-        raw,
-    )
+    # Decode through the same tolerant path the streaming reader uses,
+    # so a capture parses identically with and without the native lib:
+    # junk rows (including wrong-size valid base64) are dropped up to
+    # the shared max(2, 10%) cap, above which it fails loudly.
+    out = _decode_batch(timestamps, indices, encoded, native=native)
+    if len(out[0]) == 0:
+        # Rows were found but none decoded -- match the native path's
+        # loud failure instead of silently returning an empty capture.
+        raise ValueError("invalid base64 payload")
+    return out
 
 
 def read_card_blocks(stream_or_path):
@@ -124,22 +112,23 @@ def iter_card_batches(stream, batch_size):
         yield _decode_batch(ts_buf, idx_buf, enc_buf)
 
 
-def _decode_batch(ts_buf, idx_buf, enc_buf):
+def _decode_batch(ts_buf, idx_buf, enc_buf, native=True):
     """Decode one batch worth of base64 payloads, skipping junk rows.
 
     Uses the native multithreaded decoder when available (the streaming
     detect path is host-decode bound), falling back to per-row Python.
     """
-    try:
-        from thrifty_tpu.native import b64decode_batch_tolerant
-        raw, keep = b64decode_batch_tolerant(enc_buf)
-        return (
-            np.asarray(ts_buf, dtype=np.float64)[keep],
-            np.asarray(idx_buf, dtype=np.int64)[keep],
-            raw,
-        )
-    except ImportError:
-        pass
+    if native:
+        try:
+            from thrifty_tpu.native import b64decode_batch_tolerant
+            raw, keep = b64decode_batch_tolerant(enc_buf)
+            return (
+                np.asarray(ts_buf, dtype=np.float64)[keep],
+                np.asarray(idx_buf, dtype=np.int64)[keep],
+                raw,
+            )
+        except ImportError:
+            pass
 
     decoded, ts_ok, idx_ok = [], [], []
     for ts, ix, e in zip(ts_buf, idx_buf, enc_buf):

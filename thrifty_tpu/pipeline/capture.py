@@ -222,10 +222,12 @@ def record_cards(gate, batches, batch_size, out_stream, info_out=None,
                 pending.append((ts, idx, n, raw, None, dev))
             if len(pending) > 1:
                 drain(pending.pop(0))
-    except IOError:
-        # Stream died: flush gated blocks already in flight before
-        # surfacing the error, so the archive keeps everything that
-        # reached the host.
+    except (IOError, KeyboardInterrupt):
+        # Stream died or SIGTERM/SIGINT arrived: flush gated blocks
+        # already in flight before surfacing, so the archive keeps
+        # everything that reached the host -- SIGTERM is how every
+        # live run under a supervisor normally ends, and one batch is
+        # in flight by design.
         while pending:
             drain(pending.pop(0))
         raise
@@ -308,21 +310,13 @@ def _record_main(config, args):
             print("warning: native lib unavailable; --device-unfold "
                   "falling back to host unfold", file=sys.stderr)
             device_unfold = False
-        if args.t0 is not None:
-            block_dt = (config.block_size - config.block_history) \
-                / config.sample_rate
-            counter = {"n": 0}
-
-            def stamper():
-                counter["n"] += 1
-                return args.t0 + (counter["n"] - 1) * block_dt
-            batches = blocks_io.raw_batches(
-                in_stream, config.block_size, config.block_history,
-                config.batch_size, timestamper=stamper)
-        else:
-            batches = blocks_io.raw_batches(
-                in_stream, config.block_size, config.block_history,
-                config.batch_size)
+        stamper = None if args.t0 is None else \
+            blocks_io.make_t0_stamper(
+                args.t0, config.block_size, config.block_history,
+                config.sample_rate)
+        batches = blocks_io.raw_batches(
+            in_stream, config.block_size, config.block_history,
+            config.batch_size, timestamper=stamper)
 
     def _terminate(signum, frame):
         raise KeyboardInterrupt

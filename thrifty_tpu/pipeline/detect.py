@@ -131,10 +131,12 @@ def detect_batches(detector, batches, batch_size, rxid=-1,
             # work.
             if len(pending) > 1:
                 yield drain(pending.pop(0))
-    except IOError:
-        # The stream died (e.g. live SDR gone for good): results
-        # already detected on device must still reach the output
-        # before the error surfaces.
+    except (IOError, KeyboardInterrupt):
+        # The stream died (e.g. live SDR gone for good) or SIGTERM/
+        # SIGINT arrived: results already detected on device must
+        # still reach the output before the exception surfaces --
+        # SIGTERM is how every live run under a supervisor ends, and
+        # one batch is in flight by design.
         while pending:
             yield drain(pending.pop(0))
         raise
@@ -290,21 +292,13 @@ def _main(argv=None):
                 print("warning: native lib unavailable; --device-unfold "
                       "falling back to host unfold", file=sys.stderr)
                 args.device_unfold = False
-            if args.t0 is not None:
-                block_dt = (config.block_size - config.block_history) \
-                    / config.sample_rate
-                counter = {"n": 0}
-
-                def stamper():
-                    counter["n"] += 1
-                    return args.t0 + (counter["n"] - 1) * block_dt
-                batches = blocks_io.raw_batches(
-                    in_stream, config.block_size, config.block_history,
-                    config.batch_size, timestamper=stamper)
-            else:
-                batches = blocks_io.raw_batches(
-                    in_stream, config.block_size, config.block_history,
-                    config.batch_size)
+            stamper = None if args.t0 is None else \
+                blocks_io.make_t0_stamper(
+                    args.t0, config.block_size, config.block_history,
+                    config.sample_rate)
+            batches = blocks_io.raw_batches(
+                in_stream, config.block_size, config.block_history,
+                config.batch_size, timestamper=stamper)
     else:
         batches = card.iter_card_batches(in_stream, config.batch_size)
         try:

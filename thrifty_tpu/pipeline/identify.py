@@ -194,11 +194,16 @@ def load_freqmap(stream):
     }
 
 
-def load_toad_globs(patterns):
+def load_toad_globs(patterns, loader=None):
+    """Expand glob patterns and load every match with ``loader``
+    (default toad.load_toad); one filesystem scan, so the returned
+    filenames always match the detections actually loaded."""
+    if loader is None:
+        loader = toad.load_toad
     filenames = []
     for pattern in patterns:
         filenames.extend(sorted(glob_mod.glob(pattern)))
-    parts = [toad.load_toad(f) for f in filenames]
+    parts = [loader(f) for f in filenames]
     if not parts:
         return toad.empty(0), filenames
     return np.concatenate(parts), filenames
@@ -222,12 +227,8 @@ def _main(argv=None):
     args = parser.parse_args(argv)
 
     if args.from_bank:
-        parts = [toad.load_toads(f)
-                 for pattern in args.toad_file
-                 for f in sorted(glob_mod.glob(pattern))]
-        filenames = [f for pattern in args.toad_file
-                     for f in sorted(glob_mod.glob(pattern))]
-        detections = np.concatenate(parts) if parts else toad.empty(0)
+        detections, filenames = load_toad_globs(
+            args.toad_file, loader=toad.load_toads)
         filtered = integrate(detections, keep_txid=True, dedup_any_tx=True)
     else:
         detections, filenames = load_toad_globs(args.toad_file)
