@@ -223,7 +223,10 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
 
     with tempfile.NamedTemporaryFile(dir="/tmp",
                                      suffix=".bench") as tmp:
-        if input_kind == "raw":
+        if input_kind in ("raw", "ingest"):
+            # "ingest" measures the host-only ceiling of the SAME raw
+            # stream format run_once pumps (a .card file here would be
+            # unfolded as if its base64 text were IQ bytes).
             reps = max(1, int(target_bytes) // len(stream_chunk))
             for _ in range(reps):
                 tmp.write(stream_chunk)

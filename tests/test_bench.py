@@ -67,7 +67,7 @@ def test_bench_stream_program():
     check_contract(res.stdout)
 
 
-@pytest.mark.parametrize("kind", ["raw", "card"])
+@pytest.mark.parametrize("kind", ["raw", "card", "ingest"])
 def test_bench_e2e_program(kind):
     res = run_bench(["--program", "e2e", "--batch", "8",
                      "--e2e-bytes", "3e6", "--input", kind,
@@ -81,6 +81,14 @@ def test_bench_e2e_program(kind):
     assert data["vs_baseline"] > 0
     assert data["blocks"] > 0
     assert data["drain"] in ("host", "device-only")
+    if kind == "ingest":
+        # The ingest ceiling must pump the RAW stream format: 3e6
+        # bytes // (8-block chunks of 2*new_len bytes each) -> exactly
+        # 16 chunks of 8 blocks (a .card-format file, the old bug,
+        # yields a different block count from its base64 expansion).
+        new_bytes = 2 * (16384 - 4920)
+        chunks = int(3e6) // (8 * new_bytes)
+        assert data["blocks"] == 8 * chunks
 
 
 def test_bench_serve_program():

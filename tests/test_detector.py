@@ -452,3 +452,16 @@ def test_device_unfold_flag_conflicts(tmp_path, capsys):
     with pytest.raises(SystemExit):  # .card input
         main(["detect", "x.card", "--device-unfold",
               "--template", str(tmp_path / "tpl.npy")])
+
+
+def test_use_pallas_validated():
+    """A typo'd use_pallas ('ON', 'true') must fail loudly, not
+    silently behave as 'auto' (a test meaning to force the kernel
+    path would otherwise pass vacuously on the XLA path)."""
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+    tpl = sim.make_template(bits=5)
+    with pytest.raises(ValueError, match="use_pallas"):
+        BatchDetector(tpl, DetectorConfig(
+            block_len=2048, history_len=200, use_pallas="ON"))

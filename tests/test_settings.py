@@ -70,3 +70,18 @@ def test_load_args_end_to_end(tmp_path):
     assert config.rxid == 7  # CLI wins
     assert config.sample_rate == pytest.approx(2.4e6)  # default
     assert extra.input == "in.card"
+
+
+def test_explicit_missing_config_is_usage_error(capsys):
+    """-c with a nonexistent path must exit cleanly (parser.error),
+    not dump a FileNotFoundError traceback."""
+    import argparse
+
+    from thrifty_tpu.config import settings as st
+
+    parser = argparse.ArgumentParser()
+    with pytest.raises(SystemExit) as exc:
+        st.load_args(parser, ["block_size"],
+                     argv=["-c", "/nonexistent/detecto.cfg"])
+    assert exc.value.code == 2
+    assert "cannot read config file" in capsys.readouterr().err

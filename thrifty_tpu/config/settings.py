@@ -83,7 +83,8 @@ SETTINGS: dict[str, Setting] = {
     "sync_mode": Setting(
         ("--sync-mode",), str, "fractional",
         "Carrier sync mode: 'fractional' (phase-ramp shift, reference "
-        "python semantics) or 'integer' (FFT roll, fastdet semantics)"),
+        "python semantics), 'integer' (FFT roll, fastdet semantics) or "
+        "'preshift' (integer roll + pre-shifted template bank)"),
 }
 
 DEFAULT_CONFIG_PATH = "detector.cfg"
@@ -187,7 +188,13 @@ def load_args(parser, keys, argv=None, definitions=None):
         except IOError:
             log.warning("no config file found; using default values")
     else:
-        config_file = open(config_arg)
+        try:
+            config_file = open(config_arg)
+        except IOError as e:
+            # An explicitly named config that cannot be read is a
+            # clean usage error (exit 2), not a traceback -- unlike
+            # the implicit default, which is optional.
+            parser.error("cannot read config file: {}".format(e))
 
     key_args = {k: v for k, v in args.items() if k in keys and v is not None}
     extra = {k: v for k, v in args.items() if k not in keys}

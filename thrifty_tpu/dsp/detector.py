@@ -108,6 +108,13 @@ class BatchDetector:
             raise ValueError(
                 "unknown sync_mode {!r}: expected 'fractional', 'integer' "
                 "or 'preshift'".format(config.sync_mode))
+        if config.use_pallas not in ("auto", "on", "off"):
+            # Validate like sync_mode: a typo ('ON', 'true') would
+            # otherwise silently behave as 'auto', leaving a test that
+            # meant to force the kernel path passing vacuously.
+            raise ValueError(
+                "unknown use_pallas {!r}: expected 'auto', 'on' or "
+                "'off'".format(config.use_pallas))
         self.config = config
         template = np.asarray(template, dtype=np.float64)
         self.bank = template.ndim == 2
@@ -240,8 +247,10 @@ class BatchDetector:
         if cfg.use_pallas == "off":
             return False
         ok = (
+            # batch % 8 covers the bank's flattened [batch*T] corr rows
+            # too (a multiple of 8 times any T stays a multiple of 8),
+            # and the carrier kernel runs on [batch, N] regardless.
             cfg.block_len % 2048 == 0 and batch % 8 == 0
-            and (not self.bank or (batch * self.num_templates) % 8 == 0)
             # The fused kernel searches raw power; a magnitude-domain
             # peak filter needs the XLA path.  Every interpolator and
             # both optional stddev threshold terms are supported (the
@@ -287,20 +296,33 @@ class BatchDetector:
         p_idx, p_mag = xcorr.window_peak(corr_mag, self.window)
 
         # Stage 5: noise, threshold, sub-sample offset.
-        signal_energy = jnp.sum(
-            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1
-        )
-        if self.bank:
-            signal_energy = signal_energy[:, None]
-        noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
+        noise = self._corr_noise(blocks, p_mag, n)
         thresh = xcorr.threshold(corr_mag, noise, cfg.corr_thresh)
         p_det = p_mag > thresh
         if cfg.corr_interp == "maximise":
             p_off = self._maximise(spec, p_idx)
         else:
             p_off = self._corr_interp(corr_mag, p_idx)
-        p_off = jnp.where(p_det, p_off, 0.0)
 
+        return self._finish_outputs(c_det, c_idx, c_off, c_mag, c_noise,
+                                    p_idx, p_mag, p_det, p_off, noise)
+
+    def _corr_noise(self, blocks, p_mag, n):
+        """Correlation noise from the block's time-domain energy
+        (shared by the XLA and Pallas paths -- one formula)."""
+        signal_energy = jnp.sum(
+            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1)
+        if self.bank:
+            signal_energy = signal_energy[:, None]
+        return xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
+
+    def _finish_outputs(self, c_det, c_idx, c_off, c_mag, c_noise,
+                        p_idx, p_mag, p_det, p_off, noise):
+        """Shared epilogue of both detect paths: mask the offset on
+        non-detections, reduce the template bank by peak magnitude,
+        assemble the output dict.  One implementation so the XLA and
+        Pallas paths can never drift in the output contract."""
+        p_off = jnp.where(p_det, p_off, 0.0)
         if self.bank:
             # Pick the best template per block by peak magnitude.
             best = jnp.argmax(p_mag, axis=-1)
@@ -483,42 +505,16 @@ class BatchDetector:
             p_off = self._corr_interp(None, p_idx, values=neigh,
                                       length=self.corr_len)
 
-        # Stage 5: noise / threshold (identical formulas).
-        signal_energy = jnp.sum(
-            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1)
-        if self.bank:
-            signal_energy = signal_energy[:, None]
-        noise = xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
+        # Stage 5: noise / threshold (identical formulas; the stddev
+        # term comes from the kernel's fused statistics).
+        noise = self._corr_noise(blocks, p_mag, n)
         u_thresh_sq = u_const + u_snr * jnp.square(noise)
         if u_std:
             u_thresh_sq = u_thresh_sq + u_std * u_var
         p_det = p_mag > jnp.sqrt(u_thresh_sq)
-        p_off = jnp.where(p_det, p_off, 0.0)
 
-        if self.bank:
-            best = jnp.argmax(p_mag, axis=-1)
-            take = lambda a: jnp.take_along_axis(
-                a, best[:, None], axis=-1)[:, 0]
-            p_idx, p_mag = take(p_idx), take(p_mag)
-            noise, p_det = take(noise), take(p_det)
-            p_off = take(p_off)
-            template_idx = best.astype(jnp.int32)
-        else:
-            template_idx = jnp.zeros_like(c_idx)
-
-        return {
-            "detected": c_det & p_det,
-            "carrier_detect": c_det,
-            "carrier_bin": c_idx,
-            "carrier_offset": c_off,
-            "carrier_energy": c_mag,
-            "carrier_noise": c_noise,
-            "corr_sample": p_idx,
-            "corr_offset": p_off,
-            "corr_energy": p_mag,
-            "corr_noise": noise,
-            "template_idx": template_idx,
-        }
+        return self._finish_outputs(c_det, c_idx, c_off, c_mag, c_noise,
+                                    p_idx, p_mag, p_det, p_off, noise)
 
     def _detect_batch_raw(self, raw):
         """Detect directly on raw uint8 interleaved I/Q [B, 2N].
