@@ -49,6 +49,12 @@ rm -f "$FIFO"
 mkfifo "$FIFO"
 
 cleanup() {
+    # `kill 0` signals the whole process group INCLUDING this shell:
+    # ignore the re-delivered INT/TERM (re-entering cleanup would
+    # livelock the shutdown until systemd's TimeoutStopSec SIGKILL;
+    # defaulting it would kill the shell before the FIFO is removed).
+    trap '' INT TERM
+    trap - EXIT
     kill 0 2>/dev/null || true
     rm -f "$FIFO"
 }

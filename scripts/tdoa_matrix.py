@@ -6,7 +6,6 @@ every receiver pair and prints a matrix of statistics per transmitter.
 """
 
 import argparse
-import itertools
 import os
 import sys
 

@@ -465,3 +465,25 @@ def test_use_pallas_validated():
     with pytest.raises(ValueError, match="use_pallas"):
         BatchDetector(tpl, DetectorConfig(
             block_len=2048, history_len=200, use_pallas="ON"))
+
+
+def test_fractional_ground_truth_recovered():
+    """Bursts placed at FRACTIONAL sample positions (band-limited
+    delay): the sub-sample interpolator must track the fraction --
+    with frac_jitter the expected SoAs are non-integer, and a detector
+    that reported corr_offset=0 would miss by up to 0.5 samples."""
+    tpl = sim.make_template(bits=7)
+    cap = sim.synth_capture(
+        num_blocks=12, bursts_every=2, template=tpl, block_len=4096,
+        history_len=1200, amplitude=0.6, noise_std=0.02, seed=11,
+        frac_jitter=True)
+    fracs = np.array([b.expected_soa % 1.0 for b in cap.bursts])
+    assert np.any(np.abs(fracs - np.round(fracs)) > 0.1)
+    det = BatchDetector(tpl, DetectorConfig(
+        block_len=4096, history_len=1200, carrier_window=(7, 110)))
+    out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    soa = det.soa(cap.indices, out["corr_sample"], out["corr_offset"])
+    errs = [soa[b.block_idx] - b.expected_soa for b in cap.bursts
+            if out["detected"][b.block_idx]]
+    assert len(errs) >= len(cap.bursts) - 1
+    assert float(np.sqrt(np.mean(np.square(errs)))) < 0.08

@@ -444,3 +444,37 @@ class TestLinearModel:
                "-r", str(rxcfg), "-b", str(bcfg), "--model", "linear"])
         groups = tdoa.load_tdoa_groups(str(out))
         assert len(groups) == 3
+
+
+class TestOutlierMask:
+    def test_mad_zero_flags_deviating_point(self):
+        """Majority-identical data with one wild point: MAD is 0 and
+        the wild point must still be flagged (reference inf/nan
+        semantics, thrifty/stat_tools.py); an all-False return here
+        would let one corrupt beacon SDOA poison the clock model."""
+        from thrifty_tpu import stats
+
+        mask = stats.is_outlier(np.array([5.0, 5.0, 5.0, 5.0, 5.0, 100.0]))
+        assert mask.tolist() == [False] * 5 + [True]
+
+    def test_mad_zero_all_identical_no_outliers(self):
+        from thrifty_tpu import stats
+
+        mask = stats.is_outlier(np.full(6, 7.25))
+        assert not mask.any()
+
+    def test_batched_matches_sequential_at_quantized_sdoa(self):
+        """The batched clock-model path inlines its own masked-median
+        MAD; at mad == 0 it must break ties exactly like
+        stats.is_outlier so both TDOA paths stay equivalent."""
+        from thrifty_tpu import stats
+
+        vals = np.array([3.0, 3.0, 3.0, 3.0, -50.0, 3.0])
+        seq_keep = ~stats.is_outlier(vals)
+        med = np.median(vals)
+        diff = np.abs(vals - med)
+        mad = np.median(diff)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            outlier = (0.6745 * diff / mad) > 3.5
+        outlier = np.where(mad > 0, outlier, diff > 0)
+        np.testing.assert_array_equal(seq_keep, ~outlier)

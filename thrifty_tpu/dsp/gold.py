@@ -88,6 +88,10 @@ def autocorr_stats(code: np.ndarray) -> dict:
     return {
         "peak": float(peak),
         "max_sidelobe": float(np.max(sidelobes)) if len(sidelobes) else 0.0,
-        "peak_to_max": float(peak / np.max(sidelobes)),
-        "peak_to_noise": float(peak / noise_rms),
+        # Same empty/zero guard as max_sidelobe: a length-1 or
+        # zero-sidelobe code reports inf cleanly, not a crash/warning.
+        "peak_to_max": float(peak / np.max(sidelobes))
+        if len(sidelobes) and np.max(sidelobes) > 0 else float("inf"),
+        "peak_to_noise": float(peak / noise_rms)
+        if noise_rms > 0 else float("inf"),
     }

@@ -103,7 +103,12 @@ class CarrierGate:
         if self._stream_carry is None:
             from thrifty_tpu.dsp.unfold import StreamCarry
             self._stream_carry = StreamCarry(self.history_len)
-        return self._stream_carry.call(self._stream_jit, new_raw)
+        # new_len validation: a partial trailing block would be
+        # silently dropped by the device unfold while the carry
+        # advanced past it (callers must pad, like record_cards does).
+        return self._stream_carry.call(
+            self._stream_jit, new_raw,
+            new_len=self.block_len - self.history_len)
 
     def reset_stream(self):
         """Reset the :meth:`gate_stream` carry to the pre-stream state

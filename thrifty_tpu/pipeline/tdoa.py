@@ -509,7 +509,10 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
         mad = masked_median(diff, kcnt)[:, None]
         with np.errstate(invalid="ignore", divide="ignore"):
             outlier = (0.6745 * diff / mad) > 3.5
-        outlier &= mad > 0
+        # mad == 0 (identical/quantized SDOAs): reference inf/nan
+        # arithmetic flags any DEVIATING point as an outlier and keeps
+        # points at the median -- mirror stats.is_outlier exactly.
+        outlier = np.where(mad > 0, outlier, diff > 0)
         keep = valid & ~outlier
         kcount = keep.sum(axis=1)
         fit_ok = kcount >= min_pairs

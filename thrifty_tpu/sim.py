@@ -26,7 +26,8 @@ from thrifty_tpu.dsp import iq
 class Burst:
     """Ground truth for one transmitted burst."""
 
-    position: int          # start of code in absolute stream samples
+    position: float        # start of code in absolute stream samples
+                           # (fractional with frac_jitter)
     carrier_bin: float     # carrier frequency in (fractional) FFT bins
     amplitude: float
     phase: float
@@ -306,12 +307,18 @@ def synth_capture(
     quantize: bool = True,
     t0: float = 1.5e9,
     sample_rate: float = 2.4e6,
+    frac_jitter: bool = False,
 ) -> Capture:
     """Generate a full synthetic capture with periodic bursts.
 
     Bursts are placed so each lands inside a block's unique correlation
     window.  With ``quantize`` the stream round-trips through 8-bit
-    interleaved I/Q like a real RTL-SDR capture.
+    interleaved I/Q like a real RTL-SDR capture.  With ``frac_jitter``
+    each burst is additionally displaced by a uniform sub-sample
+    fraction (band-limited fractional delay in synth_stream), so
+    ``expected_soa`` carries genuinely FRACTIONAL ground truth -- the
+    regime that actually exercises sub-sample interpolators (default
+    off to keep existing integer-truth seeds stable).
     """
     if template is None:
         template = make_template()
@@ -333,6 +340,8 @@ def synth_capture(
             continue
         jitter = int(rng.integers(-200, 200))
         pos += jitter
+        if frac_jitter:
+            pos += float(rng.uniform(-0.5, 0.5))
         phase = float(rng.uniform(0, 2 * np.pi))
         bin_jitter = float(rng.uniform(-0.4, 0.4))
         burst_list.append({

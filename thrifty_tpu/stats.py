@@ -18,7 +18,13 @@ def is_outlier(points: np.ndarray, thresh: float = 3.5) -> np.ndarray:
     diff = np.sqrt(np.sum((points - median) ** 2, axis=-1))
     mad = np.median(diff)
     if mad == 0:
-        return np.zeros(len(points), dtype=bool)
+        # Reference semantics (inf/nan arithmetic): a point AT the
+        # median scores 0/0=nan (not an outlier), any deviating point
+        # scores inf (outlier).  Returning all-False here would keep a
+        # wild point exactly when it is most obvious -- one corrupt
+        # record among otherwise identical/quantized beacon SDOAs
+        # would poison the fitted clock model.
+        return diff > 0
     return 0.6745 * diff / mad > thresh
 
 
