@@ -32,18 +32,21 @@ TX_BINS = {9: 30, 3: 70}
 
 
 def main():
+    history = 4920  # block_history: one value, used for BOTH the
+    #                 capture synthesis and the raw-stream slicing
+    #                 (must match detector.cfg's block_history)
     template = np.load("template.npy")
     schedule = [(9, t) for t in np.arange(0.02, 0.75, 0.05)]
     schedule += [(3, t) for t in np.arange(0.085, 0.75, 0.1)]
     captures = sim.synth_rx_captures(
         RX_POS, {**BEACON_POS, **MOBILE_POS}, TX_BINS, schedule,
-        template=template, num_blocks=160, amplitude=0.6, noise_std=0.04,
+        template=template, num_blocks=160, history_len=history,
+        amplitude=0.6, noise_std=0.04,
         clock_offsets={1: 777.25, 2: -123.5},
         clock_drifts={1: 3e-6, 2: -2e-6}, seed=20)
 
     os.makedirs("cards", exist_ok=True)
     os.makedirs("raw", exist_ok=True)
-    history = 4920
     for rxid, cap in captures.items():
         path = "cards/rx{}.card".format(rxid)
         card.write_card(path, cap.timestamps, cap.indices,

@@ -21,23 +21,46 @@ from thrifty_tpu.io import card
 from thrifty_tpu.oracle.numpy_ref import OracleDetector
 
 
+def _make_oracle(block, template, carrier_window):
+    return OracleDetector(
+        template, block_len=len(block), history_len=len(template) - 1,
+        carrier_thresh=(0.0, 0.0, 0.0), corr_thresh=(0.0, 0.0, 0.0),
+        carrier_window=carrier_window)
+
+
 def correlation_peak(block, chip_rate, sample_rate, bits, index,
                      carrier_window):
     """Max matched-filter peak of `block` for a candidate chip rate."""
     template = template_mod.generate(bits, index, sample_rate / chip_rate)
-    oracle = OracleDetector(
-        template, block_len=len(block), history_len=len(template) - 1,
-        carrier_thresh=(0.0, 0.0, 0.0), corr_thresh=(0.0, 0.0, 0.0),
-        carrier_window=carrier_window)
+    oracle = _make_oracle(block, template, carrier_window)
     result = oracle.detect_block(block)
     return result.corr_energy
 
 
 def search(block, initial_chip_rate, sample_rate, bits, index,
            carrier_window, verbose=True):
+    # The carrier stage (FFT, windowed detect, Dirichlet curve-fit,
+    # fractional shift) is template-independent: run it ONCE and let
+    # every Nelder-Mead evaluation only re-correlate the cached
+    # carrier-removed FFT against its candidate template -- the
+    # reference syncs once outside the loop too
+    # (/root/reference/scripts/chip_rate_search.py).
+    block = np.asarray(block, dtype=np.complex128)
+    tpl0 = template_mod.generate(bits, index,
+                                 sample_rate / initial_chip_rate)
+    probe = _make_oracle(block, tpl0, carrier_window)
+    fft = np.fft.fft(block)
+    fft_mag = np.abs(fft)
+    _, c_idx, _, _ = probe.carrier_detect(fft_mag)
+    c_off = float(probe.carrier_interpolate(fft_mag, c_idx))
+    shifted_fft = probe.sync_fft(block, fft, c_idx, c_off)
+    signal_energy = np.sum(np.abs(block) ** 2)
+
     def objective(params):
-        peak = correlation_peak(block, params[0], sample_rate, bits, index,
-                                carrier_window)
+        template = template_mod.generate(bits, index,
+                                         sample_rate / params[0])
+        oracle = _make_oracle(block, template, carrier_window)
+        _, _, _, peak, _ = oracle.soa_estimate(shifted_fft, signal_energy)
         if verbose:
             print(".. chip rate {:.1f} -> peak {:.1f}".format(
                 params[0], peak))

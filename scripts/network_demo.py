@@ -54,8 +54,12 @@ def main(argv=None):
     from thrifty_tpu.parallel import mesh as mesh_mod, sharded
     from thrifty_tpu.pipeline import kitchen_sink
 
-    num_rx = len(RX_POS)
     n_dev = len(jax.devices())
+    # Fit the mesh to whatever devices exist: shard fewer receivers
+    # per device row when the backend is small (1 device -> 1x1 mesh
+    # with all receivers' streams on it), instead of crashing on a
+    # mesh larger than the device count.
+    num_rx = min(len(RX_POS), n_dev)
     num_time = max(n_dev // num_rx, 1)
     print("devices: {} -> mesh (rx={}, time={})".format(
         n_dev, num_rx, num_time))
@@ -63,7 +67,11 @@ def main(argv=None):
     tpl = sim.make_template()
     schedule = [(9, t) for t in np.arange(0.02, 0.36, 0.05)]
     schedule += [(3, t) for t in (0.085, 0.185, 0.285)]
-    total_blocks = args.blocks - args.blocks % (num_time or 1)
+    total_blocks = args.blocks - args.blocks % num_time
+    if total_blocks <= 0:
+        parser.error("--blocks must be >= the mesh's time axis "
+                     "({} devices -> num_time {})".format(
+                         n_dev, num_time))
     caps = sim.synth_rx_captures(
         RX_POS, {**BEACON_POS, **MOBILE_POS}, TX_BINS, schedule,
         template=tpl, num_blocks=total_blocks, amplitude=0.6,
@@ -116,8 +124,12 @@ def main(argv=None):
                                   row["y"], err, row["dop"]))
     errs = [np.linalg.norm(np.array([r["x"], r["y"]]) - MOBILE_POS[3])
             for r in result.pos]
-    print("position RMS error: {:.2f} m".format(
-        float(np.sqrt(np.mean(np.square(errs))))))
+    if errs:
+        print("position RMS error: {:.2f} m".format(
+            float(np.sqrt(np.mean(np.square(errs))))))
+    else:
+        print("no position fixes (need more --blocks for the beacon "
+              "clock models)")
 
 
 if __name__ == "__main__":

@@ -18,19 +18,26 @@ from thrifty_tpu.io import tpl
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("source", nargs="?", default="template.npy")
+    parser.add_argument("source", nargs="?", default=None)
     parser.add_argument("dest", nargs="?", default=None)
     parser.add_argument("--reverse", action="store_true",
                         help="convert .tpl back to .npy")
     args = parser.parse_args(argv)
 
+    # Mode-aware default source: --reverse with the forward default
+    # would parse template.npy AS a .tpl and overwrite it in place.
+    source = args.source or (
+        "template.tpl" if args.reverse else "template.npy")
     ext = ".npy" if args.reverse else ".tpl"
-    dest = args.dest or os.path.splitext(args.source)[0] + ext
-    print("{} -> {}".format(args.source, dest))
+    dest = args.dest or os.path.splitext(source)[0] + ext
+    if os.path.abspath(dest) == os.path.abspath(source):
+        parser.error("source and destination are the same file: "
+                     + source)
+    print("{} -> {}".format(source, dest))
     if args.reverse:
-        np.save(dest, tpl.load_tpl(args.source))
+        np.save(dest, tpl.load_tpl(source))
     else:
-        tpl.save_tpl(dest, np.load(args.source))
+        tpl.save_tpl(dest, np.load(source))
 
 
 if __name__ == "__main__":

@@ -55,7 +55,13 @@ def reldist_linear(tx_soa, beacon_soa):
     b0, b1 = beacon_soa[:, 0], beacon_soa[:, 1]
     hi = np.clip(np.searchsorted(b0, tx_soa[:, 0]), 1, len(b0) - 1)
     lo = hi - 1
-    w = (tx_soa[:, 0] - b0[lo]) / (b0[hi] - b0[lo])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = (tx_soa[:, 0] - b0[lo]) / (b0[hi] - b0[lo])
+    # Reference guard (scripts/reldist_nearest.py reldist_linpol:
+    # weight[np.isinf(weight)] = 1): duplicate adjacent beacon SoAs
+    # (or a single pair) give a zero denominator; fall back to the
+    # 'hi' beacon instead of printing NaN statistics.
+    w = np.where(np.isfinite(w), w, 1.0)
     return tx_soa[:, 1] - (b1[lo] * (1 - w) + b1[hi] * w)
 
 

@@ -36,8 +36,9 @@ INPUT = os.path.join(GOLDEN, "input")
 FASTDET = os.path.join(GOLDEN, "fastdet")
 
 # Same column map as tests/test_golden_fastdet.py: exact integers
-# (rxid, txid/carrier bin, peak sample, template) and toleranced
-# floats (SoA, offsets, energies, noises).
+# (col 0 rxid, col 2 block index, col 4 corr peak sample, col 8
+# carrier bin -- toad.format_line order) and toleranced floats
+# (SoA, offsets, energies, noises).
 INT_COLS = (0, 2, 4, 8)
 FLOAT_TOLS = {3: dict(atol=1e-4), 5: dict(atol=1e-4),
               6: dict(rtol=1e-4), 7: dict(rtol=1e-4),

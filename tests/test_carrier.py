@@ -236,3 +236,45 @@ class TestUltraStrongCarrier:
         assert var > 0
         assert float(np.asarray(noise)[0]) == pytest.approx(
             float(np.sqrt(var)), rel=1e-6)
+
+
+class TestWrappedFullSpanWindowFilter:
+    def test_filtered_peak_matches_oracle(self):
+        """A wrapped FULL-coverage window (e.g. (-N/2, N/2-1)) has an
+        all-True mask that cannot encode its start bin; the FIR's
+        start-up transient must sit at the window START (index N/2,
+        like the oracle/reference), not at index 0.  detect() gets the
+        explicit selection for this."""
+        import jax.numpy as jnp
+
+        from thrifty_tpu.dsp import dirichlet
+        from thrifty_tpu.oracle.numpy_ref import OracleDetector
+
+        n, tlen = 1024, 200
+        window = (-(n // 2), n // 2 - 1)
+        weights = dirichlet.dirichlet_weights(7, n, tlen)
+        rng = np.random.default_rng(4)
+        oracle = OracleDetector(
+            np.ones(tlen), block_len=n, history_len=tlen - 1,
+            carrier_thresh=(0.0, 1.0, 0.0), carrier_window=window,
+            peak_filter=weights)
+        sel = carrier.fft_window_indices(window[0], window[1], n)
+        mask = carrier.window_mask(window, n)
+        assert mask.all()  # the ambiguous case
+
+        # Tones near the selection start (the transient region) and a
+        # noise-only block.
+        for bin_f in (n // 2 + 1, n // 2 + 3, 40, None):
+            x = 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+            if bin_f is not None:
+                t = np.arange(n // 3)
+                x[: n // 3] += np.exp(2j * np.pi * bin_f * t / n)
+            mag = np.abs(np.fft.fft(x))
+            o_det, o_idx, o_mag, _ = oracle.carrier_detect(mag)
+            det, idx, pmag, _ = carrier.detect(
+                jnp.asarray(mag.astype(np.float32))[None, :], mask,
+                (0.0, 1.0, 0.0), peak_filter=weights, selection=sel)
+            assert int(np.asarray(idx)[0]) % n == o_idx % n, bin_f
+            assert bool(np.asarray(det)[0]) == bool(o_det), bin_f
+            assert float(np.asarray(pmag)[0]) == pytest.approx(
+                float(o_mag), rel=1e-5)

@@ -92,6 +92,12 @@ def _mask_to_selection(mask):
     mask = np.asarray(mask)
     n = len(mask)
     if mask.all():
+        # An all-True mask is ambiguous: it could be the unwrapped
+        # full range 0..N-1 OR a wrapped full-span window starting
+        # mid-spectrum (e.g. (-N/2, N/2-1) starts at index N/2) --
+        # and the FIR's start-up transient lands at the selection
+        # start.  Callers with a wrapped full-span window must pass
+        # ``selection`` to detect() explicitly.
         return np.arange(n)
     starts = np.flatnonzero(mask & ~np.roll(mask, 1))
     if len(starts) != 1:
@@ -100,7 +106,8 @@ def _mask_to_selection(mask):
     return (int(starts[0]) + np.arange(int(mask.sum()))) % n
 
 
-def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
+def detect(fft_mag, mask, thresh_coeffs, peak_filter=None,
+           selection=None):
     """Batched carrier detection on FFT magnitudes.
 
     Parameters
@@ -111,6 +118,12 @@ def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
     thresh_coeffs : (const, snr, stddev) static floats
     peak_filter : optional [W] unit-energy weights matching the peak's
         spectral shape (e.g. dirichlet.dirichlet_weights)
+    selection : optional [K] numpy index array giving the window's
+        FFT indices in window order (from :func:`fft_window_indices`).
+        Only used with ``peak_filter``; REQUIRED for correctness when
+        a wrapped window covers the whole spectrum, where the mask
+        alone cannot encode the start bin (the FIR's start-up
+        transient must sit at the window start, like the reference's).
 
     Returns
     -------
@@ -131,7 +144,8 @@ def detect(fft_mag, mask, thresh_coeffs, peak_filter=None):
         # below the window start.  One deliberate divergence: the peak
         # index is reduced mod N (the reference's single ``> N``
         # correction can leave index N itself unwrapped).
-        sel = _mask_to_selection(mask)
+        sel = (np.asarray(selection) if selection is not None
+               else _mask_to_selection(mask))
         mag_win = jnp.take(fft_mag, jnp.asarray(sel), axis=-1)
         filtered, delay = apply_peak_filter(mag_win, peak_filter)
         filt_idx = jnp.argmax(filtered, axis=-1).astype(jnp.int32)

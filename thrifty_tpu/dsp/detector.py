@@ -142,8 +142,15 @@ class BatchDetector:
                 flen = (n // self.template_len - 1) * 2
             self._peak_filter = dirichlet.dirichlet_weights(
                 flen, n, self.template_len)
+            # Explicit window order for the FIR: the mask alone cannot
+            # encode the start bin of a wrapped FULL-span window (the
+            # filter's start-up transient must sit at the window
+            # start, matching the reference/oracle).
+            w = config.carrier_window or (0, -1)
+            self._carrier_sel = carrier.fft_window_indices(w[0], w[1], n)
         else:
             self._peak_filter = None
+            self._carrier_sel = None
         # Unique-lag window as a full-length mask (pallas path searches
         # the unsliced circular correlation with lags >= corr_len masked).
         self._corr_mask_full = np.zeros(n, dtype=bool)
@@ -282,7 +289,7 @@ class BatchDetector:
         mag = jnp.abs(fft)
         c_det, c_idx, c_mag, c_noise = carrier.detect(
             mag, self._carrier_mask, cfg.carrier_thresh,
-            peak_filter=self._peak_filter
+            peak_filter=self._peak_filter, selection=self._carrier_sel
         )
 
         # Stage 2: sub-bin interpolation (only reported when detected).
