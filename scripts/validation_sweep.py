@@ -306,10 +306,12 @@ def sweep_pos(trials, rng):
         # Full-dimensional error: grading 3-D trials by horizontal
         # error only would let a z-axis solver regression pass silently.
         names = ("x", "y", "z")[:dims]
-        err_ref = float(np.linalg.norm(
-            [ref[c][0] - tx[d] for d, c in enumerate(names)]))
-        err_got = float(np.linalg.norm(
-            [got[c][0] - tx[d] for d, c in enumerate(names)]))
+
+        def pos_err(row):
+            return float(np.linalg.norm(
+                [row[c][0] - tx[d] for d, c in enumerate(names)]))
+
+        err_ref, err_got = pos_err(ref), pos_err(got)
         # Well-posed = transmitter inside the array spread AND scipy
         # solved it well; a >100 m GN regression there is a solver
         # defect (mirror-ambiguous geometries legitimately disagree --

@@ -161,25 +161,35 @@ def detect(fft_mag, mask, thresh_coeffs, peak_filter=None,
         )[..., 0]
 
     energy = jnp.sum(jnp.square(fft_mag), axis=-1)
-    # Signed noise variance (fastcard/cardet.c:22-27 keeps the signed
-    # power): an ultra-strong carrier holding more than half the total
-    # energy drives it negative.  The reference Python takes sqrt first
-    # (carrier_detect.py:99-107), so its threshold goes NaN and it
-    # silently REJECTS exactly the strongest blocks; fastcard detects
-    # them.  We follow fastcard: threshold from the signed variance
-    # (identical results whenever the variance is non-negative, i.e.
-    # every physical noise level), clamped at zero only for the
-    # reported noise magnitude.
-    noise_var = (energy - 2.0 * jnp.square(peak_mag)) / (n - 1)
-    noise_rms = jnp.sqrt(jnp.maximum(noise_var, 0.0))
-
+    noise_rms, thresh_sq = noise_and_threshold_sq(
+        energy, jnp.square(peak_mag), n, thresh_coeffs)
     c, s, d = thresh_coeffs
-    # square(noise_rms) (not noise_var) in the non-negative branch
-    # keeps the threshold bit-identical to the pre-fix numerics there
-    # (sqrt-then-square rounds differently from the raw variance).
-    thresh_sq = c + s * jnp.where(
-        noise_var < 0.0, noise_var, jnp.square(noise_rms))
     if d:  # statically gated: std term is rarely enabled
         thresh_sq = thresh_sq + d * jnp.var(fft_mag, axis=-1)
     detected = peak_mag > jnp.sqrt(jnp.maximum(thresh_sq, 0.0))
     return detected, peak_idx, peak_mag, noise_rms
+
+
+def noise_and_threshold_sq(energy, peak_power, n, thresh_coeffs):
+    """Carrier noise estimate + squared base threshold (no stddev
+    term), shared by the XLA and Pallas detect paths.
+
+    Signed noise variance (fastcard/cardet.c:22-27 keeps the signed
+    power): an ultra-strong carrier holding more than half the total
+    energy drives it negative.  The reference Python takes sqrt first
+    (carrier_detect.py:99-107), so its threshold goes NaN and it
+    silently REJECTS exactly the strongest blocks; fastcard detects
+    them.  We follow fastcard: threshold from the signed variance
+    (identical results whenever the variance is non-negative, i.e.
+    every physical noise level), clamped at zero only for the
+    reported noise magnitude.  square(noise_rms) (not noise_var) in
+    the non-negative branch keeps the threshold bit-identical to the
+    historical numerics there (sqrt-then-square rounds differently
+    from the raw variance).
+    """
+    c, s, _ = thresh_coeffs
+    noise_var = (energy - 2.0 * peak_power) / (n - 1)
+    noise_rms = jnp.sqrt(jnp.maximum(noise_var, 0.0))
+    thresh_sq = c + s * jnp.where(
+        noise_var < 0.0, noise_var, jnp.square(noise_rms))
+    return noise_rms, thresh_sq

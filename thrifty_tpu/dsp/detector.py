@@ -444,14 +444,10 @@ class BatchDetector:
             fft, self._carrier_mask, stats_mask=c_stats)
         c_idx, c_peak_pow, c_energy = c_out[:3]
         c_mag = jnp.sqrt(c_peak_pow)
-        # Signed variance for the decision, clamped for the reported
-        # noise -- same ultra-strong-carrier semantics as
-        # carrier.detect (fastcard/cardet.c:22-27; the reference
-        # Python's sqrt-first NaN would reject the strongest blocks).
-        c_noise_var = (c_energy - 2.0 * c_peak_pow) / (n - 1)
-        c_noise = jnp.sqrt(jnp.maximum(c_noise_var, 0.0))
-        c_thresh_sq = c_const + c_snr * jnp.where(
-            c_noise_var < 0.0, c_noise_var, jnp.square(c_noise))
+        # One shared noise/threshold core with carrier.detect (incl.
+        # the ultra-strong-carrier signed-variance semantics).
+        c_noise, c_thresh_sq = carrier.noise_and_threshold_sq(
+            c_energy, c_peak_pow, n, (c_const, c_snr, c_std))
         if c_std:
             c_thresh_sq = c_thresh_sq + c_std * var_from_stats(
                 c_out[3], c_out[4], n)

@@ -84,6 +84,7 @@ class PositioningServer:
         self.solver = solver
         self.future_tol_s = future_tol_s
         self._clock = clock if clock is not None else time_mod.time
+        self._rx_ids = np.array(sorted(rx_pos), dtype=np.int64)
         # Warn-once set for unmapped receivers (step() runs every poll).
         self._warned_rx = set()
         # Warn-once sets for feed()-time rejections.
@@ -107,27 +108,26 @@ class PositioningServer:
         """
         if not len(detections):
             return
-        known = np.array([int(r) in self.rx_pos
-                          for r in detections["rxid"]])
-        if not known.all():
-            for r in set(int(r) for r in detections["rxid"][~known]):
-                if r not in self._warned_unknown_rx:
-                    self._warned_unknown_rx.add(r)
-                    print("warning: dropping detections from rx {} "
-                          "(not in receiver coordinate config)"
-                          .format(r), file=sys.stderr)
-            detections = detections[known]
-        horizon = self._clock() + self.future_tol_s
-        sane = detections["timestamp"] <= horizon
-        if not sane.all():
-            for r in set(int(r) for r in detections["rxid"][~sane]):
-                if r not in self._warned_future_rx:
-                    self._warned_future_rx.add(r)
+
+        def drop(keep, warned, message):
+            for r in set(int(r) for r in detections["rxid"][~keep]):
+                if r not in warned:
+                    warned.add(r)
                     print("warning: dropping detection(s) from rx {} "
-                          "stamped >{:.0f}s in the future (clock "
-                          "glitch or corrupt line?)".format(
-                              r, self.future_tol_s), file=sys.stderr)
-            detections = detections[sane]
+                          "{}".format(r, message), file=sys.stderr)
+            return detections[keep]
+
+        known = np.isin(detections["rxid"], self._rx_ids)
+        if not known.all():
+            detections = drop(known, self._warned_unknown_rx,
+                              "(not in receiver coordinate config)")
+        sane = detections["timestamp"] \
+            <= self._clock() + self.future_tol_s
+        if not sane.all():
+            detections = drop(sane, self._warned_future_rx,
+                              "stamped >{:.0f}s in the future (clock "
+                              "glitch or corrupt line?)".format(
+                                  self.future_tol_s))
         if len(detections):
             self._detections = np.concatenate(
                 [self._detections, detections])
