@@ -262,7 +262,8 @@ def sweep_pos(trials, rng):
 
     C = tdoa_mod.SPEED_OF_LIGHT
     stats = dict(trials=0, comparisons=0, gn_worse_100m_wellposed=0,
-                 gn_better_100m=0, examples=[])
+                 gn_better_100m=0, equal_residual_ambiguous=0,
+                 examples=[])
     for trial in range(trials):
         stats["trials"] += 1
         dims = 3 if trial % 4 == 3 else 2
@@ -314,14 +315,34 @@ def sweep_pos(trials, rng):
         err_ref, err_got = pos_err(ref), pos_err(got)
         # Well-posed = transmitter inside the array spread AND scipy
         # solved it well; a >100 m GN regression there is a solver
-        # defect (mirror-ambiguous geometries legitimately disagree --
-        # equal residuals -- and far-field extrapolation is ill-posed
-        # for both).
+        # defect ONLY if GN's fit is also genuinely worse.  Mirror
+        # ambiguity can put two minima at the SAME residual far apart
+        # in space (a near-coplanar 3-D array cannot distinguish
+        # +-altitude: seed 318 trial 71 has scipy at z=+1056 and GN at
+        # z=-1436 with residual norms equal to 8 digits) -- there the
+        # data genuinely supports both answers and which one a solver
+        # lands in is start-point luck, for scipy as much as for GN.
+        rxp = np.array([rx[i] for i in range(n_rx)])
+
+        def resid_norm(row):
+            p = np.array([row[c][0] for c in names])
+            r = [np.linalg.norm(p - rxp[i]) - np.linalg.norm(p - rxp[j])
+                 - t * C for (i, j, t, *_) in rows]
+            return float(np.linalg.norm(r))
+
         if inside and err_ref < 50.0 and err_got - err_ref > 100.0:
-            stats["gn_worse_100m_wellposed"] += 1
-            if len(stats["examples"]) < 5:
-                stats["examples"].append(
-                    ("gn_worse", trial, err_ref, err_got))
+            res_ref, res_got = resid_norm(ref), resid_norm(got)
+            if res_got > res_ref * 1.01 + 1.0:
+                stats["gn_worse_100m_wellposed"] += 1
+                if len(stats["examples"]) < 5:
+                    stats["examples"].append(
+                        ("gn_worse", trial, err_ref, err_got))
+            else:
+                stats["equal_residual_ambiguous"] += 1
+                if len(stats["examples"]) < 5:
+                    stats["examples"].append(
+                        ("ambiguous", trial, err_ref, err_got,
+                         res_ref, res_got))
         if err_ref - err_got > 100.0:
             stats["gn_better_100m"] += 1
     return stats

@@ -199,6 +199,47 @@ class TestSolveBatchedGroups:
         np.testing.assert_allclose([got["x"][0], got["y"][0]], tx,
                                    atol=1.0)
 
+    def test_coplanar_mirror_reaches_equal_residual_minimum(self):
+        """Near-coplanar 3-D array (z spread ~400 m over a 60 km
+        aperture): the transmitter altitude is mirror-ambiguous across
+        the array plane, so two minima with numerically EQUAL residual
+        sit ~2.5 km apart in z (validation_sweep seed 318 trial 71 --
+        scipy lands at z=+1056, GN at z=-1436, residual norms equal to
+        8 digits).  Which basin a solver picks is start-point luck; the
+        solver contract is reaching residual parity with scipy's
+        trust-region solution, not matching its basin."""
+        rx = {0: np.array([-29181.41857066, 25948.32954709, -222.0839601]),
+              1: np.array([16777.85870735, 22205.93886653, 162.13191117]),
+              2: np.array([8084.68323547, -17724.71793607, -203.5907017]),
+              3: np.array([2359.35794116, -20197.98664509, 174.45982677])}
+        tx = np.array([9591.92232974, -21816.26055646, 1086.28934725])
+        rng = np.random.default_rng(71)
+        rows = []
+        for i in range(4):
+            for j in range(i + 1, 4):
+                t = (np.linalg.norm(tx - rx[i])
+                     - np.linalg.norm(tx - rx[j])) / C
+                rows.append((i, j, t + rng.normal(0, 50e-9),
+                             1e4, 1.0, 0, 0))
+        g = tdoa.TdoaGroup(
+            group_id=0, timestamp=0.0, tx=3,
+            tdoas=np.array(rows, dtype=tdoa.TDOA_DTYPE))
+        ref = pos.solve([g], rx, verbose=False)
+        got = pos.solve_batched([g], rx)
+        rxp = np.array([rx[i] for i in range(4)])
+
+        def resid_norm(row):
+            p = np.array([row["x"][0], row["y"][0], row["z"][0]])
+            r = [np.linalg.norm(p - rxp[i]) - np.linalg.norm(p - rxp[j])
+                 - row_t * C for (i, j, row_t, *_) in rows]
+            return float(np.linalg.norm(r))
+
+        res_ref, res_got = resid_norm(ref), resid_norm(got)
+        assert res_got <= res_ref * 1.01 + 1.0
+        # Horizontal position is NOT ambiguous; only altitude mirrors.
+        assert np.hypot(got["x"][0] - tx[0],
+                        got["y"][0] - tx[1]) < 350.0
+
     def test_near_singular_geometry_reports_huge_dop(self):
         """Near-degenerate geometry must yield a huge *finite* DOP (so
         downstream weighting distrusts the fix) -- only exact
