@@ -225,7 +225,7 @@ class TestSolveBatchedGroups:
             group_id=0, timestamp=0.0, tx=3,
             tdoas=np.array(rows, dtype=tdoa.TDOA_DTYPE))
         ref = pos.solve([g], rx, verbose=False)
-        got = pos.solve_batched([g], rx)
+        got = pos.solve_batched([g], rx, verbose=False)
         rxp = np.array([rx[i] for i in range(4)])
 
         def resid_norm(row):
