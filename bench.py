@@ -64,20 +64,116 @@ def time_tpu(detector, blocks_list, iters, raw_input=False):
         out = detector._detect_batch(perturbed)
         return out, out["corr_energy"]
 
+    reduce_carry = jax.jit(lambda c: jnp.sum(c))
+
     dev_blocks = [jax.device_put(b) for b in blocks_list]
     carry = jnp.zeros(dev_blocks[0].shape[0], jnp.float32)
     out, carry = step(dev_blocks[0], carry)  # warmup / compile
-    jax.block_until_ready(carry)
+    np.asarray(reduce_carry(carry))  # value fetch = true sync
 
     t0 = time.perf_counter()
     for i in range(iters):
         out, carry = step(dev_blocks[i % len(dev_blocks)], carry)
-    # The chain forces sequential execution; waiting on the last carry
-    # transitively waits for every iteration.  (A device->host fetch
-    # would be an extra guarantee, but some tunnelled backends cannot
-    # transfer outputs of large programs -- block_until_ready suffices.)
-    jax.block_until_ready(carry)
+    # The chain forces sequential execution; FETCHING the last carry's
+    # value transitively waits for every iteration.  block_until_ready
+    # is NOT a sync point on this tunnelled backend (it returns at
+    # dispatch acknowledgement -- see time_tpu_scan docstring), so the
+    # carry is reduced to one f32 scalar on device and transferred.
+    np.asarray(reduce_carry(carry))
     return (time.perf_counter() - t0) / iters
+
+
+def time_tpu_scan(detector, blocks_list, length, raw_input=False,
+                  repeats=1):
+    """Seconds per dispatch of ``length`` chained detect passes.
+
+    The data-dependent chain of time_tpu, moved INSIDE the compiled
+    program as a lax.scan whose carry perturbs the next iteration's
+    input.  One host dispatch therefore pays the tunnel's dispatch
+    latency once while executing ``length`` serialized detect passes
+    on device; the difference between two lengths isolates pure
+    on-device per-batch time:
+
+        per_batch = (T(2K) - T(K)) / K
+
+    This defeats both failure modes of wall-clock dispatch chains on
+    this tunnelled backend (docs/performance.md): a dispatch-latency
+    floor (cancelled by the subtraction) and any relay-side
+    shortcutting of repeated dispatches (the chain is sequential
+    INSIDE one XLA program; the returned carry depends on every
+    iteration).  Every output field is folded into the carry with a
+    tiny (1e-30, structurally alive) weight so dead-code elimination
+    cannot drop any part of the detector.
+
+    Synchronization: the timed region ends with a device->host VALUE
+    FETCH of the final f32 scalar, never ``block_until_ready``.  On
+    this tunnelled backend block_until_ready returns at dispatch
+    acknowledgement, not execution completion -- measured directly in
+    round 4: a scan of 64 chained batch-512 detects (~1.2e13 FLOPs)
+    "completed" in 120 us, hundreds of times over chip peak.  Only
+    fetching the result value forces a wait for real execution.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from thrifty_tpu.dsp import iq as iq_mod
+
+    data0 = blocks_list[0]
+
+    @jax.jit
+    def prog(data, carry0):
+        def body(carry, _):
+            if raw_input:
+                # Carry-dependent (runtime-zero) bump so the uint8 ->
+                # complex conversion stays INSIDE the loop: a
+                # loop-invariant conversion would be hoisted out of
+                # the scan and its cost dropped from the slope.
+                bump = jnp.isnan(jnp.sum(carry)).astype(data.dtype)
+                blocks = iq_mod.raw_to_iq_jax(data + bump)
+            else:
+                blocks = data
+            perturbed = blocks + lax.complex(
+                carry * 1e-9, jnp.zeros_like(carry))[:, None]
+            out = detector._detect_batch(perturbed)
+            mix = out["corr_energy"]
+            for k, v in sorted(out.items()):
+                if k != "corr_energy":
+                    mix = mix + 1e-30 * jnp.sum(v.astype(jnp.float32))
+            return mix, ()
+        carry, _ = lax.scan(body, carry0, None, length=length)
+        # One f32 scalar out: transfers reliably through the tunnel
+        # (full FFT-program outputs do not), and fetching it is the
+        # only operation that truly waits for execution here.
+        return jnp.sum(carry)
+
+    dev = jax.device_put(data0)
+    carry0 = jnp.zeros(data0.shape[0], jnp.float32)
+    np.asarray(prog(dev, carry0))  # warmup / compile, fetched
+    times = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        np.asarray(prog(dev, carry0))  # value fetch = true sync
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def time_tpu_slope(detector, blocks_list, k, raw_input=False, repeats=3):
+    """On-device per-batch seconds via the scan-length slope method.
+
+    Times the in-program chain at lengths K and 2K (``repeats``
+    dispatches each) and returns (slopes, t_k, t_2k) where
+    ``slopes[i] = (t_2k[i] - t_k[i]) / k`` pairs same-rank dispatches
+    so slow-relay drift hits both terms alike.  Each slope is a pure
+    on-device per-batch time: the dispatch floor cancels in the
+    subtraction.
+    """
+    t_k = sorted(time_tpu_scan(detector, blocks_list, k, raw_input,
+                               repeats=repeats))
+    t_2k = sorted(time_tpu_scan(detector, blocks_list, 2 * k, raw_input,
+                                repeats=repeats))
+    slopes = [(b - a) / k for a, b in zip(t_k, t_2k)]
+    return slopes, t_k, t_2k
 
 
 def time_stream_mesh(detector, streams, mesh, blocks_per_shard, iters):
@@ -110,11 +206,11 @@ def time_stream_mesh(detector, streams, mesh, blocks_per_shard, iters):
     dev = [sharded.shard_stream(s, mesh) for s in streams]
     carry = jnp.float32(0.0)
     out, carry = step(dev[0], carry)
-    jax.block_until_ready(carry)
+    np.asarray(carry)  # scalar value fetch = true sync (see time_tpu)
     t0 = time.perf_counter()
     for i in range(iters):
         out, carry = step(dev[i % len(dev)], carry)
-    jax.block_until_ready(carry)
+    np.asarray(carry)
     return (time.perf_counter() - t0) / iters
 
 
@@ -145,6 +241,40 @@ def time_stream(detector, caps, iters):
     ]
     return time_stream_mesh(detector, streams, m,
                             total_blocks // n_dev, iters)
+
+
+def scaling_verdict(sec_by_batch):
+    """Linearity verdict over a batch-size sweep of chained timings.
+
+    A real per-batch execution time is proportional to the batch size;
+    a dispatch/tunnel floor is flat (measured floor ratios on this
+    tunnel: 1.12-1.21 per doubling).  Walking the sizes in order, a
+    step from a to b counts as linear when the measured ratio reaches
+    at least 70% of the ideal b/a -- headroom for both the +-25%
+    run-to-run spread (docs/performance.md) and genuine
+    economy-of-scale at small batches (larger batches utilize the
+    hardware better, so sub-proportional-but-growing is benign).  The
+    largest size reached through linear steps is the largest batch
+    whose throughput figure is physically meaningful; sizes beyond it
+    sit on the floor and overstate throughput.
+    """
+    sizes = sorted(sec_by_batch)
+    ratios = {}
+    linear_up_to = sizes[0]
+    ok = True
+    for a, b in zip(sizes, sizes[1:]):
+        r = sec_by_batch[b] / sec_by_batch[a]
+        ratios["{}->{}".format(a, b)] = round(r, 3)
+        if ok and r >= 0.70 * (b / a):
+            linear_up_to = b
+        else:
+            ok = False
+    return {
+        "ratios": ratios,
+        "linear_up_to": linear_up_to,
+        "verdict": "linear" if linear_up_to == sizes[-1]
+        else "floor_limited_above_{}".format(linear_up_to),
+    }
 
 
 def _lastgood_path():
@@ -601,6 +731,20 @@ def main(argv=None):
                         help="e2e raw/ingest: ship the contiguous "
                              "stream and overlap-save on device "
                              "(detect --device-unfold's path)")
+    parser.add_argument("--sweep", type=str, default="64,128,256,512",
+                        help="batch program: comma-separated batch sizes "
+                             "timed alongside --batch to verify the "
+                             "headline figure sits in the linear regime "
+                             "(time proportional to batch); 'none' "
+                             "disables [default: 64,128,256,512]")
+    parser.add_argument("--scan-k", type=int, default=32,
+                        help="batch program: scan length K for the "
+                             "in-program slope timing (T(2K)-T(K))/K "
+                             "[default: 32]")
+    parser.add_argument("--sweep-budget", type=float, default=1500.0,
+                        help="soft wall-clock budget (s) for the sweep; "
+                             "remaining sizes are skipped past it "
+                             "(relay compiles can take minutes)")
     parser.add_argument("--skip-baseline", action="store_true",
                         help="use the cached baseline rate instead of "
                              "re-measuring numpy")
@@ -695,80 +839,178 @@ def main(argv=None):
         }))
         return
 
-    # Two distinct batches so results cannot be cached between iters.
+    # Batch-size sweep (the evidence that the headline figure is real):
+    # time several batch sizes on the same chained program so the
+    # artifact itself shows whether time scales with batch (a genuine
+    # per-batch execution time) or sits on the tunnel's dispatch floor
+    # (a known artifact of this environment at large batches,
+    # docs/performance.md).  The headline figure is taken from the
+    # largest size still in the linear regime, never from the floor.
+    if args.program == "batch" and args.sweep != "none" \
+            and not args.profile:
+        sweep_sizes = sorted(
+            {int(s) for s in args.sweep.split(",")} | {args.batch})
+    else:
+        sweep_sizes = [args.batch]
+
+    # Two distinct batches so results cannot be cached between iters;
+    # sweep sizes are prefixes of one capture (same burst density).
     caps = [
-        sim.synth_capture(num_blocks=args.batch, bursts_every=4,
+        sim.synth_capture(num_blocks=max(sweep_sizes), bursts_every=4,
                           template=template, seed=s, quantize=False)
         for s in (0, 1)
     ]
     blocks_list = [c.blocks for c in caps]
 
+    scan_info = {}
     if args.program == "stream":
         timer = lambda: time_stream(detector, caps, args.iters)
+
+        def runs_for(size):
+            return sorted(time_stream(detector, caps, args.iters)
+                          for _ in range(max(args.repeats, 1)))
     else:
         raw_input = args.input == "raw"
         if raw_input:
             from thrifty_tpu.dsp import iq as iq_mod
-            timed_inputs = [iq_mod.iq_to_raw(b) for b in blocks_list]
+            full_inputs = [iq_mod.iq_to_raw(b) for b in blocks_list]
         else:
-            timed_inputs = blocks_list
-        timer = lambda: time_tpu(detector, timed_inputs, args.iters,
-                                 raw_input=raw_input)
+            full_inputs = blocks_list
+
+        def sliced(size):
+            return [x[:size] for x in full_inputs]
+
+        def dispatch_timer(size):
+            return lambda: time_tpu(detector, sliced(size), args.iters,
+                                    raw_input=raw_input)
+
+        timer = dispatch_timer(args.batch)
+
+        def runs_for(size):
+            # Primary method: in-program scan-slope (pure on-device
+            # per-batch time; dispatch floor cancels, relay cannot
+            # shortcut a chain inside one XLA program).
+            slopes, t_k, t_2k = time_tpu_slope(
+                detector, sliced(size), args.scan_k, raw_input,
+                args.repeats)
+            scan_info[size] = {
+                "t_k_s": [round(t, 5) for t in t_k],
+                "t_2k_s": [round(t, 5) for t in t_2k]}
+            return sorted(slopes)
     import jax
 
-    lastgood_key = "{}-{}-{}-{}-{}-{}".format(
-        jax.default_backend(), args.program, args.batch, args.sync_mode,
-        args.pallas, args.input)
     diag = {"batch": args.batch, "iters": args.iters,
             "sync_mode": args.sync_mode, "pallas": args.pallas,
             "input": args.input, "program": args.program}
+    headline_batch = args.batch
     if args.profile:
-        import jax
         with jax.profiler.trace(args.profile):
             sec_per_batch = timer()
         runs = [sec_per_batch]
     else:
-        # Per-run spread through this environment's relay is +-20%
+        # Per-run spread through this environment's relay is +-25%
         # (docs/performance.md): report the median of several timing
         # runs so the recorded figure is stable run-to-run.
-        runs = sorted(timer() for _ in range(max(args.repeats, 1)))
-        sec_per_batch = runs[len(runs) // 2]
-        # Relay-degradation heuristic: if the median is >2x slower than
-        # the last known-good figure for this configuration, assume a
-        # degraded relay/tunnel session and re-time once before
-        # accepting the number (docs/performance.md:79-95 variance
-        # methodology).  The flag stays in the artifact either way so
-        # a low figure is distinguishable from a real regression.
-        lastgood = _load_lastgood(lastgood_key)
-        if lastgood and args.batch * new_len / sec_per_batch \
-                < 0.5 * lastgood:
+        sweep_med, sweep_runs, sweep_skipped = {}, {}, []
+        t_sweep0 = time.perf_counter()
+        for size in sweep_sizes:
+            if size != args.batch and \
+                    time.perf_counter() - t_sweep0 > args.sweep_budget:
+                sweep_skipped.append(size)
+                continue
+            rs = runs_for(size)
+            sweep_runs[size] = rs
+            sweep_med[size] = rs[len(rs) // 2]
             if args.verbose:
-                print("relay heuristic: {:.3g} < 0.5x last-good {:.3g}; "
-                      "re-timing".format(args.batch * new_len
-                                         / sec_per_batch, lastgood),
+                print("sweep batch={}: runs (s/batch): {}".format(
+                    size, ["{:.6f}".format(r) for r in rs]),
+                    file=sys.stderr)
+        sec_per_batch = sweep_med[args.batch]
+        diag["method"] = ("scan_slope" if args.program == "batch"
+                          else "wallclock_chain")
+        if args.program == "batch":
+            diag["scan_k"] = args.scan_k
+        if len(sweep_med) > 1:
+            scaling = scaling_verdict(sweep_med)
+            if sweep_skipped:
+                scaling["skipped_past_budget"] = sweep_skipped
+            diag["batch_sweep_sec"] = {
+                str(s): round(v, 7) for s, v in sorted(sweep_med.items())}
+            diag["batch_sweep_samples_per_s"] = {
+                str(s): round(s * new_len / v, 1)
+                for s, v in sorted(sweep_med.items())}
+            diag["scaling"] = scaling
+            # Floor-limited above linear_up_to: the headline must come
+            # from the linear regime, even if --batch asked for more.
+            headline_batch = min(args.batch, scaling["linear_up_to"])
+            sec_per_batch = sweep_med[headline_batch]
+        runs = sweep_runs[headline_batch]
+        if sec_per_batch <= 0:
+            # Negative/zero slope: relay noise swamped the K->2K
+            # difference.  Fall back to the smallest positive run, and
+            # flag -- the figure is then an upper bound on throughput.
+            diag["slope_unresolved"] = True
+            positive = [r for r in runs if r > 0]
+            sec_per_batch = positive[0] if positive else 1e-9
+        if scan_info.get(headline_batch):
+            diag["scan_dispatch_times"] = scan_info[headline_batch]
+
+        # Secondary evidence for continuity with earlier rounds: the
+        # wall-clock dispatch chain at the headline size.  On this
+        # tunnel it saturates at the ~60us dispatch floor (so earlier
+        # rounds' figures from it were floor artifacts at large batch);
+        # recording both makes the relationship auditable.
+        if args.program == "batch":
+            dc = timer if headline_batch == args.batch \
+                else dispatch_timer(headline_batch)
+            diag["dispatch_chain_sec_per_batch"] = round(dc(), 6)
+
+        # Outlier handling vs the last accepted figure -- SYMMETRIC:
+        # both anomalously slow sessions (degraded relay) and
+        # anomalously fast ones (a shortcutting tunnel) are re-timed
+        # once and flagged; the stored reference is the latest
+        # accepted figure, not a ratcheting maximum.
+        lastgood_key = "{}-{}-{}-{}-{}-{}-{}".format(
+            jax.default_backend(), args.program, diag["method"],
+            headline_batch, args.sync_mode, args.pallas, args.input)
+        lastgood = _load_lastgood(lastgood_key)
+        diag["lastgood_samples_per_s"] = lastgood
+        rate = lambda sec: headline_batch * new_len / sec
+        diag["relay_degraded"] = False
+        diag["anomalously_fast"] = False
+        if lastgood and rate(sec_per_batch) < 0.5 * lastgood:
+            if args.verbose:
+                print("outlier heuristic: {:.3g} < 0.5x last-good "
+                      "{:.3g}; re-timing".format(rate(sec_per_batch),
+                                                 lastgood),
                       file=sys.stderr)
-            rerun = sorted(timer() for _ in range(max(args.repeats, 1)))
+            rerun = runs_for(headline_batch)
             runs = sorted(runs + rerun)
-            sec_per_batch = min(sec_per_batch,
-                                rerun[len(rerun) // 2])
+            sec_per_batch = min(sec_per_batch, rerun[len(rerun) // 2])
             diag["relay_degraded"] = \
-                args.batch * new_len / sec_per_batch < 0.5 * lastgood
-        else:
-            diag["relay_degraded"] = False
-        if args.verbose and len(runs) > 1:
-            print("timing runs (s/batch): {}".format(
-                ["{:.5f}".format(r) for r in runs]), file=sys.stderr)
-    diag["runs_sec_per_batch"] = [round(r, 5) for r in runs]
+                rate(sec_per_batch) < 0.5 * lastgood
+        elif lastgood and rate(sec_per_batch) > 2.0 * lastgood:
+            if args.verbose:
+                print("outlier heuristic: {:.3g} > 2x last-good "
+                      "{:.3g}; re-timing".format(rate(sec_per_batch),
+                                                 lastgood),
+                      file=sys.stderr)
+            rerun = runs_for(headline_batch)
+            runs = sorted(runs + rerun)
+            # Conservative: keep the SLOWER of the two medians.
+            sec_per_batch = max(sec_per_batch, rerun[len(rerun) // 2])
+            diag["anomalously_fast"] = \
+                rate(sec_per_batch) > 2.0 * lastgood
+    diag["headline_batch"] = headline_batch
+    diag["runs_sec_per_batch"] = [round(r, 7) for r in runs]
     if len(runs) > 1:
         diag["spread_pct"] = round(
             100.0 * (runs[-1] - runs[0]) / sec_per_batch, 1)
-    samples_per_s = args.batch * new_len / sec_per_batch
-    if not diag.get("relay_degraded", False) and not args.profile:
-        lastgood = _load_lastgood(lastgood_key)
-        # Track the best figure seen so the reference point does not
-        # ratchet down during a bad session.
-        if lastgood is None or samples_per_s > lastgood:
-            _store_lastgood(lastgood_key, samples_per_s)
+    samples_per_s = headline_batch * new_len / sec_per_batch
+    if not args.profile and not diag.get("relay_degraded", False):
+        # Latest accepted figure (NOT a max-ratchet): the reference
+        # point follows real regressions and real improvements alike.
+        _store_lastgood(lastgood_key, samples_per_s)
 
     # Baseline: float64 numpy implementation of the reference equations.
     # ~42 ms/block on typical hosts; measured over a few blocks.

@@ -47,15 +47,73 @@ def check_contract(stdout):
 
 
 def test_bench_default_contract():
-    res = run_bench(["--batch", "8", "--iters", "2",
-                     "--oracle-blocks", "2"])
+    res = run_bench(["--batch", "8", "--iters", "2", "--scan-k", "2",
+                     "--oracle-blocks", "2", "--sweep", "none"])
     assert res.returncode == 0, res.stderr[-2000:]
-    check_contract(res.stdout)
+    data = check_contract(res.stdout)
+    assert data["headline_batch"] == 8
+    assert data["anomalously_fast"] in (False, True)
+    # Primary method is the in-program scan-slope chain; the wall-clock
+    # dispatch chain is recorded alongside for auditability.
+    assert data["method"] == "scan_slope"
+    assert data["scan_k"] == 2
+    assert data["dispatch_chain_sec_per_batch"] > 0
+    assert data["scan_dispatch_times"]["t_k_s"]
+    assert data["scan_dispatch_times"]["t_2k_s"]
+
+
+def test_bench_batch_sweep_scaling():
+    """The batch-size sweep records per-size timings and a linearity
+    verdict, and takes the headline from the linear regime (VERDICT r3
+    item 1).  On CPU the program is genuinely compute-bound, so the
+    sweep must come out linear and keep the requested batch."""
+    res = run_bench(["--batch", "8", "--iters", "2", "--skip-baseline",
+                     "--scan-k", "2", "--sweep", "2,4,8"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    data = check_contract(res.stdout)
+    assert set(data["batch_sweep_sec"]) == {"2", "4", "8"}
+    assert set(data["batch_sweep_samples_per_s"]) == {"2", "4", "8"}
+    sc = data["scaling"]
+    # Slope timings at scan_k=2 on a loaded shared host are too noisy
+    # to pin the verdict itself (the unit test below covers the verdict
+    # logic on exact inputs); assert the CONTRACT: the verdict names
+    # the linear boundary, and the headline figure is taken from it.
+    assert sc["verdict"] == "linear" or sc["verdict"].startswith(
+        "floor_limited_above_"), sc
+    assert sc["linear_up_to"] in (2, 4, 8)
+    assert data["headline_batch"] == min(8, sc["linear_up_to"])
+    assert set(sc["ratios"]) == {"2->4", "4->8"}
+    if len(data["runs_sec_per_batch"]) == 3:  # no outlier re-time ran
+        expect = data["batch_sweep_samples_per_s"][
+            str(data["headline_batch"])]
+        assert abs(data["value"] - expect) <= 0.51
+
+
+def test_scaling_verdict_unit():
+    sys.path.insert(0, REPO)
+    import bench
+
+    # Proportional timings -> linear all the way up.
+    v = bench.scaling_verdict({64: 1.0, 128: 2.1, 256: 3.9, 512: 7.8})
+    assert v["verdict"] == "linear" and v["linear_up_to"] == 512
+    # Flat beyond 128 (dispatch floor): the largest trustworthy size
+    # is 128 even though 256/512 "ran faster" per sample.
+    v = bench.scaling_verdict({64: 1.0, 128: 1.9, 256: 2.0, 512: 2.1})
+    assert v["linear_up_to"] == 128
+    assert v["verdict"] == "floor_limited_above_128"
+    # Entirely flat -> only the smallest size is trustworthy.
+    v = bench.scaling_verdict({64: 1.0, 128: 1.0, 256: 1.0})
+    assert v["linear_up_to"] == 64
+    # A later recovery after a flat step must NOT re-enter the linear
+    # regime (monotone prefix semantics).
+    v = bench.scaling_verdict({64: 1.0, 128: 1.0, 256: 2.0})
+    assert v["linear_up_to"] == 64
 
 
 def test_bench_c64_and_modes():
     res = run_bench(["--batch", "8", "--iters", "2", "--skip-baseline",
-                     "--input", "c64", "--sync-mode", "integer"])
+                     "--input", "c64", "--sync-mode", "integer",
+                     "--scan-k", "2", "--sweep", "none"])
     assert res.returncode == 0, res.stderr[-2000:]
     check_contract(res.stdout)
 
