@@ -274,7 +274,17 @@ def _record_main(config, args):
     device_unfold = bool(getattr(args, "device_unfold", False))
 
     sdr = False
-    if getattr(args, "rtl_tcp", None):
+    if getattr(args, "rtlsdr", None) is not None:
+        from thrifty_tpu.io import rtlsdr as rtlsdr_mod
+
+        in_stream = rtlsdr_mod.make_source_cli(
+            args.rtlsdr, config,
+            bias_tee=getattr(args, "bias_tee", False), quiet=args.quiet,
+            ppm=getattr(args, "ppm", None))
+        if in_stream is None:
+            return 1
+        sdr = True
+    elif getattr(args, "rtl_tcp", None):
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
         in_stream = rtl_tcp_mod.make_source_cli(
@@ -363,6 +373,10 @@ def _record_main(config, args):
         if pump is not None:
             print(pump.stats_line(), file=info_out)
             pump.close()
+        if hasattr(in_stream, "stats_line"):
+            # USB source's at-exit ring report (the reference's
+            # rtlsdr_reader_print_histogram, rtlsdr_reader.c:310-325).
+            print(in_stream.stats_line(), file=info_out)
     return exit_code
 
 
@@ -394,6 +408,12 @@ def _main(argv=None):
                              "(configures freq/sample-rate/gain on "
                              "connect; the network replacement for the "
                              "reference's in-process librtlsdr binding)")
+    parser.add_argument("--rtlsdr", type=int, default=None, metavar="N",
+                        help="capture live from USB RTL-SDR device N via "
+                             "the in-process librtlsdr binding "
+                             "(async USB thread -> ring, nearest gain "
+                             "from the device's own table; the "
+                             "reference's fastcard/rtlsdr_reader.c)")
     parser.add_argument("--ppm", type=int, default=None,
                         help="crystal frequency correction in ppm "
                              "forwarded to the rtl_tcp dongle")
@@ -411,9 +431,12 @@ def _main(argv=None):
             "capture_skip", "batch_size"]
     config, args = settings_mod.load_args(parser, keys, argv=argv)
 
-    if args.raw_in is not None and args.rtl_tcp is not None:
-        parser.error("give either --raw-in or --rtl-tcp, not both")
-    if args.raw_in is not None or args.rtl_tcp is not None:
+    given = [o for o, v in (("--raw-in", args.raw_in),
+                            ("--rtl-tcp", args.rtl_tcp),
+                            ("--rtlsdr", args.rtlsdr)) if v is not None]
+    if len(given) > 1:
+        parser.error("give only one of {}".format(" / ".join(given)))
+    if given:
         return _record_main(config, args)
 
     cmd = shlex.split(args.capture_cmd) + build_args(config, args.output)

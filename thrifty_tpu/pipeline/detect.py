@@ -157,9 +157,14 @@ def _main(argv=None):
                         help="detect live from an rtl_tcp server "
                              "(implies --raw; configures freq/"
                              "sample-rate/gain on connect)")
+    parser.add_argument("--rtlsdr", type=int, default=None, metavar="N",
+                        help="detect live from USB RTL-SDR device N via "
+                             "the in-process librtlsdr binding (implies "
+                             "--raw; the reference's "
+                             "fastcard/rtlsdr_reader.c role)")
     parser.add_argument("--ppm", type=int, default=None,
                         help="crystal frequency correction in ppm "
-                             "forwarded to the rtl_tcp dongle")
+                             "forwarded to the dongle")
     parser.add_argument("--bias-tee", action="store_true",
                         help="with --rtl-tcp: enable the dongle's bias "
                              "tee (antenna power)")
@@ -231,13 +236,17 @@ def _main(argv=None):
 
     # Usage errors before any expensive setup (template load, detector
     # construction) so conflicts surface instantly.
-    if args.rtl_tcp is not None and args.input != "-":
-        parser.error("give either an input file or --rtl-tcp, not both")
+    if args.rtl_tcp is not None and args.rtlsdr is not None:
+        parser.error("give either --rtl-tcp or --rtlsdr, not both")
+    live = args.rtl_tcp if args.rtl_tcp is not None else args.rtlsdr
+    if live is not None and args.input != "-":
+        parser.error("give either an input file or a live SDR source, "
+                     "not both")
     if args.device_unfold:
-        if not args.raw and args.rtl_tcp is None:
+        if not args.raw and live is None:
             parser.error("--device-unfold needs a raw stream input "
-                         "(--raw or --rtl-tcp); .card input decodes "
-                         "to overlap-save rows already")
+                         "(--raw, --rtl-tcp or --rtlsdr); .card input "
+                         "decodes to overlap-save rows already")
         if args.card_out:
             parser.error("--card-out needs host-side overlap-save "
                          "rows; incompatible with --device-unfold")
@@ -265,7 +274,16 @@ def _main(argv=None):
         use_pallas=args.pallas,
     ))
 
-    if args.rtl_tcp is not None:
+    if args.rtlsdr is not None:
+        from thrifty_tpu.io import rtlsdr as rtlsdr_mod
+
+        in_stream = rtlsdr_mod.make_source_cli(
+            args.rtlsdr, config, bias_tee=args.bias_tee,
+            quiet=args.quiet, ppm=args.ppm)
+        if in_stream is None:
+            return 1
+        args.raw = True
+    elif args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
         in_stream = rtl_tcp_mod.make_source_cli(
@@ -400,6 +418,10 @@ def _main(argv=None):
         if pump is not None:
             # Real-time margin report (cf. fastcard's at-exit stats).
             print(pump.stats_line(), file=info_out)
+        if hasattr(in_stream, "stats_line"):
+            # USB ring occupancy/overflow report
+            # (rtlsdr_reader.c:310-325).
+            print(in_stream.stats_line(), file=info_out)
             pump.close()
     return exit_code
 
