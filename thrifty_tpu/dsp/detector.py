@@ -67,22 +67,19 @@ class DetectorConfig:
     # (block_len//carrier_len - 1)*2 (carrier_sync.py:106-108), or an
     # explicit odd filter length.
     peak_filter_len: int = 0
-    # Pallas fused peak/energy kernel ('on'/'off'/'auto').  The
-    # interleaved-complex kernel (zero-copy bitcast; power at even
-    # lanes via x^2 + roll(x^2,-1)) measures at PARITY with XLA's own
-    # fusion on TPU v5e (paired 10-trial median time ratio 0.994, IQR
-    # 0.89-1.17 through this environment's high-variance tunnel; see
-    # docs/performance.md) -- round 1's separate-plane kernel lost
-    # ~30% to an extra HBM materialization pass, which this layout
-    # eliminates.  'auto' resolves to ON on TPU (when batch % 8 == 0,
-    # block_len % 2048 == 0, and no carrier peak filter -- the filter
-    # is a magnitude-domain FIR the raw-power kernel cannot search):
-    # the kernel guarantees the one-pass magnitude/argmax/energy
-    # reduction by construction instead of relying on XLA's fusion
-    # heuristics, at no measured cost.  Every sync mode, corr/carrier
-    # interpolator, and stddev threshold term is supported on the
-    # kernel path (tests/test_pallas.py sweeps the full option
-    # matrix).  OFF on CPU (kernels fall back to the jnp reference).
+    # Pallas fused peak/energy kernel ('on'/'off'/'auto').  Round 4's
+    # sound on-device timing (in-program scan-slope; earlier rounds'
+    # wall-clock A/Bs all sat on the tunnel's dispatch floor and could
+    # not see ANY real difference -- docs/performance.md) measures the
+    # kernel path 1.6x SLOWER than XLA's automatic fusion at the
+    # default geometry (2.03 vs 1.28 ms per 256-block batch), so
+    # 'auto' now resolves to OFF everywhere; the kernel remains
+    # available ('on') and numerically verified across the full option
+    # matrix (tests/test_pallas.py, bench --program selfcheck) for
+    # configurations/hardware where its guaranteed one-pass reduction
+    # wins.  Kernel constraints when 'on': batch % 8 == 0,
+    # block_len % 2048 == 0, no carrier peak filter (a magnitude-
+    # domain FIR the raw-power kernel cannot search).
     use_pallas: str = "auto"
 
 
@@ -136,6 +133,12 @@ class BatchDetector:
         self._tmpl_fft_conj = xcorr.template_fft_conj(template, n)
         self._tmpl_energy = xcorr.template_energy(template)
         self._carrier_mask = carrier.window_mask(config.carrier_window, n)
+        # Integer/preshift rolls start at the carrier peak's FFT index
+        # (+-1 for preshift's fractional rounding), so the roll's
+        # wrapped extension only needs to reach the window's top index
+        # (shift.integer_roll_fft max_start contract).
+        self._max_roll_start = int(np.flatnonzero(
+            self._carrier_mask).max()) + 2
         if config.peak_filter_len:
             flen = config.peak_filter_len
             if flen == -1:
@@ -272,10 +275,12 @@ class BatchDetector:
                     "(got {}), block_len divisible by 2048, and no "
                     "carrier peak filter".format(batch))
             return True
-        # 'auto': the interleaved kernel wins on TPU; on CPU the
-        # kernels fall back to the jnp reference anyway, so keep the
-        # straight-line XLA program there.
-        return ok and jax.default_backend() != "cpu"
+        # 'auto': OFF.  Round-4 slope timing measured the kernel path
+        # 1.6x slower than XLA's fusion on TPU v5e (the earlier
+        # "parity" verdict was an artifact of timing at the tunnel's
+        # dispatch floor); on CPU the kernels fall back to the jnp
+        # reference anyway.  See the use_pallas field comment.
+        return False
 
     def _detect_batch(self, blocks):
         if self._pallas_enabled(blocks.shape[0]):
@@ -380,7 +385,8 @@ class BatchDetector:
             shifted = shift.fractional_shift_fft(blocks, shift_bins)
             spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
         elif cfg.sync_mode == "integer":
-            shifted = shift.integer_roll_fft(fft, -c_idx)
+            shifted = shift.integer_roll_fft(
+                fft, -c_idx, max_start=self._max_roll_start)
             spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
         elif cfg.sync_mode == "preshift":
             # Integer roll + per-block fractionally pre-shifted template:
@@ -392,7 +398,8 @@ class BatchDetector:
             shift_total = -(signed.astype(jnp.float32) + c_off)
             int_shift = jnp.round(shift_total).astype(jnp.int32)
             frac = jnp.clip(shift_total - int_shift, -0.5, 0.5)
-            shifted = shift.integer_roll_fft(fft, int_shift)
+            shifted = shift.integer_roll_fft(
+                fft, int_shift, max_start=self._max_roll_start)
             sel = jnp.round(
                 (frac + 0.5) * (cfg.num_preshift - 1)).astype(jnp.int32)
             tconj = jnp.asarray(self._preshift_bank)[sel]  # [B,(T,)N]

@@ -33,13 +33,39 @@ def fractional_shift_fft(blocks, shift):
     return jnp.fft.fft(blocks * ramp)
 
 
-def integer_roll_fft(fft, shift):
+def integer_roll_fft(fft, shift, max_start=None):
     """Batched circular roll of FFT arrays by per-element integer shifts.
 
     ``out[..., k] = fft[..., (k - shift) % N]`` -- same as np.roll along
-    the last axis with a per-batch shift, implemented as a gather.
+    the last axis with a per-batch shift.
+
+    Implementation note (TPU): formulated as a per-row
+    ``lax.dynamic_slice`` of the row extended by its own wrapped head
+    -- one contiguous N-element block copy at a dynamic offset -- NOT
+    an elementwise ``take_along_axis`` gather.  The elementwise gather
+    compiles to scalar loads on TPU and measured ~70x slower than the
+    whole fractional-sync program (86 ms vs 1.3 ms per 256-block batch,
+    round-4 slope timing); the slice form is a permutation, so results
+    stay BITWISE identical to np.roll (the fastdet golden contract).
+
+    ``max_start``: static upper bound (exclusive) on ``(-shift) % N``,
+    when the caller can prove one -- carrier rolls are bounded by the
+    carrier window's top FFT index, so the wrapped extension shrinks
+    from N columns to ~the window width.  Out-of-bound starts cannot
+    read out of range (dynamic_slice clamps); the bound is the
+    caller's correctness contract.
     """
+    import jax
+    from jax import lax
+
     n = fft.shape[-1]
-    k = jnp.arange(n, dtype=jnp.int32)
-    idx = (k[None, ...] - shift[..., None]) % n
-    return jnp.take_along_axis(fft, idx, axis=-1)
+    lead = fft.shape[:-1]
+    flat = fft.reshape((-1, n))
+    s = jnp.broadcast_to(shift, lead).reshape((-1,)).astype(jnp.int32)
+    start = (-s) % n  # out[k] = extended[start + k]
+    pad = n if max_start is None else min(int(max_start), n)
+    extended = jnp.concatenate([flat, flat[:, :pad]], axis=-1)
+    out = jax.vmap(
+        lambda row, a: lax.dynamic_slice(row, (a,), (n,)))(extended,
+                                                           start)
+    return out.reshape(fft.shape)
