@@ -707,6 +707,11 @@ def main(argv=None):
                         choices=["fractional", "integer", "preshift"])
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"])
+    parser.add_argument("--fft-impl", type=str, default="auto",
+                        choices=["auto", "matmul", "xla"],
+                        help="FFT implementation (dsp/mxu_fft.py): "
+                             "'auto' = MXU matmul transforms on TPU, "
+                             "jnp.fft elsewhere")
     parser.add_argument("--program", type=str, default="batch",
                         choices=["batch", "stream", "serve", "e2e",
                                  "selfcheck"],
@@ -815,7 +820,7 @@ def main(argv=None):
         return 0 if ok else 1
 
     cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
-                         use_pallas=args.pallas)
+                         use_pallas=args.pallas, fft_impl=args.fft_impl)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
 
@@ -901,7 +906,8 @@ def main(argv=None):
 
     diag = {"batch": args.batch, "iters": args.iters,
             "sync_mode": args.sync_mode, "pallas": args.pallas,
-            "input": args.input, "program": args.program}
+            "fft_impl": args.fft_impl, "input": args.input,
+            "program": args.program}
     headline_batch = args.batch
     if args.profile:
         with jax.profiler.trace(args.profile):

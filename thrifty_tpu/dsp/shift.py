@@ -17,20 +17,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def fractional_shift_fft(blocks, shift):
+def fractional_shift_fft(blocks, shift, impl="auto"):
     """FFT of blocks shifted by a (fractional) number of bins.
 
     ``blocks``: [..., N] complex time-domain samples.
     ``shift``: [...] float, number of bins to shift by (positive moves
     energy to higher bins).  Uses ramp exp(2j*pi*shift*(n/N - 0.5)); the
     -0.5 term only contributes a constant phase and keeps parity with the
-    reference formula.
+    reference formula.  ``impl``: FFT implementation (dsp.mxu_fft).
     """
+    from thrifty_tpu.dsp import mxu_fft
+
     n = blocks.shape[-1]
     pos = jnp.arange(n, dtype=jnp.float32) / n - 0.5
     phase = 2.0 * jnp.pi * shift[..., None] * pos
     ramp = jnp.exp(1j * phase).astype(blocks.dtype)
-    return jnp.fft.fft(blocks * ramp)
+    return mxu_fft.fft(blocks * ramp, impl)
 
 
 def integer_roll_fft(fft, shift, max_start=None):

@@ -58,9 +58,9 @@ class CarrierGate:
     def _detect_blocks(self, blocks):
         import jax.numpy as jnp
 
-        from thrifty_tpu.dsp import carrier
+        from thrifty_tpu.dsp import carrier, mxu_fft
 
-        mag = jnp.abs(jnp.fft.fft(blocks))
+        mag = jnp.abs(mxu_fft.fft(blocks))
         det, idx, peak_mag, noise = carrier.detect(
             mag, self._mask, self._thresh)
         c, s, d = self._thresh
