@@ -85,6 +85,7 @@ class PositioningServer:
         self.future_tol_s = future_tol_s
         self._clock = clock if clock is not None else time_mod.time
         self._rx_ids = np.array(sorted(rx_pos), dtype=np.int64)
+        self._beacon_ids = np.array(sorted(beacon_pos), dtype=np.int64)
         # Warn-once set for unmapped receivers (step() runs every poll).
         self._warned_rx = set()
         # Warn-once sets for feed()-time rejections.
@@ -161,27 +162,43 @@ class PositioningServer:
         integrated = identify_mod.integrate(
             dets, self.freqmap, keep_txid=self.keep_txid,
             dedup_any_tx=self.keep_txid, warned=self._warned_rx)
-        matches, _, _ = matchmaker_mod.match_detections_batched(
+        arr = matchmaker_mod.match_detections_arrays(
             integrated, self.match_window)
+        seeds, off, flat = arr["seeds"], arr["offsets"], arr["winners"]
+        cnt = np.diff(off)
 
         # Estimate TDOAs only for settled, not-yet-reported mobile
         # groups (beacon groups always flow to the clock models): a
         # late detection can move the group's seed timestamp by up to
         # match_window, so the duplicate check is a +-match_window
         # interval, not a key.  Filtering BEFORE estimation keeps the
-        # per-step cost proportional to new traffic, not window size.
-        work = []
-        for m in matches:
-            tx = int(integrated[m[0]]["txid"])
-            if tx in self.beacon_pos:
-                work.append(m)
+        # per-step cost proportional to new traffic, not window size --
+        # and the selection itself is vectorized over the array-native
+        # matcher output, so the per-step Python work is proportional
+        # to groups SELECTED, not groups in the window (the previous
+        # per-group loop was a measured hot spot at 50x density).
+        seed_tx = integrated["txid"][seeds]
+        seed_ts = integrated["timestamp"][seeds]
+        enough = cnt >= 2  # the matcher's min_match
+        is_beacon = np.isin(seed_tx, self._beacon_ids)
+        unsolved = np.ones(len(seeds), dtype=bool)
+        mobile = enough & ~is_beacon
+        for t in np.unique(seed_tx[mobile]):
+            times = self._solved.get(int(t))
+            if not times:
                 continue
-            ts = float(integrated[m[0]]["timestamp"])
-            if self._is_solved(ts, tx):
-                continue
-            if ts > now - self.settle_s:
-                continue  # may still gain detections
-            work.append(m)
+            sel = mobile & (seed_tx == t)
+            tsv = seed_ts[sel]
+            tarr = np.asarray(times)
+            i = np.searchsorted(tarr, tsv - self.match_window)
+            hit = (i < len(tarr)) & (
+                tarr[np.minimum(i, len(tarr) - 1)]
+                <= tsv + self.match_window)
+            unsolved[sel] = ~hit
+        settled = seed_ts <= now - self.settle_s
+        work_mask = (enough & is_beacon) | (mobile & settled & unsolved)
+        work = [flat[off[g]:off[g + 1]]
+                for g in np.nonzero(work_mask)[0]]
         fresh, _ = tdoa_mod.estimate_tdoas(
             integrated, work, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
