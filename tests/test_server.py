@@ -57,6 +57,70 @@ class TestPositioningServer:
             est = np.array([row["x"], row["y"]])
             assert np.linalg.norm(est - MOBILE_POS[3]) < 30.0
 
+    def run_fixes(self, det, chunks, incremental, duration=62.0,
+                  **kw):
+        srv = self.make_server(incremental=incremental, **kw)
+        fixes = []
+        for sel, now in chunks:
+            srv.feed(det[sel])
+            fixes.append(srv.step(now=now))
+        return srv, np.concatenate(fixes)
+
+    @staticmethod
+    def assert_fix_sets_equal(a, b):
+        key = lambda f: np.lexsort((f["tx"], f["timestamp"]))
+        a, b = a[key(a)], b[key(b)]
+        assert len(a) == len(b)
+        for col in ("timestamp", "tx", "x", "y", "dop", "snr"):
+            np.testing.assert_allclose(a[col], b[col], rtol=1e-9,
+                                       atol=1e-9, err_msg=col)
+
+    def test_frozen_prefix_equals_full_rescan(self):
+        """incremental=True (frozen identify/match prefix) must emit
+        exactly the fixes of the full-window rescan path."""
+        det = scenario(duration=60.0)
+        chunks = [((det["timestamp"] >= t0) & (det["timestamp"] < t0 + 5.0),
+                   t0 + 5.0) for t0 in np.arange(0.0, 62.0, 5.0)]
+        srv_inc, inc = self.run_fixes(det, chunks, True)
+        srv_full, full = self.run_fixes(det, chunks, False)
+        assert srv_inc.incremental and not srv_full.incremental
+        assert len(srv_inc._frz_rows) > 0  # the freeze actually engaged
+        self.assert_fix_sets_equal(inc, full)
+
+    def test_late_arrival_unfreezes_exactly(self):
+        """A receiver lagging behind the frozen horizon triggers the
+        exact full-recompute path; outputs still match the rescan."""
+        det = scenario(duration=60.0)
+        order = np.argsort(det["timestamp"], kind="stable")
+        det = det[order]
+        late = det["rxid"] == 2  # rx 2 delivers everything 20 s late
+        chunks = []
+        for t0 in np.arange(0.0, 84.0, 4.0):
+            sel = (~late & (det["timestamp"] >= t0)
+                   & (det["timestamp"] < t0 + 4.0))
+            sel |= (late & (det["timestamp"] >= t0 - 20.0)
+                    & (det["timestamp"] < t0 - 16.0))
+            chunks.append((sel, t0 + 4.0))
+        srv_inc, inc = self.run_fixes(det, chunks, True)
+        _, full = self.run_fixes(det, chunks, False)
+        self.assert_fix_sets_equal(inc, full)
+
+    def test_incremental_random_feed_order_fuzz(self):
+        """Randomized chunking/ordering: frozen-prefix outputs equal
+        the rescan across odd feed patterns (duplicate feeds of the
+        same region are naturally absent -- receivers append)."""
+        rng = np.random.default_rng(7)
+        det = scenario(duration=50.0)
+        for trial in range(3):
+            jitter = rng.uniform(0, 3.0, size=len(det))
+            arrival = det["timestamp"] + jitter  # per-record lag
+            edges = np.arange(0.0, 56.0, float(rng.uniform(2.0, 6.0)))
+            chunks = [((arrival >= a) & (arrival < b), b)
+                      for a, b in zip(edges[:-1], edges[1:])]
+            srv_inc, inc = self.run_fixes(det, chunks, True)
+            _, full = self.run_fixes(det, chunks, False)
+            self.assert_fix_sets_equal(inc, full)
+
     def test_no_duplicate_fixes_on_repeat_step(self):
         det = scenario(duration=15.0)
         srv = self.make_server()

@@ -57,13 +57,35 @@ class PositioningServer:
     clock : callable
         Time source for the future check (default time.time);
         injectable for tests.
+    incremental : bool
+        Maintain identify/match results incrementally (default; auto-
+        disabled when txids come from the auto histogram, whose global
+        statistics are not decomposable).  The greedy matcher is a
+        per-transmitter forward scan in which every detection within
+        ``match_window`` of a seed is consumed, so groups whose seed
+        lies more than ``freeze_lag_s`` behind the newest data are
+        FINAL: they are frozen (integrated rows + membership cached)
+        and each step re-runs identify/match only over the active
+        tail, with a context margin below the per-tx consumption
+        horizon so duplicate-removal decisions at the boundary stay
+        identical to a full rescan.  A late detection older than any
+        horizon (+slack) triggers a full exact recompute, so outputs
+        always match the non-incremental path.
+    freeze_lag_s : float
+        How far behind the newest data a group's seed must lie before
+        it freezes.  Must exceed ``ctx_slack_s``; larger values
+        tolerate more receiver lag without unfreezing.
+    ctx_slack_s : float
+        Safety margin covering duplicate-removal reach (one block
+        duration, ~5 ms at reference rates) and timestamp jitter.
     """
 
     def __init__(self, rx_pos, beacon_pos, freqmap=None,
                  sample_rate=2.4e6, match_window=0.2,
                  tdoa_est_window=8.0, window_s=30.0, settle_s=1.0,
                  keep_txid=False, solver="auto", future_tol_s=300.0,
-                 clock=None):
+                 clock=None, incremental=True, freeze_lag_s=None,
+                 ctx_slack_s=0.5):
         self.rx_pos = rx_pos
         self.beacon_pos = beacon_pos
         self.freqmap = freqmap
@@ -98,6 +120,31 @@ class PositioningServer:
         # and no suppression of distinct transmissions).
         self._solved = {}  # txid -> sorted [timestamps]
 
+        # Incremental identify/match state (see class docstring).
+        # Auto-classification derives txids from GLOBAL per-rx carrier
+        # histograms over the window -- not decomposable -- so the
+        # incremental path requires explicit txids (freqmap or
+        # keep_txid).
+        self.incremental = bool(incremental) and (
+            freqmap is not None or keep_txid)
+        if freeze_lag_s is None:
+            freeze_lag_s = max(2.0, 4.0 * match_window + 2.0 * ctx_slack_s)
+        if freeze_lag_s <= ctx_slack_s + match_window:
+            raise ValueError("freeze_lag_s must exceed "
+                             "ctx_slack_s + match_window")
+        self.freeze_lag_s = float(freeze_lag_s)
+        self.ctx_slack_s = float(ctx_slack_s)
+        self._pending_min = np.inf  # min ts fed since the last step
+        self._reset_frozen()
+
+    def _reset_frozen(self):
+        self._frz_rows = toad.empty(0)    # integrated rows, group-major
+        self._frz_off = np.zeros(1, np.int64)   # group g = rows[off[g]:off[g+1]]
+        self._frz_seed_ts = np.empty(0, np.float64)
+        self._frz_seed_tx = np.empty(0, np.int64)
+        self._frz_horizon = {}  # txid -> consumption horizon (seed+window)
+        self._frz_guard = -np.inf  # max horizon; older arrivals unfreeze
+
     def feed(self, detections):
         """Add new detection records (any order, any receiver).
 
@@ -130,6 +177,16 @@ class PositioningServer:
                               "glitch or corrupt line?)".format(
                                   self.future_tol_s))
         if len(detections):
+            self._pending_min = min(
+                self._pending_min, float(np.min(detections["timestamp"])))
+            if self.incremental and not self.keep_txid:
+                # Classification is pointwise (freqmap lookup), so do
+                # it ONCE per record at feed time instead of over the
+                # whole window every step; on a private copy so the
+                # caller's records are untouched.
+                detections = detections.copy()
+                identify_mod.identify_transmitters(
+                    detections, self.freqmap, warned=self._warned_rx)
             self._detections = np.concatenate(
                 [self._detections, detections])
 
@@ -147,41 +204,18 @@ class PositioningServer:
         times = self._solved.setdefault(int(tx), [])
         bisect.insort(times, float(timestamp))
 
-    def step(self, now=None):
-        """Process the current window; return newly solved fixes."""
-        if len(self._detections) == 0:
-            return pos_mod.solve([], self.rx_pos)
-        if now is None:
-            now = float(np.max(self._detections["timestamp"]))
-
-        # Trim the sliding window.
-        keep = self._detections["timestamp"] >= now - self.window_s
-        self._detections = self._detections[keep]
-        dets = self._detections.copy()
-
-        integrated = identify_mod.integrate(
-            dets, self.freqmap, keep_txid=self.keep_txid,
-            dedup_any_tx=self.keep_txid, warned=self._warned_rx)
-        arr = matchmaker_mod.match_detections_arrays(
-            integrated, self.match_window)
-        seeds, off, flat = arr["seeds"], arr["offsets"], arr["winners"]
-        cnt = np.diff(off)
-
-        # Estimate TDOAs only for settled, not-yet-reported mobile
-        # groups (beacon groups always flow to the clock models): a
-        # late detection can move the group's seed timestamp by up to
-        # match_window, so the duplicate check is a +-match_window
-        # interval, not a key.  Filtering BEFORE estimation keeps the
-        # per-step cost proportional to new traffic, not window size --
-        # and the selection itself is vectorized over the array-native
-        # matcher output, so the per-step Python work is proportional
-        # to groups SELECTED, not groups in the window (the previous
-        # per-group loop was a measured hot spot at 50x density).
-        seed_tx = integrated["txid"][seeds]
-        seed_ts = integrated["timestamp"][seeds]
+    def _select_work(self, seed_ts, seed_tx, cnt, now):
+        """Vectorized group selection: beacon groups always flow to the
+        clock models; mobile groups only when settled and not yet
+        reported.  A late detection can move a group's seed timestamp
+        by up to match_window, so the duplicate check is a
+        +-match_window interval, not a key.  Filtering BEFORE
+        estimation keeps the per-step cost proportional to new
+        traffic, not window size (the earlier per-group Python loop
+        was a measured hot spot at 50x density)."""
         enough = cnt >= 2  # the matcher's min_match
         is_beacon = np.isin(seed_tx, self._beacon_ids)
-        unsolved = np.ones(len(seeds), dtype=bool)
+        unsolved = np.ones(len(seed_ts), dtype=bool)
         mobile = enough & ~is_beacon
         for t in np.unique(seed_tx[mobile]):
             times = self._solved.get(int(t))
@@ -196,11 +230,157 @@ class PositioningServer:
                 <= tsv + self.match_window)
             unsolved[sel] = ~hit
         settled = seed_ts <= now - self.settle_s
-        work_mask = (enough & is_beacon) | (mobile & settled & unsolved)
-        work = [flat[off[g]:off[g + 1]]
-                for g in np.nonzero(work_mask)[0]]
+        return (enough & is_beacon) | (mobile & settled & unsolved)
+
+    def _compact_frozen(self, alive):
+        sizes = np.diff(self._frz_off)
+        row_mask = np.repeat(alive, sizes)
+        self._frz_rows = self._frz_rows[row_mask]
+        self._frz_off = np.concatenate(
+            [[0], np.cumsum(sizes[alive])]).astype(np.int64)
+        self._frz_seed_ts = self._frz_seed_ts[alive]
+        self._frz_seed_tx = self._frz_seed_tx[alive]
+        # Consumption horizons only ever grow; trimming a group does
+        # not re-open its region (its raw rows age out of the window).
+
+    def _integrate_active(self, now):
+        """Identify + dedup + match over the ACTIVE tail only.
+
+        Returns (detections_all, work lists) exactly equal to what a
+        full-window rescan would select, by the matcher's per-tx
+        prefix property: every detection within match_window of a seed
+        is consumed, so groups seeded before the frozen horizons can
+        never change, and the active tail (ts strictly above each tx's
+        horizon) re-runs through the same code with a dedup context
+        margin below the cut.
+        """
+        # txids were assigned at feed time (pointwise, so once per
+        # record); everything below is read-only on the window buffer.
+        dets = self._detections
+        tsd = dets["timestamp"]
+        h = np.full(len(dets), -np.inf)
+        for t, ht in self._frz_horizon.items():
+            h[dets["txid"] == t] = ht
+        active = tsd > h
+        if self.keep_txid and self._frz_horizon:
+            # Cross-tx dedup (dedup_any_tx): an active row's duplicate
+            # partner can be a consumed row of ANOTHER tx, so the
+            # context margin must sit below the GLOBAL minimum horizon,
+            # not the row's own tx's.
+            min_h = min(self._frz_horizon.values())
+            keep_sub = active | (tsd > min_h - self.ctx_slack_s)
+        else:
+            keep_sub = active | (tsd > h - self.ctx_slack_s)
+        sub = dets[keep_sub]
+        sub_active = active[keep_sub]
+        # Same dedup decision as a full rescan: every possible
+        # adjacent-block partner of an active row is present (active
+        # rows, or consumed rows within the context margin); context
+        # rows' own verdicts are discarded (they are frozen).
+        dedup = identify_mod.duplicate_mask(
+            sub, ignore_txid=self.keep_txid)
+        act = sub[dedup & sub_active]
+        act = act[np.argsort(act["timestamp"], kind="stable")]
+
+        arr = matchmaker_mod.match_detections_arrays(
+            act, self.match_window)
+        a_seeds, a_off = arr["seeds"], arr["offsets"]
+        a_flat = arr["winners"]
+        a_cnt = np.diff(a_off)
+        a_seed_ts = act["timestamp"][a_seeds].astype(np.float64)
+        a_seed_tx = act["txid"][a_seeds].astype(np.int64)
+
+        nf = len(self._frz_seed_ts)
+        base = len(self._frz_rows)
+        seed_ts = np.concatenate([self._frz_seed_ts, a_seed_ts])
+        seed_tx = np.concatenate([self._frz_seed_tx, a_seed_tx])
+        cnt = np.concatenate([np.diff(self._frz_off), a_cnt])
+        detections_all = np.concatenate([self._frz_rows, act])
+
+        work = []
+        for g in np.nonzero(self._select_work(seed_ts, seed_tx, cnt,
+                                              self._now))[0]:
+            if g < nf:
+                work.append(np.arange(self._frz_off[g],
+                                      self._frz_off[g + 1]))
+            else:
+                ga = g - nf
+                work.append(a_flat[a_off[ga]:a_off[ga + 1]] + base)
+
+        # Advance the freeze: groups seeded more than freeze_lag_s ago
+        # are final (per-tx prefix; misses advance the horizon but
+        # store no rows -- they can never be reported).
+        frz = a_seed_ts < self._now - self.freeze_lag_s
+        if frz.any():
+            new_rows, new_sizes = [], []
+            for g in np.nonzero(frz)[0]:
+                # The horizon is the matcher's own upper bound
+                # (ts[seed] + window, float64) so "consumed" stays
+                # bitwise consistent with searchsorted side='right'.
+                t = int(a_seed_tx[g])
+                self._frz_horizon[t] = max(
+                    self._frz_horizon.get(t, -np.inf),
+                    a_seed_ts[g] + self.match_window)
+                if a_cnt[g] >= 2:
+                    new_rows.append(act[a_flat[a_off[g]:a_off[g + 1]]])
+                    new_sizes.append(a_cnt[g])
+            self._frz_guard = max(self._frz_horizon.values())
+            self._frz_seed_ts = np.concatenate(
+                [self._frz_seed_ts, a_seed_ts[frz & (a_cnt >= 2)]])
+            self._frz_seed_tx = np.concatenate(
+                [self._frz_seed_tx, a_seed_tx[frz & (a_cnt >= 2)]])
+            if new_rows:
+                self._frz_rows = np.concatenate(
+                    [self._frz_rows] + new_rows)
+                self._frz_off = np.concatenate(
+                    [self._frz_off,
+                     self._frz_off[-1] + np.cumsum(new_sizes)])
+        return detections_all, work
+
+    def step(self, now=None):
+        """Process the current window; return newly solved fixes."""
+        if len(self._detections) == 0:
+            return pos_mod.solve([], self.rx_pos)
+        if now is None:
+            now = float(np.max(self._detections["timestamp"]))
+        self._now = now
+
+        # Trim the sliding window.
+        keep = self._detections["timestamp"] >= now - self.window_s
+        self._detections = self._detections[keep]
+
+        if self.incremental:
+            if self._pending_min - self.ctx_slack_s <= self._frz_guard:
+                # A late detection arrived at or below a consumption
+                # horizon: frozen results could be stale.  Recompute
+                # the whole window exactly (rare; receivers lagging
+                # more than freeze_lag_s behind the newest data).
+                self._reset_frozen()
+            self._pending_min = np.inf
+            cut = now - self.window_s
+            alive = self._frz_seed_ts + self.match_window >= cut
+            if not alive.all():
+                self._compact_frozen(alive)
+            detections_all, work = self._integrate_active(now)
+        else:
+            self._pending_min = np.inf
+            dets = self._detections.copy()
+            integrated = identify_mod.integrate(
+                dets, self.freqmap, keep_txid=self.keep_txid,
+                dedup_any_tx=self.keep_txid, warned=self._warned_rx)
+            arr = matchmaker_mod.match_detections_arrays(
+                integrated, self.match_window)
+            seeds, off, flat = (arr["seeds"], arr["offsets"],
+                                arr["winners"])
+            cnt = np.diff(off)
+            work_mask = self._select_work(
+                integrated["timestamp"][seeds].astype(np.float64),
+                integrated["txid"][seeds].astype(np.int64), cnt, now)
+            work = [flat[off[g]:off[g + 1]]
+                    for g in np.nonzero(work_mask)[0]]
+            detections_all = integrated
         fresh, _ = tdoa_mod.estimate_tdoas(
-            integrated, work, self.tdoa_est_window,
+            detections_all, work, self.tdoa_est_window,
             self.beacon_pos, self.rx_pos, self.sample_rate)
 
         # verbose=False: an underdetermined group here is a normal
