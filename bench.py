@@ -243,6 +243,99 @@ def time_stream(detector, caps, iters):
                             total_blocks // n_dev, iters)
 
 
+def bench_ingest_feeds(detector, template, batch, target_bytes, feeds,
+                       repeats=3, verbose=False):
+    """Aggregate host ingest over N parallel feed pumps (file source).
+
+    The multi-receiver deployment shape: one StreamPump per receiver
+    file (per-feed reader thread / mmap gather, exactly the production
+    ingestion path), all draining concurrently -- the TPU-era analog of
+    running N fastcard capture processes (the producer/consumer role of
+    fastcard/circbuf.c:64-151, scaled across receivers).  Each feed
+    gets its OWN file of ``target_bytes/feeds`` (distinct page-cache
+    extents, like distinct per-receiver captures) and its own pump;
+    aggregate IQ samples/s is total blocks over the wall time between a
+    start barrier and the last feed finishing.
+
+    Returns (aggregate_samples_per_s, stats).
+    """
+    import tempfile
+    import threading
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import iq as iq_mod
+    from thrifty_tpu.io.stream import StreamPump
+
+    history = detector.config.history_len
+    new_len = detector.new_len
+    cap = sim.synth_capture(num_blocks=batch, bursts_every=4,
+                            template=template, seed=0, quantize=True)
+    chunk = iq_mod.iq_to_raw(cap.blocks)[:, 2 * history:] \
+        .reshape(-1).tobytes()
+    per_feed = max(1, int(target_bytes / max(feeds, 1)))
+    reps = max(1, per_feed // len(chunk))
+
+    import contextlib
+    with contextlib.ExitStack() as stack:
+        paths = []
+        for _ in range(feeds):
+            tmp = stack.enter_context(tempfile.NamedTemporaryFile(
+                dir="/tmp", suffix=".feed"))
+            for _ in range(reps):
+                tmp.write(chunk)
+            tmp.flush()
+            paths.append(tmp.name)
+
+        def run_once():
+            barrier = threading.Barrier(feeds + 1)
+            counts = [0] * feeds
+            errors = []
+
+            def feed_worker(i):
+                try:
+                    with open(paths[i], "rb") as f:
+                        pump = StreamPump(f, detector.config.block_len,
+                                          history, batch)
+                        try:
+                            barrier.wait()
+                            for ts, idx, raw in pump.batches():
+                                counts[i] += len(ts)
+                        finally:
+                            pump.close()
+                except Exception as e:  # noqa: BLE001 -- surfaced below
+                    errors.append(e)
+                    try:
+                        barrier.abort()
+                    except Exception:  # noqa: BLE001
+                        pass
+
+            threads = [threading.Thread(target=feed_worker, args=(i,))
+                       for i in range(feeds)]
+            for t in threads:
+                t.start()
+            barrier.wait()
+            t0 = time.perf_counter()
+            for t in threads:
+                t.join()
+            elapsed = time.perf_counter() - t0
+            if errors:
+                raise errors[0]
+            return sum(counts) * new_len / elapsed, counts, elapsed
+
+        runs = [run_once() for _ in range(max(repeats, 1))]
+    best = max(runs, key=lambda r: r[0])
+    stats = {
+        "feeds": feeds,
+        "per_feed_bytes": reps * len(chunk),
+        "blocks_per_feed": best[1],
+        "elapsed_s": round(best[2], 4),
+        "runs_samples_per_s": [round(r[0], 1) for r in runs],
+    }
+    if verbose:
+        print("ingest x{}: {}".format(feeds, stats), file=sys.stderr)
+    return best[0], stats
+
+
 def scaling_verdict(sec_by_batch):
     """Linearity verdict over a batch-size sweep of chained timings.
 
@@ -725,6 +818,12 @@ def main(argv=None):
     parser.add_argument("--e2e-bytes", type=float, default=1e9,
                         help="size of the synthetic capture streamed by "
                              "--program e2e [default: 1e9]")
+    parser.add_argument("--feeds", type=int, default=1,
+                        help="with --program e2e --input ingest: run N "
+                             "parallel feed pumps over N per-receiver "
+                             "files and report AGGREGATE host ingest "
+                             "(multi-receiver deployment shape) "
+                             "[default: 1 = the single-feed path]")
     parser.add_argument("--input", type=str, default="raw",
                         choices=["raw", "c64", "card", "ingest"],
                         help="'raw': uint8 I/Q converted on device (the "
@@ -823,6 +922,23 @@ def main(argv=None):
                          use_pallas=args.pallas, fft_impl=args.fft_impl)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
+
+    if args.program == "e2e" and args.feeds > 1:
+        if args.input != "ingest":
+            parser.error("--feeds > 1 measures the aggregate host "
+                         "ingest ceiling; use --input ingest")
+        samples_per_s, stats = bench_ingest_feeds(
+            detector, template, args.batch, args.e2e_bytes, args.feeds,
+            repeats=args.repeats, verbose=args.verbose)
+        print(json.dumps({
+            "metric": "ingest_throughput_aggregate",
+            "value": round(samples_per_s, 1),
+            "unit": "IQ_samples/s",
+            "vs_baseline": round(samples_per_s / 2.4e6, 1),
+            "batch": args.batch,
+            **stats,
+        }))
+        return
 
     if args.program == "e2e":
         input_kind = args.input  # "raw" / "card" / "ingest" (validated)

@@ -149,6 +149,31 @@ def test_bench_e2e_program(kind):
         assert data["blocks"] == 8 * chunks
 
 
+def test_bench_ingest_feeds_aggregate():
+    """--feeds N: N parallel per-receiver feed pumps, aggregate host
+    ingest.  Block accounting must be exact per feed."""
+    res = run_bench(["--program", "e2e", "--input", "ingest",
+                     "--feeds", "2", "--e2e-bytes", "6e6",
+                     "--batch", "8", "--skip-baseline"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "ingest_throughput_aggregate"
+    assert data["feeds"] == 2
+    assert data["value"] > 0
+    new_bytes = 2 * (16384 - 4920)
+    chunks = int(3e6) // (8 * new_bytes)  # per-feed bytes // chunk
+    assert data["blocks_per_feed"] == [8 * chunks] * 2
+
+
+def test_bench_feeds_requires_ingest():
+    res = run_bench(["--program", "e2e", "--input", "raw",
+                     "--feeds", "2", "--e2e-bytes", "3e6",
+                     "--skip-baseline"])
+    assert res.returncode != 0
+    assert "ingest" in res.stderr
+
+
 def test_bench_serve_program():
     res = run_bench(["--program", "serve"])
     assert res.returncode == 0, res.stderr[-2000:]
