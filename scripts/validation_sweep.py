@@ -34,6 +34,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import os
 import sys
@@ -363,8 +364,134 @@ def sweep_pos(trials, rng):
     return stats
 
 
+def sweep_fastdet(trials, rng):
+    """Near-threshold differential campaign vs the COMPILED fastdet.
+
+    Sweeps burst amplitudes through the detection knee -- the
+    f32-vs-double decision-boundary risk region of the corr/carrier
+    thresholds (reference fastdet/corr_detector.cpp:157-165) -- and
+    compares per-block decisions and SoAs against the reference C/C++
+    binaries (built by scripts/build_fastdet_shim.sh, the same build
+    that produced the committed goldens).
+
+    A decision flip whose deciding gate margin |energy/threshold - 1|
+    exceeds ``BAND`` would mean the two implementations disagree
+    beyond numerical noise; flips inside the band are expected physics
+    (both backends round differently at the boundary).  Counts
+    out-of-band flips and large SoA disagreements as divergences.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import iq
+    from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+    from thrifty_tpu.io import card
+
+    BAND = 1e-3          # relative decision margin of an in-band flip
+    SOA_TOL = 1e-4       # samples (the golden-test tolerance)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref_dir = os.environ.get("THRIFTY_REFERENCE", "/root/reference")
+    stats = dict(trials=0, blocks=0, both_detected=0, decision_flips=0,
+                 flips_out_of_band=0, max_inband_flip_margin=0.0,
+                 worst_soa_diff=0.0, divergences=0, examples=[])
+    if not os.path.isdir(ref_dir):
+        stats["skipped"] = "reference tree not available"
+        return stats
+
+    work = tempfile.mkdtemp(prefix="fastdet_sweep.")
+    try:
+        subprocess.run(
+            [os.path.join(repo, "scripts", "build_fastdet_shim.sh"),
+             ref_dir, work],
+            check=True, capture_output=True, text=True)
+        fastdet = os.path.join(work, "bin", "fastdet")
+
+        tpl = sim.make_template()
+        tpl_npy = os.path.join(work, "template.npy")
+        tpl_tpl = os.path.join(work, "template.tpl")
+        np.save(tpl_npy, tpl)
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "npy_to_tpl.py"),
+             tpl_npy, tpl_tpl], check=True, capture_output=True)
+
+        det = BatchDetector(tpl, DetectorConfig(
+            carrier_window=(7, 110), sync_mode="integer"))
+        s = np.sqrt(15.0)  # thresholds are 15s (sqrt(c + s*noise^2))
+
+        for trial in range(trials):
+            # Log-uniform amplitudes across the measured detection knee
+            # (100% at ~0.012, 0% at ~0.008 with noise_std 0.05;
+            # docs/performance.md) plus margins either side.
+            amp = float(10 ** rng.uniform(np.log10(0.006),
+                                          np.log10(0.03)))
+            cap = sim.synth_capture(
+                num_blocks=24, bursts_every=2, template=tpl,
+                amplitude=amp, noise_std=0.05, seed=1000 + trial,
+                quantize=True, frac_jitter=True)
+            card_path = os.path.join(work, "trial.card")
+            toad_path = os.path.join(work, "trial.toad")
+            card.write_card(card_path, cap.timestamps, cap.indices,
+                            iq.iq_to_raw(cap.blocks))
+            subprocess.run(
+                [fastdet, "--card", "-i", card_path, "-b", "16384",
+                 "-h", "4920", "-w", "7-110", "-t", "15s", "-u", "15s",
+                 "-z", tpl_tpl, "-r", "0", "-o", toad_path, "-q"],
+                check=True, capture_output=True)
+            with open(toad_path) as f:
+                text = f.read().strip()
+            ref = (np.atleast_2d(np.loadtxt(io.StringIO(text)))
+                   if text else np.zeros((0, 12)))
+            ref_by_block = {int(r[2]): r for r in ref}
+
+            out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+            soa = det.soa(cap.indices, out["corr_sample"],
+                          out["corr_offset"])
+            corr_margin = out["corr_energy"] / np.maximum(
+                s * out["corr_noise"], 1e-30)
+            carrier_margin = out["carrier_energy"] / np.maximum(
+                s * out["carrier_noise"], 1e-30)
+
+            stats["trials"] += 1
+            for b in range(len(cap.blocks)):
+                stats["blocks"] += 1
+                ours = bool(out["detected"][b])
+                refs = b in ref_by_block
+                if ours and refs:
+                    stats["both_detected"] += 1
+                    diff = abs(float(soa[b]) - float(ref_by_block[b][3]))
+                    stats["worst_soa_diff"] = max(
+                        stats["worst_soa_diff"], diff)
+                    if diff > SOA_TOL:
+                        stats["divergences"] += 1
+                        if len(stats["examples"]) < 5:
+                            stats["examples"].append(
+                                ("soa", trial, b, diff))
+                elif ours != refs:
+                    stats["decision_flips"] += 1
+                    # The flip's deciding gate sat at its threshold:
+                    # distance of the closest gate from 1.0.
+                    margin = min(abs(float(corr_margin[b]) - 1.0),
+                                 abs(float(carrier_margin[b]) - 1.0))
+                    if margin > BAND:
+                        stats["flips_out_of_band"] += 1
+                        stats["divergences"] += 1
+                        if len(stats["examples"]) < 5:
+                            stats["examples"].append(
+                                ("flip", trial, b, margin,
+                                 "ours" if ours else "ref"))
+                    else:
+                        stats["max_inband_flip_margin"] = max(
+                            stats["max_inband_flip_margin"], margin)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return stats
+
+
 SUITES = {"detector": sweep_detector, "matchmaker": sweep_matchmaker,
-          "tdoa": sweep_tdoa, "pos": sweep_pos}
+          "tdoa": sweep_tdoa, "pos": sweep_pos,
+          "fastdet": sweep_fastdet}
 
 
 def main(argv=None):
@@ -382,7 +509,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     failed = False
-    for name in (sorted(SUITES) if args.suite == "all" else [args.suite]):
+    # 'all' covers the self-contained suites; 'fastdet' (which builds
+    # the reference C tree against the shim backend) is opt-in.
+    names = (sorted(k for k in SUITES if k != "fastdet")
+             if args.suite == "all" else [args.suite])
+    for name in names:
         rng = np.random.default_rng(args.seed)
         stats = SUITES[name](args.trials, rng)
         key = ("gn_worse_100m_wellposed" if name == "pos"

@@ -181,9 +181,33 @@ def test_validation_sweep_smoke(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [json.loads(x) for x in res.stdout.splitlines()
              if x.startswith("{")]
+    # 'all' = the self-contained suites; the fastdet differential
+    # campaign (builds the reference C tree) is opt-in, tested below.
     assert sorted(r["suite"] for r in lines) == \
         ["detector", "matchmaker", "pos", "tdoa"]
     assert all(r["ok"] for r in lines), lines
+
+
+def test_validation_sweep_fastdet_smoke(tmp_path):
+    """The near-threshold differential campaign against the COMPILED
+    fastdet binaries: builds the reference with the shim backend and
+    compares decisions + SoAs through the detection knee.  Skips when
+    no reference tree / toolchain is available."""
+    import json
+
+    if not os.path.isdir("/root/reference"):
+        import pytest
+        pytest.skip("reference tree not available")
+    res = run_script("validation_sweep.py",
+                     ["--platform", "cpu", "--trials", "4",
+                      "--suite", "fastdet"], str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [x for x in res.stdout.splitlines() if x.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["suite"] == "fastdet" and data["ok"], data
+    assert data["blocks"] == 4 * 24
+    assert data["flips_out_of_band"] == 0
+    assert data["worst_soa_diff"] < 1e-4
 
 
 def test_tpu_golden_check_script(tmp_path):
