@@ -19,8 +19,16 @@ Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
       python scripts/scaling_sweep.py --platform cpu --geometry tiny
 
-  # on a pod
-  python scripts/scaling_sweep.py --geometry full --iters 20
+  # multi-PROCESS rehearsal (the pod command line, on CPU): spawns N
+  # coordinator-connected jax.distributed workers, each owning
+  # --devices-per-process virtual devices, and sweeps the global mesh
+  python scripts/scaling_sweep.py --platform cpu --geometry tiny \\
+      --processes 2 --devices-per-process 4 --shapes 2x4
+
+  # on a real pod slice: run THIS on every host (jax.distributed
+  # autodetects the cluster); process 0 prints/writes results
+  python scripts/scaling_sweep.py --distributed --geometry full \\
+      --iters 20 --json sweep.json
 """
 
 from __future__ import annotations
@@ -109,12 +117,62 @@ def main(argv=None):
                         help="force a JAX platform (e.g. cpu)")
     parser.add_argument("--json", type=str, default=None,
                         help="also write results to this JSON file")
+    parser.add_argument("--processes", type=int, default=1,
+                        help="spawn N coordinator-connected "
+                             "jax.distributed worker processes (the "
+                             "multi-host pod topology, rehearsed "
+                             "locally); every mesh shape must span all "
+                             "processes' devices")
+    parser.add_argument("--devices-per-process", type=int, default=4,
+                        help="virtual CPU devices per worker process "
+                             "in --processes mode [default: 4]")
+    parser.add_argument("--coordinator", type=str,
+                        default="127.0.0.1:37741",
+                        help="jax.distributed coordinator address for "
+                             "--processes mode")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="(internal/manual) run as worker N of "
+                             "--processes instead of spawning")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed from the "
+                             "cluster environment (run this same "
+                             "command on every pod host; process 0 "
+                             "reports)")
     args = parser.parse_args(argv)
+
+    if args.processes > 1 and args.process_id is None:
+        # Orchestrator: spawn N workers of this same command line --
+        # exactly what a pod launcher does across hosts.
+        import subprocess
+
+        base = list(argv) if argv is not None else sys.argv[1:]
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count="
+                            + str(args.devices_per_process)).strip()
+        env.pop("JAX_PLATFORMS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)]
+            + base + ["--process-id", str(pid)], env=env)
+            for pid in range(args.processes)]
+        rcs = [p.wait() for p in procs]
+        return max(rcs)
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.processes > 1:
+        from thrifty_tpu.parallel import distributed
+
+        distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.processes,
+                               process_id=args.process_id)
+    elif args.distributed:
+        from thrifty_tpu.parallel import distributed
+
+        distributed.initialize()  # cluster-env autodetection (pod)
 
 
     from thrifty_tpu import sim
@@ -135,9 +193,22 @@ def main(argv=None):
     devices = jax.devices()
     shapes = [s for s in parse_shapes(args.shapes, len(devices))
               if s[0] * s[1] <= len(devices)]
-    print("# platform={} devices={} geometry={}".format(
-        jax.default_backend(), len(devices), args.geometry),
-        file=sys.stderr)
+    multi = jax.process_count() > 1
+    if multi:
+        # Every process must participate in every collective, so only
+        # full-span meshes are timeable across processes.
+        full = [s for s in shapes if s[0] * s[1] == len(devices)]
+        dropped = [s for s in shapes if s not in full]
+        if dropped and jax.process_index() == 0:
+            print("# multi-process: dropping sub-span shapes {}"
+                  .format(dropped), file=sys.stderr)
+        shapes = full or [(jax.process_count(),
+                           len(devices) // jax.process_count())]
+    report = not multi or jax.process_index() == 0
+    if report:
+        print("# platform={} devices={} processes={} geometry={}".format(
+            jax.default_backend(), len(devices), jax.process_count(),
+            args.geometry), file=sys.stderr)
 
     results = []
     base_rate_per_dev = None
@@ -155,14 +226,16 @@ def main(argv=None):
                "samples_per_s": round(rate, 1),
                "efficiency": round(eff, 3)}
         results.append(row)
-        print("{mesh:>6}  n={devices:<3d} {sec_per_step:>10.6f} s/step  "
-              "{samples_per_s:>14.4g} samples/s  eff={efficiency:.2f}"
-              .format(**row))
+        if report:
+            print("{mesh:>6}  n={devices:<3d} {sec_per_step:>10.6f} "
+                  "s/step  {samples_per_s:>14.4g} samples/s  "
+                  "eff={efficiency:.2f}".format(**row))
 
-    if args.json:
+    if args.json and report:
         with open(args.json, "w") as f:
             json.dump({"geometry": args.geometry,
                        "platform": jax.default_backend(),
+                       "processes": jax.process_count(),
                        "results": results}, f, indent=1)
     return 0
 

@@ -169,6 +169,31 @@ def test_scaling_sweep_smoke(tmp_path):
     assert rows[0]["efficiency"] == 1.0
 
 
+@pytest.mark.skipif(
+    os.environ.get("THRIFTY_TPU_SKIP_MULTIHOST") == "1",
+    reason="multi-host test disabled")
+def test_scaling_sweep_multiprocess(tmp_path):
+    """--processes 2 rehearses the pod command line in CI: two
+    coordinator-connected jax.distributed workers sweep the global
+    (2, 4) mesh; process 0 writes the report."""
+    import json
+
+    res = run_script("scaling_sweep.py",
+                     ["--platform", "cpu", "--geometry", "tiny",
+                      "--processes", "2", "--devices-per-process", "4",
+                      "--shapes", "2x4", "--iters", "2",
+                      "--coordinator", "127.0.0.1:37747",
+                      "--json", str(tmp_path / "pod.json")],
+                     str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    data = json.load(open(tmp_path / "pod.json"))
+    assert data["processes"] == 2
+    rows = data["results"]
+    assert rows and rows[0]["mesh"] == "2x4"
+    assert rows[0]["devices"] == 8
+    assert rows[0]["samples_per_s"] > 0
+
+
 def test_validation_sweep_smoke(tmp_path):
     """The differential validation sweep runs all four suites clean at
     a few trials (the offline tool for large campaigns; see

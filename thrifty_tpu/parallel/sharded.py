@@ -182,6 +182,19 @@ def make_stream_detector_gspmd(detector, total_blocks, mesh):
 
 
 def shard_stream(streams, mesh):
-    """Place host stream arrays [R, L] onto the mesh with P(rx, time)."""
-    return jax.device_put(
-        streams, NamedSharding(mesh, P(AXIS_RX, AXIS_TIME)))
+    """Place host stream arrays [R, L] onto the mesh with P(rx, time).
+
+    Works in multi-controller (jax.distributed) runs too: every
+    process passes the SAME global array and contributes only the
+    shards its own devices address (the pod dataflow -- each host
+    feeds the receivers it serves; here the full array stands in for
+    deterministic test/bench streams).
+    """
+    import numpy as np
+
+    sharding = NamedSharding(mesh, P(AXIS_RX, AXIS_TIME))
+    if jax.process_count() > 1:
+        arr = np.asarray(streams)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(streams, sharding)
