@@ -215,7 +215,13 @@ def _main(argv=None):
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"],
                         help="fused Pallas peak/energy kernel "
-                             "[default: auto = on for TPU]")
+                             "[default: auto = off; XLA's fusion "
+                             "measures faster -- docs/performance.md]")
+    parser.add_argument("--fft-impl", type=str, default="auto",
+                        choices=["auto", "matmul", "xla"],
+                        help="FFT implementation [default: auto = MXU "
+                             "matmul transforms on TPU (1.7x the "
+                             "butterfly lowering), jnp.fft elsewhere]")
     parser.add_argument("--peak-filter", type=int, default=0,
                         metavar="LEN",
                         help="Dirichlet matched filter length for the "
@@ -272,6 +278,7 @@ def _main(argv=None):
         carrier_interp=args.carrier_interp,
         peak_filter_len=args.peak_filter,
         use_pallas=args.pallas,
+        fft_impl=args.fft_impl,
     ))
 
     if args.rtlsdr is not None:
