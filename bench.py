@@ -501,7 +501,11 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
                 for k in _SINK_FIELDS:
                     np.asarray(dev_out[k])
             else:
-                jax.block_until_ready(dev_out)
+                # block_until_ready is NOT a sync point on this
+                # tunnelled backend (see time_tpu_scan); reduce to one
+                # f32 scalar on device and FETCH it.
+                import jax.numpy as jnp
+                np.asarray(jnp.sum(dev_out["corr_energy"]))
 
         def run_once():
             pump_info = {}
