@@ -484,6 +484,11 @@ def _main(argv=None):
                              "== 'batched'); 'scipy' forces the "
                              "per-group trust-region solver "
                              "[default: auto]")
+    parser.add_argument("--no-incremental", action="store_true",
+                        help="disable the frozen-prefix incremental "
+                             "window (full identify/match rescan per "
+                             "step; outputs are identical either way "
+                             "-- this is a debugging/diagnostic knob)")
     args = parser.parse_args(argv)
 
     if args.interval >= args.history - 1.0:
@@ -499,7 +504,8 @@ def _main(argv=None):
         tdoa_est_window=args.tdoa_window,
         window_s=args.history,
         settle_s=0.0 if args.once else 1.0,
-        solver=args.solver)
+        solver=args.solver,
+        incremental=not args.no_incremental)
     tailer = ToadTailer(args.toad_files)
 
     trackers = {}
