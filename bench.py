@@ -1014,9 +1014,14 @@ def main(argv=None):
         def runs_for(size):
             # Primary method: in-program scan-slope (pure on-device
             # per-batch time; dispatch floor cancels, relay cannot
-            # shortcut a chain inside one XLA program).
+            # shortcut a chain inside one XLA program).  The scan
+            # length grows as the batch shrinks so every timed
+            # dispatch covers a comparable amount of device work --
+            # small batches would otherwise put millisecond-scale
+            # differences against the relay's jitter.
+            k = args.scan_k * max(1, args.batch // size)
             slopes, t_k, t_2k = time_tpu_slope(
-                detector, sliced(size), args.scan_k, raw_input,
+                detector, sliced(size), k, raw_input,
                 args.repeats)
             scan_info[size] = {
                 "t_k_s": [round(t, 5) for t in t_k],
