@@ -253,6 +253,26 @@ class TestCaptureCli:
                      "--quiet"]) == 1
 
 
+class TestScopeCli:
+    def test_scope_rtlsdr_exports(self, mock_env, monkeypatch, tmp_path):
+        """`scope --rtlsdr 0` frames the mock USB stream and exports."""
+        from thrifty_tpu.cli import main
+
+        rng = np.random.default_rng(5)
+        n = np.arange(16384 * 6)
+        sig = 0.5 * np.exp(2j * np.pi * 40 * n / 16384) \
+            + rng.normal(0, 0.05, len(n)) \
+            + 1j * rng.normal(0, 0.05, len(n))
+        raw_path = tmp_path / "iq.bin"
+        iq.iq_to_raw(sig).tofile(str(raw_path))
+        monkeypatch.setenv("MOCK_RTLSDR_FILE", str(raw_path))
+        prefix = str(tmp_path / "frame")
+        assert main(["scope", "--rtlsdr", "0", "--free-run",
+                     "--frames", "2", "--export", prefix]) == 0
+        import glob
+        assert glob.glob(prefix + "*"), "no exported frames"
+
+
 class TestDetectCli:
     def test_detect_rtlsdr_live(self, mock_env, monkeypatch, tmp_path):
         """`detect --rtlsdr 0` detects the planted bursts from the mock

@@ -142,9 +142,12 @@ def _main(argv=None):
                              "freq/sample-rate/gain on connect) -- the "
                              "role of the reference's GNU Radio "
                              "scope.grc")
+    parser.add_argument("--rtlsdr", type=int, default=None, metavar="N",
+                        help="scope USB RTL-SDR device N via the "
+                             "in-process librtlsdr binding")
     parser.add_argument("--ppm", type=int, default=None,
                         help="crystal frequency correction in ppm "
-                             "forwarded to the rtl_tcp dongle (use the "
+                             "forwarded to the dongle (use the "
                              "same value as detect/capture, or the "
                              "scope shows carriers shifted by the "
                              "crystal error)")
@@ -162,7 +165,14 @@ def _main(argv=None):
     if args.free_run:
         state.trigger_time = -1.0  # every block crosses
 
-    if args.rtl_tcp is not None:
+    if args.rtlsdr is not None:
+        from thrifty_tpu.io import rtlsdr as rtlsdr_mod
+
+        in_stream = rtlsdr_mod.make_source_cli(args.rtlsdr, config,
+                                               ppm=args.ppm)
+        if in_stream is None:
+            return 1
+    elif args.rtl_tcp is not None:
         from thrifty_tpu.io import rtl_tcp as rtl_tcp_mod
 
         in_stream = rtl_tcp_mod.make_source_cli(args.rtl_tcp, config,
