@@ -313,13 +313,23 @@ def bench_ingest_feeds(detector, template, batch, target_bytes, feeds,
                        for i in range(feeds)]
             for t in threads:
                 t.start()
-            barrier.wait()
+            try:
+                barrier.wait()
+            except threading.BrokenBarrierError:
+                # A worker failed during setup and aborted the
+                # barrier: surface ITS error, not the barrier's.
+                pass
             t0 = time.perf_counter()
             for t in threads:
                 t.join()
             elapsed = time.perf_counter() - t0
             if errors:
-                raise errors[0]
+                # Other workers parked on the barrier also record
+                # BrokenBarrierError; report the root cause.
+                raise next(
+                    (e for e in errors
+                     if not isinstance(e, threading.BrokenBarrierError)),
+                    errors[0])
             return sum(counts) * new_len / elapsed, counts, elapsed
 
         runs = [run_once() for _ in range(max(repeats, 1))]

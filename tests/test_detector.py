@@ -168,6 +168,59 @@ def test_integer_mode_offsets_clip_at_half():
     assert np.all(np.abs(out["carrier_offset"]) <= 0.5 + 1e-6)
 
 
+def test_integer_roll_with_peak_filter_below_window_start():
+    """The carrier peak filter's group delay can report a peak BELOW
+    the window start, wrapped mod N (an FFT index near N).  The
+    integer-mode roll must handle those wrapped indices -- the
+    window-top roll bound does not apply when a filter is configured
+    (round-4 regression: the bounded dynamic-slice start would clamp
+    and silently corrupt the rolled spectrum)."""
+    from thrifty_tpu.oracle.numpy_ref import FastdetOracleDetector
+    from thrifty_tpu.dsp import dirichlet
+
+    tpl = sim.make_template()
+    # Carrier at bin 2 with a window starting at 0: the Dirichlet
+    # FIR's delay pushes the realigned argmax to bins < delay, which
+    # wrap to N-delay..N-1.
+    cap = sim.synth_capture(
+        num_blocks=12, bursts_every=2, template=tpl, carrier_bin=2.2,
+        amplitude=0.5, noise_std=0.05, seed=13)
+    det = BatchDetector(tpl, DetectorConfig(
+        carrier_window=(0, 110), sync_mode="integer",
+        peak_filter_len=7))
+    assert det._max_roll_start is None  # full wrapped extension
+    out = {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+    weights = dirichlet.dirichlet_weights(7, 16384, len(tpl))
+    oracle = FastdetOracleDetector(tpl, carrier_window=(0, 110),
+                                   peak_filter=weights)
+    checked = 0
+    for i, block in enumerate(cap.blocks):
+        ref = oracle.detect_block(block)
+        assert bool(out["carrier_detect"][i]) == ref.carrier_detect
+        if not ref.carrier_detect:
+            continue
+        assert int(out["carrier_bin"][i]) == ref.carrier_bin
+        assert bool(out["detected"][i]) == ref.detected
+        if ref.detected:
+            checked += 1
+            assert int(out["corr_sample"][i]) == ref.corr_sample
+    assert checked >= len(cap.bursts)
+
+    # The wrapped reported index itself (peak up to `delay` bins below
+    # a window start near 0, reduced mod N) is a noise-tail event, so
+    # exercise the roll at such shifts directly: without max_start the
+    # dynamic-slice roll must equal np.roll for shifts = -(N - delay).
+    from thrifty_tpu.dsp import shift as shift_mod
+    rng = np.random.default_rng(5)
+    fft = (rng.normal(size=(4, 16384))
+           + 1j * rng.normal(size=(4, 16384))).astype(np.complex64)
+    wrapped_idx = np.array([16383, 16381, 0, 7], np.int32)
+    got = np.asarray(shift_mod.integer_roll_fft(fft, -wrapped_idx))
+    for r in range(4):
+        np.testing.assert_array_equal(
+            got[r], np.roll(fft[r], -int(wrapped_idx[r])))
+
+
 def test_preshift_sync_mode(capture, detector, output):
     """Preshift template bank: close to fractional-shift SoAs, no 2nd FFT."""
     det = BatchDetector(

@@ -49,8 +49,7 @@ def test_auto_is_xla_on_cpu():
 def test_unfactorable_size_falls_back():
     """A size with no DFT-matrix or four-step plan still transforms
     correctly via the jnp fallback even under impl='matmul'."""
-    n = 2048 * 128 * 2  # n/128 = 4096*? -> 4096 > _DFT_MAX
-    x = rand(1, 6000, seed=4)  # 6000 = 2^4*375, not 128-divisible
+    x = rand(1, 6000, seed=4)  # 6000 not 128-divisible, > _DFT_MAX
     ref = np.fft.fft(x.astype(np.complex128))
     got = np.asarray(mxu_fft.fft(x, impl="matmul"))
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 2e-5

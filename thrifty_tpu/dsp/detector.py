@@ -145,9 +145,17 @@ class BatchDetector:
         # Integer/preshift rolls start at the carrier peak's FFT index
         # (+-1 for preshift's fractional rounding), so the roll's
         # wrapped extension only needs to reach the window's top index
-        # (shift.integer_roll_fft max_start contract).
-        self._max_roll_start = int(np.flatnonzero(
-            self._carrier_mask).max()) + 2
+        # (shift.integer_roll_fft max_start contract).  EXCEPT with a
+        # carrier peak filter: the FIR's group delay can report a peak
+        # up to `delay` bins BELOW the window start, wrapped mod n
+        # (carrier.py peak-filter path) -- i.e. near n for windows
+        # starting near 0 -- so no useful bound exists and the roll
+        # keeps the full wrapped extension.
+        if config.peak_filter_len:
+            self._max_roll_start = None
+        else:
+            self._max_roll_start = int(np.flatnonzero(
+                self._carrier_mask).max()) + 2
         if config.peak_filter_len:
             flen = config.peak_filter_len
             if flen == -1:

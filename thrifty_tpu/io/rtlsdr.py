@@ -358,9 +358,24 @@ class RtlSdrSource:
         if not self._running:
             return
         self._running = False
-        self._lib.rtlsdr_cancel_async(self._dev)
         self._ring.shutdown()
-        self._thread.join(timeout=10.0)
+        # A cancel issued before the async thread has entered
+        # read_async is LOST (librtlsdr returns -2 without setting the
+        # cancel flag), so keep re-cancelling until the thread exits;
+        # and never call rtlsdr_close while the thread might still be
+        # inside read_async (use-after-free on real hardware) -- if it
+        # refuses to die, leak the handle instead.
+        deadline = 20
+        while self._thread.is_alive() and deadline > 0:
+            self._lib.rtlsdr_cancel_async(self._dev)
+            self._thread.join(timeout=0.5)
+            deadline -= 1
+        if self._thread.is_alive():
+            import sys
+            print("WARNING: rtlsdr async thread did not exit; leaking "
+                  "the device handle instead of freeing it under a "
+                  "live reader", file=sys.stderr)
+            return
         self._lib.rtlsdr_close(self._dev)
 
     def describe(self):

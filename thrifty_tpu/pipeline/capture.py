@@ -372,11 +372,12 @@ def _record_main(config, args):
                       config.sample_rate / 1e6), file=info_out)
         if pump is not None:
             print(pump.stats_line(), file=info_out)
-            pump.close()
         if hasattr(in_stream, "stats_line"):
             # USB source's at-exit ring report (the reference's
             # rtlsdr_reader_print_histogram, rtlsdr_reader.c:310-325).
             print(in_stream.stats_line(), file=info_out)
+    if pump is not None:
+        pump.close()
     return exit_code
 
 
@@ -418,8 +419,8 @@ def _main(argv=None):
                         help="crystal frequency correction in ppm "
                              "forwarded to the rtl_tcp dongle")
     parser.add_argument("--bias-tee", action="store_true",
-                        help="with --rtl-tcp: enable the dongle's bias "
-                             "tee (antenna power)")
+                        help="with --rtl-tcp/--rtlsdr: enable the dongle's "
+                             "bias tee (antenna power)")
     parser.add_argument("--reconnect", type=int, default=0, metavar="N",
                         help="with --rtl-tcp: survive server restarts, "
                              "retrying up to N times with exponential "

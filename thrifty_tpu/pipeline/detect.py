@@ -166,8 +166,8 @@ def _main(argv=None):
                         help="crystal frequency correction in ppm "
                              "forwarded to the dongle")
     parser.add_argument("--bias-tee", action="store_true",
-                        help="with --rtl-tcp: enable the dongle's bias "
-                             "tee (antenna power)")
+                        help="with --rtl-tcp/--rtlsdr: enable the dongle's "
+                             "bias tee (antenna power)")
     parser.add_argument("--reconnect", type=int, default=0, metavar="N",
                         help="with --rtl-tcp: survive server restarts, "
                              "retrying up to N times with exponential "
@@ -429,7 +429,8 @@ def _main(argv=None):
             # USB ring occupancy/overflow report
             # (rtlsdr_reader.c:310-325).
             print(in_stream.stats_line(), file=info_out)
-            pump.close()
+    if pump is not None:
+        pump.close()
     return exit_code
 
 

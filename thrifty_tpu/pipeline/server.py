@@ -69,8 +69,18 @@ class PositioningServer:
         tail, with a context margin below the per-tx consumption
         horizon so duplicate-removal decisions at the boundary stay
         identical to a full rescan.  A late detection older than any
-        horizon (+slack) triggers a full exact recompute, so outputs
-        always match the non-incremental path.
+        horizon (+slack) triggers a full exact recompute.
+
+        Output equality with the non-incremental path is exact for
+        every group whose detections lie fully inside the sliding
+        window -- in steady operation, all reported fixes.  The one
+        intentional divergence is at the window's TRIM edge (age
+        ``window_s``): the rescan path re-matches a partially trimmed
+        group from its surviving rows, while the incremental path
+        keeps the frozen group whole until its span leaves the window
+        -- strictly more data for a clock model that old.  This can
+        only influence a fix when a still-unsolved mobile group is
+        being retried within ``tdoa_est_window`` of the trim edge.
     freeze_lag_s : float
         How far behind the newest data a group's seed must lie before
         it freezes.  Must exceed ``ctx_slack_s``; larger values
@@ -487,8 +497,9 @@ def _main(argv=None):
     parser.add_argument("--no-incremental", action="store_true",
                         help="disable the frozen-prefix incremental "
                              "window (full identify/match rescan per "
-                             "step; outputs are identical either way "
-                             "-- this is a debugging/diagnostic knob)")
+                             "step; outputs are identical except for "
+                             "groups straddling the window trim edge "
+                             "-- see PositioningServer docs)")
     args = parser.parse_args(argv)
 
     if args.interval >= args.history - 1.0:
