@@ -812,6 +812,11 @@ def main(argv=None):
                              "same detect/no-detect cost mix as the device)")
     parser.add_argument("--sync-mode", type=str, default="fractional",
                         choices=["fractional", "integer", "preshift"])
+    parser.add_argument("--bank", type=int, default=0, metavar="T",
+                        help="batch program: use a T-code Gold template "
+                             "bank (code-division multi-TX matched "
+                             "filtering) instead of the single example "
+                             "template [default: 0 = single]")
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"])
     parser.add_argument("--fft-impl", type=str, default="auto",
@@ -916,7 +921,13 @@ def main(argv=None):
         }))
         return
 
-    template = sim.make_template()
+    if args.bank > 0:
+        from thrifty_tpu.dsp import template as template_mod
+
+        template = template_mod.generate_bank(
+            11, tuple(range(args.bank)), 2.4e6 / 0.999707e6)
+    else:
+        template = sim.make_template()
 
     if args.program == "selfcheck":
         ok, diffs = bench_selfcheck(template, args.batch, args.sync_mode,
@@ -990,9 +1001,11 @@ def main(argv=None):
 
     # Two distinct batches so results cannot be cached between iters;
     # sweep sizes are prefixes of one capture (same burst density).
+    synth_tpl = template[0] if getattr(template, "ndim", 1) == 2 \
+        else template
     caps = [
         sim.synth_capture(num_blocks=max(sweep_sizes), bursts_every=4,
-                          template=template, seed=s, quantize=False)
+                          template=synth_tpl, seed=s, quantize=False)
         for s in (0, 1)
     ]
     blocks_list = [c.blocks for c in caps]
@@ -1042,7 +1055,7 @@ def main(argv=None):
     diag = {"batch": args.batch, "iters": args.iters,
             "sync_mode": args.sync_mode, "pallas": args.pallas,
             "fft_impl": args.fft_impl, "input": args.input,
-            "program": args.program}
+            "program": args.program, "bank": args.bank}
     headline_batch = args.batch
     if args.profile:
         with jax.profiler.trace(args.profile):
@@ -1111,9 +1124,10 @@ def main(argv=None):
         # anomalously fast ones (a shortcutting tunnel) are re-timed
         # once and flagged; the stored reference is the latest
         # accepted figure, not a ratcheting maximum.
-        lastgood_key = "{}-{}-{}-{}-{}-{}-{}".format(
+        lastgood_key = "{}-{}-{}-{}-{}-{}-{}-b{}".format(
             jax.default_backend(), args.program, diag["method"],
-            headline_batch, args.sync_mode, args.pallas, args.input)
+            headline_batch, args.sync_mode, args.pallas, args.input,
+            args.bank)
         lastgood = _load_lastgood(lastgood_key)
         diag["lastgood_samples_per_s"] = lastgood
         rate = lambda sec: headline_batch * new_len / sec

