@@ -119,6 +119,41 @@ class TestBatchedEquivalence:
                     det, window, min_match)
                 assert got == ref, (case, window, min_match)
 
+    def test_nan_energy_never_wins_and_paths_agree(self):
+        """Corrupt rows with non-finite energy sanitize to -inf in BOTH
+        paths: they never win a collision, the winner stays the best
+        finite detection, and sequential == batched (a NaN used to
+        poison the batched running max, electing a detection from an
+        unrelated group as winner)."""
+        for bad in (np.nan, np.inf, -np.inf):
+            det = toad.empty(6)
+            det["timestamp"] = [0.0, 0.01, 0.02, 0.03, 5.0, 5.01]
+            det["txid"] = [1, 1, 1, 1, 1, 1]
+            det["rxid"] = [0, 0, 0, 1, 0, 1]
+            det["energy"] = [5.0, bad, 3.0, 2.0, 9.0, 1.0]
+            ref = matchmaker.match_detections(det, 0.2, 2)
+            got = matchmaker.match_detections_batched(det, 0.2, 2)
+            assert got == ref, bad
+            matches = got[0]
+            # Group 1 (rows 0-3): rx0's winner is row 0 (energy 5.0),
+            # never the corrupt row 1 and never a row from group 2.
+            assert sorted(matches[0]) == [0, 3]
+            assert sorted(matches[1]) == [4, 5]
+
+    def test_all_nonfinite_run_keeps_last(self):
+        """An all-corrupt run still produces exactly one winner (the
+        last in scan order -- ties replace), identically in both
+        paths."""
+        det = toad.empty(3)
+        det["timestamp"] = [0.0, 0.01, 0.02]
+        det["txid"] = [1, 1, 1]
+        det["rxid"] = [0, 0, 1]
+        det["energy"] = [np.nan, np.nan, 4.0]
+        ref = matchmaker.match_detections(det, 0.2, 2)
+        got = matchmaker.match_detections_batched(det, 0.2, 2)
+        assert got == ref
+        assert sorted(got[0][0]) == [1, 2]
+
     def test_negative_window_terminates_like_sequential(self):
         # window < 0 makes the searchsorted jump table point backwards;
         # the batched seed walk must still terminate and agree with the

@@ -478,3 +478,47 @@ class TestOutlierMask:
             outlier = (0.6745 * diff / mad) > 3.5
         outlier = np.where(mad > 0, outlier, diff > 0)
         np.testing.assert_array_equal(seq_keep, ~outlier)
+
+
+class TestBatchedFitIsolation:
+    def test_singular_window_does_not_perturb_healthy_rows(self):
+        """One exactly singular window in a batch (e.g. duplicated
+        records collapsing its x support) must not change any healthy
+        window's fitted polynomial: the LinAlgError fallback ridges
+        only the offending row, never the whole batch."""
+        from thrifty_tpu.pipeline.tdoa import _fit_quadratic_batched
+
+        x_h = np.array([0.0, 1.0, 2.0, 3.0])
+        y_h = np.array([1.0, 2.0, 5.0, 10.0])  # exact quadratic x^2+1
+        x_s = np.full(4, 5.0)                  # zero x-variance: singular
+        y_s = np.array([1.0, 2.0, 3.0, 4.0])
+        m = np.ones((2, 4))
+        w = np.ones((2, 4))
+        ok = np.array([True, True])
+
+        x = np.stack([x_h, x_s])
+        y = np.stack([y_h, y_s])
+        _, _, _, coef_mixed = _fit_quadratic_batched(x, y, m, w, ok)
+
+        _, _, _, coef_alone = _fit_quadratic_batched(
+            x_h[None], y_h[None], m[:1], w[:1], ok[:1])
+        np.testing.assert_array_equal(coef_mixed[0], coef_alone[0])
+        assert np.all(np.isfinite(coef_mixed[1]))
+
+
+class TestSolve1dValidation:
+    def test_stale_config_skips_group_with_clear_reason(self, capsys):
+        """A 1-D TDOA group referencing receivers absent from the
+        coordinate config is skipped as an EstimationError (not
+        silently positioned between the config's own receivers)."""
+        from thrifty_tpu.pipeline import pos, tdoa as tdoa_mod
+
+        rx_pos = {0: np.array([0.0]), 1: np.array([100.0])}
+        rows = np.array([(5, 6, 1e-7, 100.0, 1.0, 0, 0)],
+                        dtype=tdoa_mod.TDOA_DTYPE)
+        g = tdoa_mod.TdoaGroup(group_id=3, timestamp=0.0, tx=1,
+                               tdoas=rows)
+        out = pos.solve([g], rx_pos)
+        assert len(out) == 0
+        err = capsys.readouterr().err
+        assert "group #3" in err and "coordinate config" in err

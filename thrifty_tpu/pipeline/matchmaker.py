@@ -31,7 +31,12 @@ def match_detections(detections, window=0.2, min_match=2):
     ts = detections["timestamp"]
     tx = detections["txid"]
     rx = detections["rxid"]
-    energy = detections["energy"]
+    # Non-finite energies sanitize to -inf so corrupt rows never win
+    # collisions -- and so this sequential path and the batched one
+    # stay output-identical on corrupt input too (NaN comparisons
+    # would otherwise make the dict-overwrite incumbent arbitrary).
+    energy = np.where(np.isfinite(detections["energy"]),
+                      detections["energy"], -np.inf)
     n = len(detections)
 
     # For each i, the first index beyond its window (vectorized bound).
@@ -165,6 +170,13 @@ def match_detections_arrays(detections, window=0.2):
     tx = np.asarray(detections["txid"])
     rx = np.asarray(detections["rxid"])
     energy = np.asarray(detections["energy"], dtype=np.float64)
+    # Corrupt .toads rows can carry non-finite energies; NaN poisons
+    # reduceat's running max (every == comparison False -> the winner
+    # index degenerates to the last element of the whole tx array, a
+    # detection from an unrelated group).  Both paths sanitize to
+    # -inf: a non-finite energy never wins a collision (see
+    # match_detections, which applies the same rule).
+    energy = np.where(np.isfinite(energy), energy, -np.inf)
     n = len(ts)
     if n == 0:
         return dict(winners=np.empty(0, np.int64),

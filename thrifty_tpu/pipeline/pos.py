@@ -42,6 +42,16 @@ class EstimationError(Exception):
 
 def solve_1d(tdoas, rx_pos):
     """Closed-form 1-D position for exactly two receivers."""
+    missing = _missing_receivers(tdoas, rx_pos)
+    if missing:
+        # Validate at the same depth as solve_group/_geometry: without
+        # this, a stale 1-D coordinate config would silently position
+        # an unrelated receiver pair's TDOA between rx_pos's own two
+        # coordinates (previously only rescued downstream by dop()'s
+        # incidental KeyError).
+        raise EstimationError(
+            "receiver(s) {} not in coordinate config".format(
+                sorted(missing)))
     rxids = sorted(rx_pos)
     r0, r1 = rx_pos[rxids[0]][0], rx_pos[rxids[1]][0]
     tdoa_m = float(tdoas["tdoa"][0]) * SPEED_OF_LIGHT
@@ -263,8 +273,9 @@ def solve(tdoa_groups, rx_pos, weighted=False, verbose=True):
         except (EstimationError, ValueError, KeyError,
                 np.linalg.LinAlgError) as e:
             # One pathological group must not abort the whole run.
-            # (KeyError: solve_1d's direct rx_pos lookups; the N-D path
-            # reports unknown receivers as EstimationError.)
+            # (Both paths report unknown receivers as EstimationError;
+            # KeyError stays caught as defense in depth for dop()'s
+            # rx_pos lookups.)
             if verbose:
                 print("Failed to estimate group #{}: {}".format(
                     group.group_id, e), file=sys.stderr)

@@ -353,8 +353,17 @@ def _fit_quadratic_batched(x, y, m, w, ok):
     try:
         coef = np.linalg.solve(a, b[..., None])[..., 0]
     except np.linalg.LinAlgError:
-        a = a + np.eye(3) * 1e-9
-        coef = np.linalg.solve(a, b[..., None])[..., 0]
+        # Some usable row is exactly singular (e.g. duplicated records
+        # collapsing a window's support).  Fall back PER ROW so one
+        # degenerate window cannot perturb any healthy window's fit --
+        # regularizing the whole batch would make results depend on
+        # batch composition and diverge from the sequential path.
+        coef = np.empty_like(b)
+        for i in range(len(a)):
+            try:
+                coef[i] = np.linalg.solve(a[i], b[i])
+            except np.linalg.LinAlgError:
+                coef[i] = np.linalg.solve(a[i] + np.eye(3) * 1e-9, b[i])
     return xm[:, 0], xs[:, 0], ym[:, 0], coef
 
 
@@ -461,8 +470,9 @@ def estimate_tdoas_batched(detections, matches, window_size, beacon_pos,
 
     # -- per pair key: window extraction + batched fits + evaluation ---------
     keys = sorted(set(rows_key))
+    key_id = {k: i for i, k in enumerate(keys)}  # O(rows), not O(rows*keys)
     rows_key = np.array(
-        [keys.index(k) for k in rows_key], dtype=np.int64)
+        [key_id[k] for k in rows_key], dtype=np.int64)
     for key_id, key in enumerate(keys):
         sel = np.nonzero(rows_key == key_id)[0]
         arr = beacon_arrays[key]
