@@ -121,6 +121,30 @@ class TestPositioningServer:
             _, full = self.run_fixes(det, chunks, False)
             self.assert_fix_sets_equal(inc, full)
 
+    def test_frozen_prefix_keep_txid_equals_full_rescan(self):
+        """keep_txid mode (txids from records, cross-tx dedup): the
+        incremental path's GLOBAL context margin must keep outputs
+        equal to the rescan."""
+        det = scenario(duration=60.0)
+        chunks = [((det["timestamp"] >= t0) & (det["timestamp"] < t0 + 5.0),
+                   t0 + 5.0) for t0 in np.arange(0.0, 62.0, 5.0)]
+        outs = {}
+        for inc in (True, False):
+            srv = server_mod.PositioningServer(
+                rx_pos=RX_POS, beacon_pos=BEACON_POS, freqmap=None,
+                sample_rate=FS, match_window=0.2, tdoa_est_window=8.0,
+                window_s=30.0, settle_s=1.0, keep_txid=True,
+                incremental=inc)
+            assert srv.incremental == inc
+            fixes = []
+            for sel, now in chunks:
+                srv.feed(det[sel])
+                fixes.append(srv.step(now=now))
+            outs[inc] = np.concatenate(fixes)
+            if inc:
+                assert len(srv._frz_rows) > 0
+        self.assert_fix_sets_equal(outs[True], outs[False])
+
     def test_no_duplicate_fixes_on_repeat_step(self):
         det = scenario(duration=15.0)
         srv = self.make_server()
