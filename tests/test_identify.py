@@ -115,6 +115,34 @@ class TestDuplicates:
         mask = identify.duplicate_mask(det, ignore_txid=True)
         assert mask.tolist() == [True, False]
 
+    def test_soa_tol_separates_ghost_from_legit_cross_tx(self):
+        """With soa_tol, cross-tx dedup drops only SoA-coincident pairs
+        (a straddling ghost is the same signal, so its SoA matches the
+        true detection); a legitimate weaker burst of a different
+        transmitter in the adjacent block -- whose SoA is about a block
+        away -- survives, instead of being deleted on adjacency alone."""
+        new_len = 16384 - 4920
+        det = make_detections([
+            # rx 0: a straddling ghost pair (same signal, wrong code).
+            (0, 1, 10.0, 100, 40, 50.0),
+            (0, 2, 10.005, 101, 40, 10.0),
+            # rx 1: a LEGITIMATE weaker different-tx burst one block
+            # after a stronger one.
+            (1, 5, 20.0, 200, 40, 100.0),
+            (1, 6, 20.005, 201, 44, 20.0),
+        ])
+        det["soa"] = [100 * new_len + 6000.0,
+                      100 * new_len + 6000.2,   # coincident with row 0
+                      200 * new_len + 3000.0,
+                      201 * new_len + 9000.0]   # its own arrival
+        mask = identify.duplicate_mask(det, ignore_txid=True,
+                                       soa_tol=4914.0)
+        assert mask.tolist() == [True, False, True, True]
+        # Without the tolerance, adjacency alone also deletes the
+        # legitimate burst -- the documented limitation soa_tol fixes.
+        mask_legacy = identify.duplicate_mask(det, ignore_txid=True)
+        assert mask_legacy.tolist() == [True, False, True, False]
+
     def test_integrate_keep_txid(self):
         det = make_detections([
             (0, 7, 10.0, 100, 40, 50.0),

@@ -100,7 +100,14 @@ def load_library(path=None):
         "rtlsdr_get_tuner_gain": (c.c_int, [c.c_void_p]),
     }
     for name, (res, args) in proto.items():
-        fn = getattr(lib, name)  # AttributeError = not librtlsdr
+        fn = getattr(lib, name, None)
+        if fn is None:
+            # Keep the documented OSError contract even when the
+            # resolved .so is some unrelated library, so the CLIs'
+            # supervisor-friendly "stream error:" path handles it.
+            raise OSError("{} is not librtlsdr (missing symbol {})"
+                          .format(getattr(lib, "_name", "library"),
+                                  name))
         fn.restype, fn.argtypes = res, args
     for name, (res, args) in optional.items():
         fn = getattr(lib, name, None)
@@ -245,22 +252,27 @@ class RtlSdrSource:
                           .format(self.device_index))
         self._dev = dev
         try:
+            # Everything between open and a successfully started
+            # reader must release the device on failure -- on real
+            # hardware a leaked handle keeps the USB interface claimed
+            # for the rest of the process.
             self._configure(frequency, sample_rate, gain_db, bias_tee,
                             freq_correction_ppm)
+            self._ring = ByteRing(ring_bytes)
+            self._buf_num = int(buf_num)
+            self._buf_length = int(buf_length)
+            self._running = True
+            # The ctypes callback object must outlive read_async: bind
+            # it to self, not a local.
+            self._cb = _CALLBACK(self._on_samples)
+            self._thread = threading.Thread(
+                target=self._async_routine, name="rtlsdr-async",
+                daemon=True)
+            self._thread.start()
         except Exception:
+            self._running = False
             self._lib.rtlsdr_close(self._dev)
             raise
-
-        self._ring = ByteRing(ring_bytes)
-        self._buf_num = int(buf_num)
-        self._buf_length = int(buf_length)
-        self._running = True
-        # The ctypes callback object must outlive read_async: bind it
-        # to self, not a local.
-        self._cb = _CALLBACK(self._on_samples)
-        self._thread = threading.Thread(target=self._async_routine,
-                                        name="rtlsdr-async", daemon=True)
-        self._thread.start()
 
     # -- tuner bring-up (rtlsdr_reader.c:243-294 order) ----------------
     def _configure(self, frequency, sample_rate, gain_db, bias_tee,

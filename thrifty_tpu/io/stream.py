@@ -27,6 +27,15 @@ def prefetch_iter(iterator, depth=2):
     the producer re-raise at the consumer; abandoning the generator
     (close/GC) stops the producer thread instead of leaving it blocked
     on the full queue.
+
+    Do NOT wrap :meth:`StreamPump.batches` (or batches_contiguous) in
+    this: the pump yields VIEWS into a small reusable buffer pool
+    whose validity window is BUF_POOL-1 subsequent draws, and the
+    prefetch queue plus a pipelining consumer together advance the
+    generator past that window, silently overwriting a batch the
+    consumer still holds.  The pump already overlaps IO via its own
+    reader thread; prefetch_iter is for allocation-per-batch sources
+    (the .card parser).
     """
     import queue
 
@@ -75,6 +84,14 @@ class StreamPump:
                  timestamper=None, sample_rate=2.4e6, t0=None):
         from thrifty_tpu import native  # ImportError -> caller falls back
 
+        if not 0 <= history < block_size:
+            # Nothing downstream enforces the relation: history ==
+            # block_size would ZeroDivisionError in the batch loops and
+            # history > block_size would silently yield zero batches.
+            raise ValueError(
+                "history must satisfy 0 <= history < block_size "
+                "(got history={}, block_size={})".format(history,
+                                                         block_size))
         self._native = native
         self._stream = stream
         self._batch_size = batch_size
@@ -172,7 +189,10 @@ class StreamPump:
         A yielded batch therefore stays valid while up to
         ``BUF_POOL - 1`` further batches are drawn -- ample for the
         detect/capture pipelines, which hold at most one batch in
-        flight behind the current one.
+        flight behind the current one.  Do NOT wrap this generator in
+        :func:`prefetch_iter`: its queue depth plus a pipelining
+        consumer exceed that validity window (see prefetch_iter's
+        docstring) -- the pump's own reader thread already overlaps IO.
         """
         if self._mm is not None:
             yield from self._mmap_batches()

@@ -112,7 +112,7 @@ def identify_transmitters(detections, freqmap=None, warned=None):
     return detections
 
 
-def duplicate_mask(detections, ignore_txid=False):
+def duplicate_mask(detections, ignore_txid=False, soa_tol=None):
     """Boolean keep-mask removing adjacent-block duplicate detections.
 
     A burst straddling a block boundary fires in both blocks (the shared
@@ -122,7 +122,19 @@ def duplicate_mask(detections, ignore_txid=False):
 
     With ``ignore_txid`` the neighbor comparison spans transmitter IDs:
     needed when txids come from a template bank, where the weak partial
-    signal in the adjacent block can win on the wrong code.
+    signal in the adjacent block can win on the wrong code.  CAUTION:
+    without ``soa_tol`` this can also drop a legitimate weaker burst of
+    a DIFFERENT transmitter that merely landed in the adjacent block
+    (~one block duration apart) -- block adjacency alone cannot
+    distinguish the two.
+
+    ``soa_tol`` (samples) additionally requires the pair's SoAs to
+    coincide within the tolerance before the weaker is dropped.  A
+    straddling ghost is the SAME signal, so its SoA matches the true
+    detection within about a code length even when it won on the wrong
+    code; pass roughly the template length to restrict removal to such
+    pairs.  Default None preserves the reference semantics (its own
+    code carries the matching TODO, thrifty/identify.py:141).
     """
     if ignore_txid:
         keys = ["rxid", "block", "timestamp"]
@@ -149,6 +161,9 @@ def duplicate_mask(detections, ignore_txid=False):
         & (cur["energy"] < prev["energy"])
     dup_next = same_next & (cur["block"] == nxt["block"] - 1) \
         & (cur["energy"] < nxt["energy"])
+    if soa_tol is not None:
+        dup_prev &= np.abs(cur["soa"] - prev["soa"]) <= soa_tol
+        dup_next &= np.abs(cur["soa"] - nxt["soa"]) <= soa_tol
     unidentified = cur["txid"] == UNIDENTIFIED
     keep_sorted = ~(dup_prev | dup_next | unidentified)
 
@@ -158,18 +173,20 @@ def duplicate_mask(detections, ignore_txid=False):
 
 
 def integrate(detections, freqmap=None, keep_txid=False,
-              dedup_any_tx=False, warned=None):
+              dedup_any_tx=False, warned=None, dedup_soa_tol=None):
     """Identify transmitters, drop duplicates, sort by timestamp.
 
     ``keep_txid`` skips classification (txids already assigned, e.g. by
     a template bank); ``dedup_any_tx`` widens duplicate removal across
-    transmitter IDs (see :func:`duplicate_mask`); ``warned`` threads a
-    caller-owned warn-once set to :func:`classify_by_freqmap`.
+    transmitter IDs and ``dedup_soa_tol`` restricts it to
+    SoA-coincident pairs (see :func:`duplicate_mask`); ``warned``
+    threads a caller-owned warn-once set to :func:`classify_by_freqmap`.
     """
     if not keep_txid:
         identify_transmitters(detections, freqmap, warned=warned)
     filtered = detections[duplicate_mask(detections,
-                                         ignore_txid=dedup_any_tx)]
+                                         ignore_txid=dedup_any_tx,
+                                         soa_tol=dedup_soa_tol)]
     return filtered[np.argsort(filtered["timestamp"], kind="stable")]
 
 
@@ -224,12 +241,21 @@ def _main(argv=None):
                         help="inputs are .toads files whose txids came "
                              "from a template bank (detect --emit-txid): "
                              "keep them and dedup across txids")
+    parser.add_argument("--dedup-soa-tol", type=float, default=None,
+                        metavar="SAMPLES",
+                        help="with --from-bank: only drop a weaker "
+                             "adjacent-block detection when its SoA "
+                             "matches the stronger one within SAMPLES "
+                             "(a straddling ghost does; a legitimate "
+                             "different-tx burst usually does not) -- "
+                             "use roughly the template length")
     args = parser.parse_args(argv)
 
     if args.from_bank:
         detections, filenames = load_toad_globs(
             args.toad_file, loader=toad.load_toads)
-        filtered = integrate(detections, keep_txid=True, dedup_any_tx=True)
+        filtered = integrate(detections, keep_txid=True, dedup_any_tx=True,
+                             dedup_soa_tol=args.dedup_soa_tol)
     else:
         detections, filenames = load_toad_globs(args.toad_file)
         freqmap = load_freqmap(args.map)
