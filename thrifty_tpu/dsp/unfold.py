@@ -65,6 +65,16 @@ def unfold_stream(new_u16, carry_u16, block_len, history_len):
     TPU); other geometries fall back to a gather.
     """
     new = block_len - history_len
+    if new_u16.shape[0] == 0 or new_u16.shape[0] % new:
+        # Shapes are static at trace time, so validate HERE rather
+        # than relying on the caller's optional host-side check: a
+        # floored-away remainder would silently skip those samples as
+        # any block's unique region while the carry advanced past
+        # them (undetected transmissions + misaligned stream).
+        raise ValueError(
+            "stream must carry a whole positive number of blocks: "
+            "{} samples is not a multiple of new_len={} (pad the "
+            "final batch)".format(new_u16.shape[0], new))
     stream = jnp.concatenate([carry_u16, new_u16])
     b = new_u16.shape[0] // new
     if history_len <= new:

@@ -111,6 +111,28 @@ def threshold(corr_mag, noise, thresh_coeffs):
     return jnp.sqrt(t_sq)
 
 
+def _gather_neighborhood(corr_mag, peak_idx, half, values=None,
+                         length=None):
+    """(y [..., 2*half+1], in_bounds [...]) around each peak.
+
+    The shared gather/clip/bounds contract of every sub-sample
+    interpolator: ``values`` bypasses the gather with a precomputed
+    neighborhood (pass ``length`` for the bounds check then), peaks
+    within ``half`` of either edge are flagged out of bounds (callers
+    return offset 0 there), and the gather indices are clipped so the
+    out-of-bounds lanes still read valid memory.
+    """
+    n = corr_mag.shape[-1] if length is None else length
+    if values is None:
+        safe_idx = jnp.clip(peak_idx, half, n - half - 1)
+        idx = safe_idx[..., None] + jnp.arange(-half, half + 1)
+        y = jnp.take_along_axis(corr_mag, idx, axis=-1)
+    else:
+        y = values
+    in_bounds = (peak_idx >= half) & (peak_idx < n - half)
+    return y, in_bounds
+
+
 def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6,
                          values=None, length=None):
     """Batched Gaussian (log-parabolic) sub-sample peak interpolation.
@@ -121,20 +143,14 @@ def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     ``values`` bypasses the gather with a precomputed [..., 3]
     magnitude neighborhood (pass ``length`` for the bounds check then).
     """
-    n = corr_mag.shape[-1] if length is None else length
-    if values is None:
-        safe_idx = jnp.clip(peak_idx, 1, n - 2)
-        idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
-        y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
-    else:
-        y = values
+    y, in_bounds = _gather_neighborhood(corr_mag, peak_idx, 1,
+                                        values, length)
     y = jnp.maximum(y, 1e-30)  # guard log of zero magnitudes
     la, lb, lc = jnp.log(y[..., 0]), jnp.log(y[..., 1]), jnp.log(y[..., 2])
     den = 2.0 * lb - la - lc
     den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
     offset = 0.5 * (lc - la) / den
     offset = jnp.clip(offset, -clip, clip)
-    in_bounds = (peak_idx > 0) & (peak_idx < n - 1)
     return jnp.where(in_bounds, offset, 0.0)
 
 
@@ -149,13 +165,8 @@ def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     bypasses the gather with a precomputed [..., 3] neighborhood
     (pass ``length`` for the bounds check then).
     """
-    n = corr_mag.shape[-1] if length is None else length
-    if values is None:
-        safe_idx = jnp.clip(peak_idx, 1, n - 2)
-        idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
-        y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
-    else:
-        y = values
+    y, in_bounds = _gather_neighborhood(corr_mag, peak_idx, 1,
+                                        values, length)
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     b = jnp.maximum(b, 1e-30)
     cos_w = (a + c) / (2.0 * b)
@@ -165,7 +176,6 @@ def cosine_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     sin_w = jnp.sin(w)
     theta = jnp.arctan2(a - c, 2.0 * b * sin_w)
     offset = jnp.clip(-theta / jnp.where(w == 0, 1e-30, w), -clip, clip)
-    in_bounds = (peak_idx > 0) & (peak_idx < n - 1)
     return jnp.where(valid & in_bounds, offset, 0.0)
 
 
@@ -345,14 +355,9 @@ def make_autocorr_interpolator(template, oversample: int = 16,
         # ``values`` bypasses the gather with a precomputed
         # [..., 2*width+1] magnitude neighborhood (pass ``length`` for
         # the bounds check then).
-        n = corr_mag.shape[-1] if length is None else length
-        if values is None:
-            safe = jnp.clip(peak_idx, width, n - width - 1)
-            idx = safe[..., None] + jnp.asarray(ks)
-            y = jnp.take_along_axis(corr_mag, idx,
-                                    axis=-1).astype(jnp.float32)
-        else:
-            y = values.astype(jnp.float32)
+        y, in_bounds = _gather_neighborhood(corr_mag, peak_idx, width,
+                                            values, length)
+        y = y.astype(jnp.float32)
         kgrid = jnp.asarray(ks, dtype=jnp.float32)
 
         amp0 = y[..., width]
@@ -382,7 +387,6 @@ def make_autocorr_interpolator(template, oversample: int = 16,
         (amp, delta), _ = lax.scan(body, (amp0, delta0), None,
                                    length=iters)
         offset = jnp.clip(delta, -clip, clip)
-        in_bounds = (peak_idx >= width) & (peak_idx < n - width)
         return jnp.where(in_bounds, offset, 0.0)
 
     interpolate.width = width  # neighborhood half-width for callers
@@ -396,16 +400,10 @@ def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     ``values`` bypasses the gather with a precomputed [..., 3]
     neighborhood (pass ``length`` for the bounds check then).
     """
-    n = corr_mag.shape[-1] if length is None else length
-    if values is None:
-        safe_idx = jnp.clip(peak_idx, 1, n - 2)
-        idx3 = safe_idx[..., None] + jnp.asarray([-1, 0, 1])
-        y = jnp.take_along_axis(corr_mag, idx3, axis=-1)
-    else:
-        y = values
+    y, in_bounds = _gather_neighborhood(corr_mag, peak_idx, 1,
+                                        values, length)
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     den = 2.0 * b - a - c
     den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
     offset = jnp.clip(0.5 * (c - a) / den, -clip, clip)
-    in_bounds = (peak_idx > 0) & (peak_idx < n - 1)
     return jnp.where(in_bounds, offset, 0.0)

@@ -22,6 +22,26 @@ from thrifty_tpu.dsp import iq
 
 _SKIP_PREFIXES = ("Using Volk machine:", "linux;")
 
+_native_mod = None  # None = unprobed; False = unavailable (cached)
+
+
+def _native():
+    """The native module, probed ONCE per process.
+
+    Python evicts failed imports from sys.modules, so a bare
+    try/import in the per-batch hot path would re-run the native
+    build subprocess (make) for every batch on hosts where the build
+    fails -- the exact environment the pure-Python fallback serves.
+    """
+    global _native_mod
+    if _native_mod is None:
+        try:
+            from thrifty_tpu import native as mod
+            _native_mod = mod
+        except ImportError:
+            _native_mod = False
+    return _native_mod
+
 
 def _parse_lines(lines):
     for line in lines:
@@ -56,15 +76,11 @@ def read_card(stream_or_path, native=True):
         with open(stream_or_path, "rb") as f:
             return read_card(f, native=native)
 
-    if native:
-        try:
-            from thrifty_tpu.native import parse_card_bytes
-            data = stream_or_path.read()
-            if isinstance(data, str):  # text-mode stream
-                data = data.encode("ascii", errors="replace")
-            return parse_card_bytes(data)
-        except ImportError:
-            pass
+    if native and _native():
+        data = stream_or_path.read()
+        if isinstance(data, str):  # text-mode stream
+            data = data.encode("ascii", errors="replace")
+        return _native().parse_card_bytes(data)
 
     timestamps, indices, encoded = [], [], []
     for ts, idx, enc in _parse_lines(stream_or_path):
@@ -118,18 +134,15 @@ def _decode_batch(ts_buf, idx_buf, enc_buf, native=True):
     Uses the native multithreaded decoder when available (the streaming
     detect path is host-decode bound), falling back to per-row Python.
     """
-    if native:
-        try:
-            from thrifty_tpu.native import b64decode_batch_tolerant
-            raw, keep = b64decode_batch_tolerant(enc_buf)
-            return (
-                np.asarray(ts_buf, dtype=np.float64)[keep],
-                np.asarray(idx_buf, dtype=np.int64)[keep],
-                raw,
-            )
-        except ImportError:
-            pass
+    if native and _native():
+        raw, keep = _native().b64decode_batch_tolerant(enc_buf)
+        return (
+            np.asarray(ts_buf, dtype=np.float64)[keep],
+            np.asarray(idx_buf, dtype=np.int64)[keep],
+            raw,
+        )
 
+    n_rows = len(enc_buf)
     decoded, ts_ok, idx_ok = [], [], []
     for ts, ix, e in zip(ts_buf, idx_buf, enc_buf):
         try:
@@ -139,22 +152,26 @@ def _decode_batch(ts_buf, idx_buf, enc_buf, native=True):
             idx_ok.append(ix)
         except (ValueError, binascii.Error):
             continue
+    dropped = n_rows - len(decoded)
     if decoded and len({len(d) for d in decoded}) != 1:
         # A junk row that happens to be valid base64 of the wrong size
         # is dropped like any other junk row, keeping the
         # dominant-by-bytes size (real rows are kilobytes, so byte
-        # mass out-votes short junk even in tiny batches).  A large
-        # mismatched fraction is a genuinely mixed-size capture and
-        # fails loudly (same cap as the native paths).
+        # mass out-votes short junk even in tiny batches).
         sizes = np.asarray([len(d) for d in decoded])
         uniq, counts = np.unique(sizes, return_counts=True)
         modal = uniq[np.lexsort((uniq, uniq * counts))[-1]]
-        if np.sum(sizes != modal) > max(2, 0.1 * len(decoded)):
-            raise ValueError("inconsistent block sizes in .card file")
+        dropped += int(np.sum(sizes != modal))
         keep = [i for i, d in enumerate(decoded) if len(d) == modal]
         decoded = [decoded[i] for i in keep]
         ts_ok = [ts_ok[i] for i in keep]
         idx_ok = [idx_ok[i] for i in keep]
+    # ALL dropped rows (undecodable junk + wrong-size) count against
+    # one shared cap over the total row count -- the same accounting
+    # as the native tolerant decoder, so a capture that is junk beyond
+    # the tolerance fails loudly in both paths.
+    if decoded and dropped > max(2, 0.1 * n_rows):
+        raise ValueError("inconsistent block sizes in .card file")
     raw = np.stack(decoded) if decoded else np.zeros((0, 0), np.uint8)
     return (
         np.asarray(ts_ok, dtype=np.float64),
@@ -177,9 +194,10 @@ def write_card(stream_or_path, timestamps, indices, raw, header=None):
     if header:
         for line in header.splitlines():
             f.write("# " + line + "\n")
-    try:
-        from thrifty_tpu.native import b64encode as encode
-    except ImportError:
+    mod = _native()
+    if mod:
+        encode = mod.b64encode
+    else:
         encode = lambda row: base64.b64encode(
             np.ascontiguousarray(row).tobytes()).decode()
     for ts, idx, row in zip(timestamps, indices, raw):

@@ -154,14 +154,9 @@ def b64decode_batch_tolerant(encoded_strings):
     # set the size and silently drop every real block in the batch,
     # even if short junk rows outnumber real rows in a tiny batch
     # (real capture rows are kilobytes; byte mass is the robust vote).
-    # A large length-mismatched fraction is a genuinely mixed-size
-    # capture, which must fail loudly -- same contract and cap as the
-    # whole-file parse_card_bytes.  If no modal-length row decodes,
-    # fall back to any decodable row.
+    # If no modal-length row decodes, fall back to any decodable row.
     uniq, counts = np.unique(lens, return_counts=True)
     modal = int(uniq[np.lexsort((uniq, uniq * counts))[-1]])
-    if np.sum(lens != modal) > max(2, 0.1 * n):
-        raise ValueError("inconsistent block sizes in .card file")
     got = -1
     for pass_modal in (True, False):
         for r in range(n):
@@ -182,6 +177,13 @@ def b64decode_batch_tolerant(encoded_strings):
         joined, offsets.ctypes.data, lens.ctypes.data, n,
         out.ctypes.data, got, status.ctypes.data, num_threads())
     keep = status == 0
+    # One shared junk cap counting EVERY dropped row (undecodable
+    # characters and wrong-size alike) against the total row count --
+    # the same accounting as the pure-Python fallback, so heavily
+    # corrupted (or genuinely mixed-size) captures fail loudly in both
+    # paths instead of passing in one and raising in the other.
+    if int(np.sum(~keep)) > max(2, 0.1 * n) and keep.any():
+        raise ValueError("inconsistent block sizes in .card file")
     return out[keep], keep
 
 
@@ -214,15 +216,16 @@ def parse_card_bytes(text: bytes):
     n = len(ts)
     if n == 0:
         return ts, idx, np.zeros((0, 0), dtype=np.uint8)
+    n_total = n
     if not np.all(lens == lens[0]):
         # Junk rows that happen to look like base64 (e.g. a bare word)
-        # have the wrong payload length; keep the modal length.  A large
-        # non-modal fraction is a genuinely mixed-size capture, which
-        # must fail loudly (matching the documented read_card contract
-        # and the pure-Python path).
+        # have the wrong payload length; keep the DOMINANT-BY-BYTES
+        # length (the same byte-mass vote as the tolerant batch
+        # decoder and the pure-Python fallback -- a plain count mode
+        # could tie-break onto short junk and drop every real block).
         vals, counts = np.unique(lens, return_counts=True)
-        keep = lens == vals[np.argmax(counts)]
-        if np.sum(~keep) > max(2, 0.1 * n):
+        keep = lens == vals[np.lexsort((vals, vals * counts))[-1]]
+        if np.sum(~keep) > max(2, 0.1 * n_total):
             raise ValueError("inconsistent block sizes in .card file")
         ts, idx, offs, lens = ts[keep], idx[keep], offs[keep], lens[keep]
         n = len(ts)

@@ -63,11 +63,19 @@ class CarrierGate:
         mag = jnp.abs(mxu_fft.fft(blocks))
         det, idx, peak_mag, noise = carrier.detect(
             mag, self._mask, self._thresh)
-        c, s, d = self._thresh
-        thresh_sq = c + s * jnp.square(noise)
+        # Report the DECISION threshold, rebuilt with the same
+        # signed-variance semantics as carrier.detect (an ultra-strong
+        # carrier drives the variance negative; recomputing from the
+        # zero-clamped noise_rms would print a threshold ABOVE the
+        # magnitude of a block that WAS detected).
+        energy = jnp.sum(jnp.square(mag), axis=-1)
+        _, thresh_sq = carrier.noise_and_threshold_sq(
+            energy, jnp.square(peak_mag), self.block_len, self._thresh)
+        d = self._thresh[2]
         if d:
             thresh_sq = thresh_sq + d * jnp.var(mag, axis=-1)
-        return det, idx, peak_mag, noise, jnp.sqrt(thresh_sq)
+        return det, idx, peak_mag, noise, jnp.sqrt(
+            jnp.maximum(thresh_sq, 0.0))
 
     def _program(self, raw):
         from thrifty_tpu.dsp import iq
