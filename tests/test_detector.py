@@ -221,6 +221,33 @@ def test_integer_roll_with_peak_filter_below_window_start():
             got[r], np.roll(fft[r], -int(wrapped_idx[r])))
 
 
+def test_preshift_guardrails():
+    """num_preshift < 2 is rejected (a 1-entry bank is the lone
+    -0.5-bin template selected for EVERY block -- a systematic
+    half-bin misalignment); and preshift with an UNBOUNDED carrier
+    interpolator disables the roll's window-top bound, since a
+    degenerate neighborhood can report an arbitrarily large offset
+    that would silently clamp the bounded slice."""
+    tpl = sim.make_template()
+    with pytest.raises(ValueError, match="num_preshift"):
+        BatchDetector(tpl, DetectorConfig(
+            carrier_window=(7, 110), sync_mode="preshift",
+            num_preshift=1))
+    bounded = BatchDetector(tpl, DetectorConfig(
+        carrier_window=(7, 110), sync_mode="preshift"))  # dirichlet
+    assert bounded._max_roll_start is not None
+    unbounded = BatchDetector(tpl, DetectorConfig(
+        carrier_window=(7, 110), sync_mode="preshift",
+        carrier_interp="polyfit"))
+    assert unbounded._max_roll_start is None
+    # Integer mode rolls by the peak INDEX only (no offset), so the
+    # bound stays valid under any interpolator.
+    integer = BatchDetector(tpl, DetectorConfig(
+        carrier_window=(7, 110), sync_mode="integer",
+        carrier_interp="polyfit"))
+    assert integer._max_roll_start is not None
+
+
 def test_preshift_sync_mode(capture, detector, output):
     """Preshift template bank: close to fractional-shift SoAs, no 2nd FFT."""
     det = BatchDetector(

@@ -142,20 +142,6 @@ class BatchDetector:
         self._tmpl_fft_conj = xcorr.template_fft_conj(template, n)
         self._tmpl_energy = xcorr.template_energy(template)
         self._carrier_mask = carrier.window_mask(config.carrier_window, n)
-        # Integer/preshift rolls start at the carrier peak's FFT index
-        # (+-1 for preshift's fractional rounding), so the roll's
-        # wrapped extension only needs to reach the window's top index
-        # (shift.integer_roll_fft max_start contract).  EXCEPT with a
-        # carrier peak filter: the FIR's group delay can report a peak
-        # up to `delay` bins BELOW the window start, wrapped mod n
-        # (carrier.py peak-filter path) -- i.e. near n for windows
-        # starting near 0 -- so no useful bound exists and the roll
-        # keeps the full wrapped extension.
-        if config.peak_filter_len:
-            self._max_roll_start = None
-        else:
-            self._max_roll_start = int(np.flatnonzero(
-                self._carrier_mask).max()) + 2
         if config.peak_filter_len:
             flen = config.peak_filter_len
             if flen == -1:
@@ -177,6 +163,13 @@ class BatchDetector:
         self._corr_mask_full[self.window[0]:self.window[1]] = True
 
         if config.sync_mode == "preshift":
+            if config.num_preshift < 2:
+                # linspace(-0.5, 0.5, 1) is the lone [-0.5] entry: a
+                # SYSTEMATIC half-bin template misalignment selected
+                # for every block; 0 fails opaquely at trace time.
+                raise ValueError(
+                    "num_preshift must be >= 2 (got {})".format(
+                        config.num_preshift))
             # Bank of conj template FFTs, each pre-shifted by a fractional
             # bin in [-0.5, 0.5]; selected per block by the residual
             # fractional carrier offset after the integer roll
@@ -238,6 +231,27 @@ class BatchDetector:
         else:
             raise ValueError(
                 "unknown carrier_interp: " + config.carrier_interp)
+
+        # Integer/preshift rolls start at the carrier peak's FFT index
+        # (+-1 for preshift's fractional rounding), so the roll's
+        # wrapped extension only needs to reach the window's top index
+        # (shift.integer_roll_fft max_start contract).  No bound
+        # exists, and the roll keeps the full wrapped extension, when
+        # (a) a carrier peak filter is configured (its group delay can
+        # report a peak up to `delay` bins BELOW the window start,
+        # wrapped mod n), or (b) preshift pairs with a carrier
+        # interpolator whose offset is unbounded (dirichlet clamps to
+        # +-1 and 'none' is 0; parabolic/polyfit/gaussian/cosine can
+        # report arbitrarily large offsets on degenerate neighborhoods,
+        # which would overrun the bound and silently clamp the slice).
+        offset_unbounded = (config.sync_mode == "preshift"
+                            and carrier_interp not in ("dirichlet",
+                                                       "none"))
+        if config.peak_filter_len or offset_unbounded:
+            self._max_roll_start = None
+        else:
+            self._max_roll_start = int(np.flatnonzero(
+                self._carrier_mask).max()) + 2
 
         clip = self.corr_clip
         if config.corr_interp == "gaussian":

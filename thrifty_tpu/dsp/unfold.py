@@ -52,6 +52,26 @@ class StreamCarry:
         return out
 
 
+def overlap_rows(full, block_len, history_len):
+    """Pure-reshape overlap-save: [..., history + B*new] -> [..., B, block].
+
+    Row s spans ``full[..., s*new : s*new + block]`` -- the one unfold
+    trick shared by the device stream carry (:func:`unfold_stream`),
+    the shard_map halo path, and the GSPMD twin
+    (parallel/sharded.py); requires ``history_len <= new`` (true for
+    any usable unique-window geometry; a gather here is
+    catastrophically slow on TPU).
+    """
+    new = block_len - history_len
+    lead = full.shape[:-1]
+    b = (full.shape[-1] - history_len) // new
+    head = full[..., : b * new].reshape(lead + (b, new))
+    pad = [(0, 0)] * len(lead) + [(0, new - history_len)]
+    tail = jnp.pad(full[..., new:], pad).reshape(
+        lead + (b, new))[..., :history_len]
+    return jnp.concatenate([head, tail], axis=-1)
+
+
 def unfold_stream(new_u16, carry_u16, block_len, history_len):
     """uint16 new samples [B*new_len] + carry [history_len] ->
     (rows [B, block_len], new_carry [history_len]).
@@ -78,11 +98,7 @@ def unfold_stream(new_u16, carry_u16, block_len, history_len):
     stream = jnp.concatenate([carry_u16, new_u16])
     b = new_u16.shape[0] // new
     if history_len <= new:
-        head = stream[: b * new].reshape(b, new)
-        tail = jnp.pad(stream[new:],
-                       (0, new - history_len)).reshape(b, new)[
-                           :, :history_len]
-        rows = jnp.concatenate([head, tail], axis=1)
+        rows = overlap_rows(stream, block_len, history_len)
     else:
         idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * new
                + jnp.arange(block_len, dtype=jnp.int32)[None, :])

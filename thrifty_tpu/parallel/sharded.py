@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from thrifty_tpu.dsp import unfold as unfold_mod
 from thrifty_tpu.parallel.mesh import AXIS_RX, AXIS_TIME
 
 
@@ -66,12 +67,11 @@ def make_stream_detector(detector, num_rx, blocks_per_shard, mesh,
     if mesh.shape[AXIS_RX] != num_rx:
         raise ValueError("mesh rx axis ({}) != num_rx ({})".format(
             mesh.shape[AXIS_RX], num_rx))
-    chunk_len = blocks_per_shard * new_len
-    if history > chunk_len:
-        raise ValueError(
-            "history ({}) exceeds per-shard chunk ({}): increase "
-            "blocks_per_shard".format(history, chunk_len))
+    if blocks_per_shard < 1:
+        raise ValueError("blocks_per_shard must be >= 1")
     if history > new_len:
+        # (This also guarantees history <= the per-shard chunk, since
+        # chunk_len = blocks_per_shard * new_len >= new_len.)
         raise ValueError(
             "history ({}) exceeds new samples per block ({}): the "
             "unique-lag window would be empty".format(history, new_len))
@@ -90,17 +90,9 @@ def make_stream_detector(detector, num_rx, blocks_per_shard, mesh,
         halo = lax.ppermute(tail, AXIS_TIME, perm) if num_time > 1 \
             else jnp.zeros_like(tail)
         full = jnp.concatenate([halo, chunk], axis=1)
-        # Local overlap-save unfold as pure reshapes (a gather here is
-        # catastrophically slow on TPU): block s = full[s*new : s*new+N]
-        # = head frame s (new samples) ++ first `history` samples of
-        # frame s+1.  Requires history <= new_len (true by design: the
-        # unique window would be empty otherwise).
-        s = blocks_per_shard
-        head = full[:, : s * new_len].reshape(rx_local, s, new_len)
-        tail_src = jnp.pad(
-            full[:, new_len:], ((0, 0), (0, new_len - history)))
-        tail = tail_src.reshape(rx_local, s, new_len)[:, :, :history]
-        blocks = jnp.concatenate([head, tail], axis=2)
+        # Local overlap-save unfold as pure reshapes (the shared trick,
+        # dsp/unfold.overlap_rows).
+        blocks = unfold_mod.overlap_rows(full, n, history)
         out = detector._detect_batch(
             blocks.reshape(rx_local * blocks_per_shard, n))
         out = jax.tree.map(
@@ -163,11 +155,7 @@ def make_stream_detector_gspmd(detector, total_blocks, mesh):
         full = jnp.concatenate(
             [jnp.zeros((num_rx, history), streams.dtype), streams],
             axis=1)
-        head = full[:, : s * new_len].reshape(num_rx, s, new_len)
-        tail_src = jnp.pad(
-            full[:, new_len:], ((0, 0), (0, new_len - history)))
-        tail = tail_src.reshape(num_rx, s, new_len)[:, :, :history]
-        blocks = jnp.concatenate([head, tail], axis=2)
+        blocks = unfold_mod.overlap_rows(full, n, history)
         out = detector._detect_batch(blocks.reshape(num_rx * s, n))
         out = jax.tree.map(
             lambda a: a.reshape((num_rx, s) + a.shape[1:]), out)
