@@ -177,7 +177,10 @@ def load_args(parser, keys, argv=None, definitions=None):
     add_setting_args(parser, keys, definitions=definitions)
     args = vars(parser.parse_args(argv))
 
-    if args.pop("verbose", False):
+    if args.get("verbose", False):
+        # Configure logging but LEAVE the flag in extra_args: callers
+        # may key their own output on it (the reference's load_args
+        # exposes it the same way, thrifty/settings.py:263-278).
         logging.basicConfig(level=logging.DEBUG)
 
     config_file = None

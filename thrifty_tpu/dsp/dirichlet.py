@@ -74,7 +74,6 @@ def gather_neighborhood(values, peak_idx, offsets):
     return jnp.take_along_axis(values, idx, axis=-1)
 
 
-_gather_neighborhood = gather_neighborhood
 
 
 def make_dirichlet_interpolator(
@@ -106,7 +105,7 @@ def make_dirichlet_interpolator(
         # magnitude neighborhood (used when |FFT| is never materialized).
         if values is None:
             offs = jnp.asarray(xs.astype(np.int64))
-            y = _gather_neighborhood(fft_mag, peak_idx, offs)  # [..., P]
+            y = gather_neighborhood(fft_mag, peak_idx, offs)  # [..., P]
         else:
             y = values
         dtype = y.dtype
@@ -159,12 +158,13 @@ def parabolic_interpolate(mag, peak_idx, clip=None, values=None):
     """
     if values is None:
         offs = jnp.asarray([-1, 0, 1])
-        y = _gather_neighborhood(mag, peak_idx, offs)
+        y = gather_neighborhood(mag, peak_idx, offs)
     else:
         y = values
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     den = 4.0 * b - 2.0 * a - 2.0 * c
-    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    den = jnp.where(jnp.abs(den) < 1e-30,
+                    jnp.where(den < 0.0, -1e-30, 1e-30), den)
     offset = (c - a) / den
     if clip is not None:
         offset = jnp.clip(offset, -clip, clip)
@@ -188,14 +188,15 @@ def gaussian_interpolate(mag, peak_idx, clip=None, values=None):
     """
     if values is None:
         offs = jnp.asarray([-1, 0, 1])
-        y = _gather_neighborhood(mag, peak_idx, offs)
+        y = gather_neighborhood(mag, peak_idx, offs)
     else:
         y = values
     y = jnp.maximum(y, 1e-30)
     la, lb, lc = (jnp.log(y[..., 0]), jnp.log(y[..., 1]),
                   jnp.log(y[..., 2]))
     den = 4.0 * lb - 2.0 * la - 2.0 * lc
-    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    den = jnp.where(jnp.abs(den) < 1e-30,
+                    jnp.where(den < 0.0, -1e-30, 1e-30), den)
     offset = (lc - la) / den
     if clip is not None:
         offset = jnp.clip(offset, -clip, clip)
@@ -213,7 +214,7 @@ def cosine_interpolate(mag, peak_idx, values=None):
     """
     if values is None:
         offs = jnp.asarray([-1, 0, 1])
-        y = _gather_neighborhood(mag, peak_idx, offs)
+        y = gather_neighborhood(mag, peak_idx, offs)
     else:
         y = values
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
@@ -241,12 +242,13 @@ def make_polyfit_interpolator(width: int):
         # [..., width+1] neighborhood.
         if values is None:
             offs = jnp.asarray(xs.astype(np.int64))
-            y = _gather_neighborhood(mag, peak_idx, offs)
+            y = gather_neighborhood(mag, peak_idx, offs)
         else:
             y = values
         coeffs = jnp.einsum("kp,...p->...k", jnp.asarray(pinv, y.dtype), y)
         a2, a1 = coeffs[..., 0], coeffs[..., 1]
-        a2 = jnp.where(jnp.abs(a2) < 1e-30, 1e-30, a2)
+        a2 = jnp.where(jnp.abs(a2) < 1e-30,
+                       jnp.where(a2 < 0.0, -1e-30, 1e-30), a2)
         return -a1 / a2 / 2.0
 
     return interpolate

@@ -148,7 +148,8 @@ def gaussian_interpolate(corr_mag, peak_idx, clip: float = 0.6,
     y = jnp.maximum(y, 1e-30)  # guard log of zero magnitudes
     la, lb, lc = jnp.log(y[..., 0]), jnp.log(y[..., 1]), jnp.log(y[..., 2])
     den = 2.0 * lb - la - lc
-    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    den = jnp.where(jnp.abs(den) < 1e-30,
+                    jnp.where(den < 0.0, -1e-30, 1e-30), den)
     offset = 0.5 * (lc - la) / den
     offset = jnp.clip(offset, -clip, clip)
     return jnp.where(in_bounds, offset, 0.0)
@@ -404,6 +405,7 @@ def parabolic_interpolate(corr_mag, peak_idx, clip: float = 0.6,
                                         values, length)
     a, b, c = y[..., 0], y[..., 1], y[..., 2]
     den = 2.0 * b - a - c
-    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    den = jnp.where(jnp.abs(den) < 1e-30,
+                    jnp.where(den < 0.0, -1e-30, 1e-30), den)
     offset = jnp.clip(0.5 * (c - a) / den, -clip, clip)
     return jnp.where(in_bounds, offset, 0.0)

@@ -100,19 +100,34 @@ def save(stream_or_path, detections, with_rxid=True, with_txid=False,
 
 
 def _parse(stream, with_rxid, with_txid):
+    import sys
+
     rows = []
-    for line in stream:
+    for lineno, line in enumerate(stream, 1):
         if isinstance(line, bytes):
             line = line.decode("ascii", errors="replace")
-        if not line.strip() or line[0] == "#":
+        stripped = line.strip()
+        if not stripped or stripped[0] == "#":
             continue
-        parts = line.split()
+        parts = stripped.split()
         want = 11 + int(with_rxid) + int(with_txid)
-        if len(parts) < want:
+        # Exactly `want` fields: an EXTRA leading column (e.g. a
+        # .toads file loaded as .toad) would otherwise shift every
+        # field by one and silently mis-parse the whole record; a
+        # short line is truncation.  Skip with a warning, like the
+        # reference loader (thrifty/toads_data.py:106-109).
+        if len(parts) != want:
+            print("WARNING: skipped line #{} ({} fields, expected {})"
+                  .format(lineno, len(parts), want), file=sys.stderr)
             continue
-        rxid = int(float(parts.pop(0))) if with_rxid else -1
-        txid = int(float(parts.pop(0))) if with_txid else -1
-        vals = [float(x) for x in parts[:11]]
+        try:
+            rxid = int(float(parts.pop(0))) if with_rxid else -1
+            txid = int(float(parts.pop(0))) if with_txid else -1
+            vals = [float(x) for x in parts]
+        except ValueError:
+            print("WARNING: skipped line #{} (unparseable field)"
+                  .format(lineno), file=sys.stderr)
+            continue
         rows.append((rxid, txid, vals[0], int(vals[1]), vals[2],
                      int(vals[3]), vals[4], vals[5], vals[6],
                      int(vals[7]), vals[8], vals[9], vals[10]))

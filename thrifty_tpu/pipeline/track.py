@@ -38,7 +38,13 @@ class KalmanTracker:
         if self.state is None:
             self.t = float(timestamp)
             self.state = np.array([z[0], z[1], 0.0, 0.0])
-            self.cov = np.diag([self.meas_std**2, self.meas_std**2,
+            # Initialize the position variance at the FIRST fix's own
+            # measurement uncertainty (DOP-scaled, like every later
+            # update's R): seeding with the bare meas_std would
+            # over-trust a bad-geometry first fix and keep the gain
+            # too low for the good fixes that follow.
+            init_std = self.meas_std * max(float(dop), 0.1)
+            self.cov = np.diag([init_std**2, init_std**2,
                                 100.0, 100.0])
             return self.state.copy()
 
