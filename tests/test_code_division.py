@@ -3,15 +3,13 @@ are identified by their Gold code via a detector template bank --
 a capability beyond the reference's frequency-division identification.
 """
 
-import functools
-
 import numpy as np
 import pytest
 
 from thrifty_tpu import sim
 from thrifty_tpu.dsp import template as template_mod
 from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
-from thrifty_tpu.pipeline import identify, kitchen_sink
+from thrifty_tpu.pipeline import kitchen_sink
 
 FS = 2.4e6
 RX_POS = {
@@ -26,6 +24,10 @@ SHARED_BIN = 40  # every transmitter on the same carrier
 
 @pytest.fixture(scope="module")
 def result():
+    """The whole code-division flow through the ADVERTISED composition:
+    synth_rx_captures(tx_codes=...) -> bank detect_all(txid_from_
+    template) -> postdetect(keep_txid=True settings) -- no hand-rolled
+    streams and no integrator injection."""
     sps = FS / 0.999707e6
     bank = template_mod.generate_bank(11, [0, 1, 2], sps)
     schedule = [(0, t) for t in np.arange(0.02, 0.36, 0.05)]  # beacon
@@ -39,43 +41,19 @@ def result():
             template=bank[0], num_blocks=80, amplitude=0.6,
             noise_std=0.04,
             clock_offsets={1: 777.25, 2: -123.5},
-            clock_drifts={1: 3e-6, 2: -2e-6}, seed=11).items():
-        caps[rxid] = cap
-    # Re-synthesize with per-tx codes: rebuild streams burst by burst.
-    tx_codes = {0: bank[0], 2: bank[2]}
-    new_caps = {}
-    for rxid, rpos in RX_POS.items():
-        fs = FS * (1.0 + {1: 3e-6, 2: -2e-6}.get(rxid, 0.0))
-        off = {1: 777.25, 2: -123.5}.get(rxid, 0.0)
-        bursts = []
-        for txid, t in schedule:
-            dist = float(np.linalg.norm(
-                np.asarray({**BEACON_POS, **MOBILE_POS}[txid]) - rpos))
-            pos = (t + dist / sim.SPEED_OF_LIGHT) * fs + off
-            bursts.append({
-                "position": pos, "carrier_bin": SHARED_BIN,
-                "amplitude": 0.6, "phase": 0.5 * txid,
-                "template": tx_codes[txid],
-            })
-        new_len = 16384 - 4920
-        stream = sim.synth_stream(80 * new_len, bursts, bank[0], 16384,
-                                  noise_std=0.04, seed=11 + rxid)
-        blocks = sim.stream_to_blocks(stream, 16384, 4920)
-        idx = np.arange(len(blocks), dtype=np.int64)
-        new_caps[rxid] = (1.5e9 + idx * (new_len / FS), idx,
-                          blocks.astype(np.complex64))
+            clock_drifts={1: 3e-6, 2: -2e-6}, seed=11,
+            tx_codes={0: bank[0], 2: bank[2]}).items():
+        caps[rxid] = (cap.timestamps, cap.indices, cap.blocks)
 
     detector = BatchDetector(bank, DetectorConfig(carrier_window=(7, 110)))
     detections = kitchen_sink.detect_all(
-        new_caps, detector, batch_size=16, txid_from_template=True)
+        caps, detector, batch_size=16, txid_from_template=True)
 
     settings = kitchen_sink.PostdetectSettings(
         freqmap=None, match_window=0.02, tdoa_est_window=8.0,
-        rx_pos=RX_POS, beacon_pos=BEACON_POS, sample_rate=FS)
-    return kitchen_sink.postdetect(
-        detections, settings,
-        integrator=functools.partial(
-            identify.integrate, keep_txid=True, dedup_any_tx=True))
+        rx_pos=RX_POS, beacon_pos=BEACON_POS, sample_rate=FS,
+        keep_txid=True)
+    return kitchen_sink.postdetect(detections, settings)
 
 
 @pytest.fixture(scope="module")

@@ -279,3 +279,19 @@ class TestReadCardFallbackParity:
         blob = ("\n".join(rows) + "\n").encode()
         with pytest.raises(ValueError, match="inconsistent block sizes"):
             card.read_card(io.BytesIO(blob), native=False)
+
+
+def test_raw_batches_rejects_degenerate_history():
+    """size == history would loop forever (read(0) never looks like
+    EOF); history > size reads a negative count.  Both fail loudly."""
+    import io as io_mod
+
+    import pytest
+
+    from thrifty_tpu.io import blocks as blocks_io
+
+    stream = io_mod.BytesIO(b"\x80" * 64)
+    with pytest.raises(ValueError, match="history"):
+        list(blocks_io.raw_batches(stream, 16, 16, 2))
+    with pytest.raises(ValueError, match="history"):
+        list(blocks_io.raw_batches(stream, 16, 20, 2))

@@ -41,6 +41,14 @@ def raw_batches(stream, size, history, batch_size, timestamper=None):
     """
     if timestamper is None:
         timestamper = time_mod.time
+    if not 0 <= history < size:
+        # size == history makes new_bytes 0: read(0) returns b'' but
+        # the EOF test (len < new_bytes) can never fire -> an infinite
+        # loop appending history-only blocks; history > size reads a
+        # negative count.  Fail loudly like StreamPump does.
+        raise ValueError(
+            "history must satisfy 0 <= history < size "
+            "(got history={}, size={})".format(history, size))
     new_bytes = 2 * (size - history)
     hist_bytes = 2 * history
     tail = np.zeros(hist_bytes, dtype=np.uint8) + 128  # zero-signal bias

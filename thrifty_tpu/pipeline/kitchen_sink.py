@@ -28,6 +28,12 @@ class PostdetectSettings:
     rx_pos: dict
     beacon_pos: dict
     sample_rate: float
+    # txids already assigned upstream (detect_all's
+    # txid_from_template, i.e. a code-division template bank): keep
+    # them and dedup across codes.  Without this the default
+    # integrator would silently RE-classify by carrier bin, lumping
+    # every shared-carrier transmitter into one txid.
+    keep_txid: bool = False
 
 
 @dataclasses.dataclass
@@ -93,7 +99,12 @@ def postdetect(
     pos_estimator: Callable = pos_mod.solve,
 ):
     """Identify, match, estimate TDOAs, estimate positions."""
-    toads = integrator(detections, settings.freqmap)
+    if settings.keep_txid \
+            and integrator is identify_mod.integrate:
+        toads = integrator(detections, settings.freqmap,
+                           keep_txid=True, dedup_any_tx=True)
+    else:
+        toads = integrator(detections, settings.freqmap)
     matches, _, _ = matcher(toads, settings.match_window)
     tdoas, _ = tdoa_estimator(
         toads, matches, settings.tdoa_est_window,

@@ -44,7 +44,10 @@ class Capture:
     template: np.ndarray    # [L] float64 bipolar template
 
 
-SPEED_OF_LIGHT = 2.997e8
+# The solvers' truncated reference constant (thrifty/tdoa_est.py:25):
+# ground truth and solvers must share it BIT-IDENTICALLY, or every
+# position test acquires a silent ~300 ppm range bias.
+from thrifty_tpu.pipeline.tdoa import SPEED_OF_LIGHT  # noqa: E402
 
 
 def synth_network(
@@ -123,6 +126,7 @@ def synth_rx_captures(
     clock_drifts: dict = None,
     seed: int = 0,
     t0: float = 1.5e9,
+    tx_codes: dict = None,
 ):
     """Signal-level simulation of a receiver network.
 
@@ -164,12 +168,15 @@ def synth_rx_captures(
             if pos < 0 or int(pos) + tlen + 1 > length:
                 continue
             phase = float(rng.uniform(0, 2 * np.pi))
-            bursts.append({
+            spec = {
                 "position": pos,
                 "carrier_bin": tx_bins[txid],
                 "amplitude": amplitude,
                 "phase": phase,
-            })
+            }
+            if tx_codes and txid in tx_codes:
+                spec["template"] = tx_codes[txid]
+            bursts.append(spec)
             soa = pos + history_len
             block_idx = None
             # The block whose unique window contains this burst.
@@ -191,7 +198,12 @@ def synth_rx_captures(
         blocks = stream_to_blocks(stream, block_len, history_len)
         indices = np.arange(len(blocks), dtype=np.int64)
         captures[rxid] = Capture(
-            timestamps=t0 + indices * (new_len / sample_rate),
+            # Block k completes after k*new_len ticks of the DRIFTED
+            # sample clock: stamping with the nominal rate would skew
+            # timestamps by duration*drift and eventually push the
+            # same transmission's detections apart by more than the
+            # match window on long simulated captures.
+            timestamps=t0 + indices * (new_len / fs),
             indices=indices,
             blocks=blocks.astype(np.complex64),
             bursts=truth,
@@ -336,12 +348,15 @@ def synth_capture(
         # burst inside the block and well inside the unique window.
         lag = history_len + (block_len - tlen - history_len) // 2
         pos = b * new_len - history_len + lag
-        if pos < 0 or pos + tlen > length:
-            continue
         jitter = int(rng.integers(-200, 200))
         pos += jitter
         if frac_jitter:
             pos += float(rng.uniform(-0.5, 0.5))
+        # Bounds AFTER the jitter: a tight end margin (< 200 samples)
+        # could otherwise push a 'validated' burst past the stream end
+        # and crash synth_stream instead of skipping the burst.
+        if pos < 0 or int(pos) + tlen + 1 > length:
+            continue
         phase = float(rng.uniform(0, 2 * np.pi))
         bin_jitter = float(rng.uniform(-0.4, 0.4))
         burst_list.append({
