@@ -19,7 +19,12 @@
 #
 # Inputs: tests/golden/input/*.card (committed; originally produced by
 # example/simulate.py seed 20 -> `capture --raw-in --t0 1500000000 -k 0`,
-# verified bit-identical to that regeneration).
+# verified bit-identical to that regeneration at the time.  Round 4
+# corrected synth_rx_captures to stamp blocks with the receiver's
+# DRIFTED sample clock, so re-running simulate.py now yields
+# microsecond-different timestamps on the drifting receivers; the
+# committed inputs remain the fixed test vector, and regenerating
+# tests/golden/ from them with this script stays byte-identical.)
 #
 # Usage: scripts/make_reference_goldens.sh [REFERENCE_DIR] [OUT_DIR]
 set -euo pipefail
