@@ -824,6 +824,12 @@ def main(argv=None):
                         help="FFT implementation (dsp/mxu_fft.py): "
                              "'auto' = MXU matmul transforms on TPU, "
                              "jnp.fft elsewhere")
+    parser.add_argument("--fft-precision", type=str, default="highest",
+                        choices=["highest", "high", "default"],
+                        help="matmul-FFT accumulation precision "
+                             "(dsp/mxu_fft.py): 'high' = bf16x3 MXU "
+                             "passes, a throughput-over-parity knob "
+                             "[default: highest = f32-grade]")
     parser.add_argument("--program", type=str, default="batch",
                         choices=["batch", "stream", "serve", "e2e",
                                  "selfcheck"],
@@ -944,7 +950,8 @@ def main(argv=None):
         return 0 if ok else 1
 
     cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
-                         use_pallas=args.pallas, fft_impl=args.fft_impl)
+                         use_pallas=args.pallas, fft_impl=args.fft_impl,
+                         fft_precision=args.fft_precision)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
 
@@ -1054,7 +1061,8 @@ def main(argv=None):
 
     diag = {"batch": args.batch, "iters": args.iters,
             "sync_mode": args.sync_mode, "pallas": args.pallas,
-            "fft_impl": args.fft_impl, "input": args.input,
+            "fft_impl": args.fft_impl,
+            "fft_precision": args.fft_precision, "input": args.input,
             "program": args.program, "bank": args.bank}
     headline_batch = args.batch
     if args.profile:

@@ -109,3 +109,155 @@ class TestDetectorEquivalence:
         with pytest.raises(ValueError, match="unknown fft_impl"):
             BatchDetector(sim.make_template(),
                           DetectorConfig(fft_impl="fftw"))
+
+
+class TestWindowedDft:
+    """windowed_dft: carrier-window transform (round 5)."""
+
+    @pytest.mark.parametrize("n,sel", [
+        (16384, np.arange(7, 111)),            # example carrier window
+        (16384, np.arange(-10, 11) % 16384),   # wrapped window
+        (1024, np.arange(3, 40)),              # dense-matrix path
+    ])
+    def test_matches_full_fft(self, n, sel):
+        x = rand(3, n, seed=n + len(sel))
+        ref = np.fft.fft(x.astype(np.complex128))[:, sel]
+        got = np.asarray(mxu_fft.windowed_dft(x, sel, impl="matmul"))
+        assert got.shape == (3, len(sel))
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 2e-5
+
+    def test_xla_impl_is_exact_take(self):
+        import jax.numpy as jnp
+
+        x = rand(2, 2048, seed=12)
+        sel = np.arange(5, 50)
+        got = np.asarray(mxu_fft.windowed_dft(x, sel, impl="xla"))
+        exact = np.asarray(jnp.fft.fft(x))[:, sel]
+        np.testing.assert_array_equal(got, exact)
+
+    def test_out_of_range_bins_rejected(self):
+        with pytest.raises(ValueError, match="out of range"):
+            mxu_fft.windowed_dft(rand(1, 256), np.asarray([256]),
+                                 impl="matmul")
+
+    def test_leading_dims(self):
+        x = rand(6, 16384, seed=2).reshape(2, 3, 16384)
+        sel = np.arange(7, 111)
+        got = np.asarray(mxu_fft.windowed_dft(x, sel, impl="matmul"))
+        ref = np.fft.fft(x.astype(np.complex128))[..., sel]
+        assert got.shape == (2, 3, len(sel))
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 2e-5
+
+
+class TestIfftHead:
+    """ifft_head: exact head-trimmed inverse transform (round 5)."""
+
+    @pytest.mark.parametrize("n,m", [(16384, 11471), (16384, 16384),
+                                     (1024, 100), (256, 1)])
+    def test_equals_sliced_ifft(self, n, m):
+        x = rand(2, n, seed=n + m)
+        full = np.asarray(mxu_fft.ifft(x, "matmul"))[..., :m]
+        head = np.asarray(mxu_fft.ifft_head(x, m, "matmul"))
+        assert head.shape == (2, m)
+        # Same dot products, minus discarded outputs; XLA may fuse the
+        # smaller matmul differently, so allow ULP-scale noise.
+        assert np.max(np.abs(head - full)) < 1e-6
+
+    def test_xla_impl_is_exact_slice(self):
+        x = rand(2, 6000, seed=3)  # unfactorable -> jnp fallback
+        full = np.asarray(mxu_fft.ifft(x, "xla"))[..., :123]
+        head = np.asarray(mxu_fft.ifft_head(x, 123, "xla"))
+        np.testing.assert_array_equal(head, full)
+
+
+class TestPrecision:
+    def test_high_precision_runs_and_is_coarser(self):
+        """'high' (bf16x3 on TPU; still f32 matmul on CPU) transforms
+        correctly; 'default' is accepted but documented-lossy."""
+        x = rand(2, 16384, seed=8)
+        ref = np.fft.fft(x.astype(np.complex128))
+        for prec in ("high", "default"):
+            got = np.asarray(mxu_fft.fft(x, "matmul", prec))
+            # CPU matmuls ignore the TPU pass-count hint -- just assert
+            # correctness envelope here; the TPU A/B lives in bench.
+            err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            assert err < 1e-2, (prec, err)
+
+    def test_bad_precision_rejected(self):
+        with pytest.raises(ValueError, match="unknown fft precision"):
+            mxu_fft.fft(rand(1, 256), "matmul", "quad")
+
+
+class TestWindowedCarrierFastPath:
+    """Detector-level equivalence of the windowed-carrier stage."""
+
+    @pytest.mark.parametrize("interp", ["dirichlet", "parabolic",
+                                        "gaussian", "cosine",
+                                        "polyfit", "none"])
+    def test_matches_full_path_per_interp(self, interp):
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        cap = sim.synth_capture(num_blocks=10, bursts_every=3,
+                                template=tpl, seed=17, quantize=True)
+        outs = {}
+        for impl in ("matmul", "xla"):
+            det = BatchDetector(tpl, DetectorConfig(
+                carrier_window=(7, 110), fft_impl=impl,
+                carrier_interp=interp))
+            if impl == "matmul":
+                assert det._carrier_win is not None
+            outs[impl] = {k: np.asarray(v)
+                          for k, v in det(cap.blocks).items()}
+        a, b = outs["xla"], outs["matmul"]
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+        np.testing.assert_allclose(a["carrier_offset"],
+                                   b["carrier_offset"], atol=2e-3)
+        np.testing.assert_allclose(a["carrier_noise"],
+                                   b["carrier_noise"], rtol=1e-4)
+        np.testing.assert_allclose(a["carrier_energy"],
+                                   b["carrier_energy"], rtol=1e-4)
+        np.testing.assert_allclose(a["corr_offset"], b["corr_offset"],
+                                   atol=2e-3)
+
+    def test_gating(self):
+        """The fast path requires: fractional sync, a carrier window,
+        no peak filter, no stddev term, matmul FFT impl."""
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        on = dict(carrier_window=(7, 110), fft_impl="matmul")
+        assert BatchDetector(
+            tpl, DetectorConfig(**on))._carrier_win is not None
+        for off in (dict(on, fft_impl="xla"),
+                    dict(on, sync_mode="integer"),
+                    dict(on, sync_mode="preshift"),
+                    dict(on, carrier_window=None),
+                    dict(on, peak_filter_len=5),
+                    dict(on, carrier_thresh=(0.0, 15.0, 1.0))):
+            assert BatchDetector(
+                tpl, DetectorConfig(**off))._carrier_win is None, off
+
+    def test_wrapped_window(self):
+        """A window spanning negative bins wraps through index 0."""
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        cap = sim.synth_capture(num_blocks=6, bursts_every=3,
+                                template=tpl, seed=23, quantize=True,
+                                carrier_bin=-20)
+        outs = {}
+        for impl in ("matmul", "xla"):
+            det = BatchDetector(tpl, DetectorConfig(
+                carrier_window=(-60, -5), fft_impl=impl))
+            outs[impl] = {k: np.asarray(v)
+                          for k, v in det(cap.blocks).items()}
+        a, b = outs["xla"], outs["matmul"]
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])

@@ -86,6 +86,12 @@ class DetectorConfig:
     # accuracy, see dsp/mxu_fft.py -- jnp.fft elsewhere), 'matmul',
     # or 'xla'.
     fft_impl: str = "auto"
+    # Matmul-FFT accumulation precision: 'highest' (f32-grade,
+    # default), 'high' (bf16x3 -- ~half the MXU passes, ~3e-4
+    # relative error on energies: a throughput-over-parity knob),
+    # 'default' (single-pass bf16, too lossy for sub-sample SoA).
+    # Ignored by the xla FFT path.  See dsp/mxu_fft.py.
+    fft_precision: str = "highest"
 
 
 class BatchDetector:
@@ -121,6 +127,10 @@ class BatchDetector:
             raise ValueError(
                 "unknown fft_impl {!r}: expected 'auto', 'matmul' or "
                 "'xla'".format(config.fft_impl))
+        if config.fft_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "unknown fft_precision {!r}: expected 'highest', "
+                "'high' or 'default'".format(config.fft_precision))
         self.config = config
         template = np.asarray(template, dtype=np.float64)
         self.bank = template.ndim == 2
@@ -279,6 +289,42 @@ class BatchDetector:
         else:
             raise ValueError("unknown corr_interp: " + config.corr_interp)
 
+        # Windowed-carrier fast path (round 5): in fractional sync the
+        # full carrier FFT is consumed ONLY as (a) the windowed argmax
+        # + peak neighborhood and (b) the total spectrum energy for
+        # the noise estimate.  (b) is Parseval on the time-domain
+        # block (sum|X|^2 = N*sum|x|^2 -- energy the corr noise stage
+        # computes anyway), so the whole 16384-point carrier FFT
+        # collapses to a windowed DFT over the ~100-bin carrier window
+        # plus the interpolator's margin (mxu_fft.windowed_dft): one
+        # [n1, n1] column transform + a W-bin combine, about half a
+        # four-step FFT, with no [B, N] spectrum or magnitude array
+        # ever materialized.  Gated to the matmul FFT impl so the
+        # jnp.fft path (CPU goldens) keeps bit-exact reference
+        # numerics; inactive with a carrier peak filter (its FIR runs
+        # over the window ORDER with a start-up transient) or a
+        # stddev threshold term (needs every bin's magnitude).
+        from thrifty_tpu.dsp import mxu_fft as _mxu
+        if carrier_interp in ("dirichlet", "polyfit"):
+            win_half = config.interp_width // 2
+        elif carrier_interp == "none":
+            win_half = 0
+        else:  # parabolic / gaussian / cosine: 3-point fits
+            win_half = 1
+        self._carrier_win = None
+        if (config.sync_mode == "fractional"
+                and config.peak_filter_len == 0
+                and config.carrier_thresh[2] == 0
+                and config.carrier_window is not None
+                and _mxu._use_matmul(config.fft_impl)):
+            w = config.carrier_window
+            sel = carrier.fft_window_indices(w[0], w[1], n)
+            if len(sel) + 2 * win_half <= n // 8:
+                ext = (int(sel[0]) - win_half
+                       + np.arange(len(sel) + 2 * win_half)) % n
+                self._carrier_win = (sel.astype(np.int32),
+                                     ext.astype(np.int64), win_half)
+
         self._detect_jit = jax.jit(self._detect_batch)
 
     # -- the compiled program ------------------------------------------------
@@ -319,17 +365,45 @@ class BatchDetector:
 
         cfg = self.config
         n = cfg.block_len
+        signal_energy = self._signal_energy(blocks)
 
-        # Stage 1: carrier detection on |FFT|.
-        fft = mxu_fft.fft(blocks, cfg.fft_impl)
-        mag = jnp.abs(fft)
-        c_det, c_idx, c_mag, c_noise = carrier.detect(
-            mag, self._carrier_mask, cfg.carrier_thresh,
-            peak_filter=self._peak_filter, selection=self._carrier_sel
-        )
-
-        # Stage 2: sub-bin interpolation (only reported when detected).
-        c_off = self._interp(mag, c_idx)
+        if self._carrier_win is not None:
+            # Stage 1+2 fast path: windowed carrier DFT (see __init__).
+            sel, ext, half = self._carrier_win
+            spec_w = mxu_fft.windowed_dft(blocks, ext, cfg.fft_impl,
+                                          cfg.fft_precision)
+            mag_w = jnp.abs(spec_w)
+            core = mag_w[..., half:half + len(sel)] if half else mag_w
+            rel = jnp.argmax(core, axis=-1).astype(jnp.int32)
+            c_mag = jnp.take_along_axis(core, rel[..., None],
+                                        axis=-1)[..., 0]
+            c_idx = jnp.asarray(sel)[rel]
+            # Parseval: sum|FFT|^2 = N * sum|x|^2 (exact identity; f32
+            # rounding differs from the spectral sum by ~1e-6 rel).
+            c_noise, c_thresh_sq = carrier.noise_and_threshold_sq(
+                n * signal_energy, jnp.square(c_mag), n,
+                cfg.carrier_thresh)
+            c_det = c_mag > jnp.sqrt(jnp.maximum(c_thresh_sq, 0.0))
+            if half:
+                nidx = (rel + half)[..., None] + jnp.arange(-half,
+                                                            half + 1)
+                neigh = jnp.take_along_axis(mag_w, nidx, axis=-1)
+                c_off = self._interp(None, c_idx, values=neigh)
+            else:
+                c_off = self._interp(None, c_idx)
+            fft = None  # unused by fractional-mode despread
+        else:
+            # Stage 1: carrier detection on |FFT|.
+            fft = mxu_fft.fft(blocks, cfg.fft_impl, cfg.fft_precision)
+            mag = jnp.abs(fft)
+            c_det, c_idx, c_mag, c_noise = carrier.detect(
+                mag, self._carrier_mask, cfg.carrier_thresh,
+                peak_filter=self._peak_filter,
+                selection=self._carrier_sel
+            )
+            # Stage 2: sub-bin interpolation (only reported when
+            # detected).
+            c_off = self._interp(mag, c_idx)
         c_off = jnp.where(c_det, c_off, 0.0)
 
         # Stage 3 + 4: carrier removal and despread.
@@ -339,7 +413,7 @@ class BatchDetector:
         p_idx, p_mag = xcorr.window_peak(corr_mag, self.window)
 
         # Stage 5: noise, threshold, sub-sample offset.
-        noise = self._corr_noise(blocks, p_mag, n)
+        noise = self._corr_noise(signal_energy, p_mag, n)
         thresh = xcorr.threshold(corr_mag, noise, cfg.corr_thresh)
         p_det = p_mag > thresh
         if cfg.corr_interp == "maximise":
@@ -350,11 +424,16 @@ class BatchDetector:
         return self._finish_outputs(c_det, c_idx, c_off, c_mag, c_noise,
                                     p_idx, p_mag, p_det, p_off, noise)
 
-    def _corr_noise(self, blocks, p_mag, n):
+    @staticmethod
+    def _signal_energy(blocks):
+        """Time-domain block energy sum(|x|^2), shared by the carrier
+        noise (via Parseval on the fast path) and corr noise stages."""
+        return jnp.sum(
+            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1)
+
+    def _corr_noise(self, signal_energy, p_mag, n):
         """Correlation noise from the block's time-domain energy
         (shared by the XLA and Pallas paths -- one formula)."""
-        signal_energy = jnp.sum(
-            jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1)
         if self.bank:
             signal_energy = signal_energy[:, None]
         return xcorr.noise_rms(p_mag, signal_energy, self._tmpl_energy, n)
@@ -413,8 +492,9 @@ class BatchDetector:
             n = cfg.block_len
             signed = ((c_idx + n // 2) % n) - n // 2
             shift_bins = -(signed.astype(jnp.float32) + c_off)
-            shifted = shift.fractional_shift_fft(blocks, shift_bins,
-                                                 impl=cfg.fft_impl)
+            shifted = shift.fractional_shift_fft(
+                blocks, shift_bins, impl=cfg.fft_impl,
+                precision=cfg.fft_precision)
             spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
         elif cfg.sync_mode == "integer":
             shifted = shift.integer_roll_fft(
@@ -440,7 +520,10 @@ class BatchDetector:
             spec = shifted * tconj
         else:
             raise ValueError("unknown sync_mode: " + cfg.sync_mode)
-        corr = mxu_fft.ifft(spec, cfg.fft_impl)[..., :corr_len]
+        # Head-trimmed inverse: lags >= corr_len are discarded anyway
+        # (exact -- same dot products, see mxu_fft._transform).
+        corr = mxu_fft.ifft_head(spec, corr_len, cfg.fft_impl,
+                                 cfg.fft_precision)
         return (corr, spec) if with_spec else corr
 
     def _detect_batch_pallas(self, blocks):
@@ -477,7 +560,7 @@ class BatchDetector:
         # total-power output, but the term is rarely enabled and the
         # extra reduce is trivial next to the FFTs -- one kernel
         # variant beats a third specialization.
-        fft = mxu_fft.fft(blocks, cfg.fft_impl)
+        fft = mxu_fft.fft(blocks, cfg.fft_impl, cfg.fft_precision)
         c_stats = np.ones(n, dtype=bool) if c_std else None
         c_out = pallas_kernels.fused_power_peak(
             fft, self._carrier_mask, stats_mask=c_stats)
@@ -549,7 +632,7 @@ class BatchDetector:
 
         # Stage 5: noise / threshold (identical formulas; the stddev
         # term comes from the kernel's fused statistics).
-        noise = self._corr_noise(blocks, p_mag, n)
+        noise = self._corr_noise(self._signal_energy(blocks), p_mag, n)
         u_thresh_sq = u_const + u_snr * jnp.square(noise)
         if u_std:
             u_thresh_sq = u_thresh_sq + u_std * u_var

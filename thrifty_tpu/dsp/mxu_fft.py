@@ -25,6 +25,31 @@ passes cost 5e-3 relative error -- too lossy for sub-sample SoA).
               n has no supported factorization);
   'xla'    -- force jnp.fft.
 
+``precision`` selects the matmul accumulation algorithm:
+  'highest' -- lax.Precision.HIGHEST (f32-grade, the 3.5e-7 figure
+               above); the default.
+  'high'    -- lax.Precision.HIGH (bf16x3 passes on TPU MXUs --
+               roughly half the MXU passes of 'highest'); measured
+               round 5 on v5e: detect program 1.28 -> 1.07 ms/batch,
+               but carrier/corr energies move ~3e-4 relative (vs
+               3.5e-7), ~1000x the 'highest' error -- kept available
+               for throughput-over-parity deployments, not default.
+  'default' -- single-pass bf16 (fast, ~5e-3 relative error -- too
+               lossy for sub-sample SoA; exposed for experiments).
+
+Beyond the full transforms, two trimmed variants exploit what the
+detector actually consumes (exact, not approximations -- they compute
+the same dot products as the full transform, minus unused outputs):
+
+- :func:`ifft_head` computes only the first ``m`` outputs (the
+  detector discards lags >= corr_len, i.e. ~30% of the inverse
+  transform's rows at the example geometry);
+- :func:`windowed_dft` computes an arbitrary subset of output bins
+  (the carrier stage needs only the ~100-bin carrier window plus an
+  interpolation margin; total spectrum energy comes from Parseval on
+  the time-domain block).  Cost is one full [n1, n1] column transform
+  plus W-bin combine -- about HALF a four-step FFT for W << n.
+
 The transform constants are numpy complex64 embedded at trace time
 (same convention as the detector's template FFTs).
 """
@@ -42,7 +67,21 @@ from jax import lax
 # is 32 MB complex64 -- fine as a trace-time constant, and small
 # blocks only appear in tests/tiny geometries anyway.
 _DFT_MAX = 2048
-_PRECISION = lax.Precision.HIGHEST
+
+_PRECISIONS = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}
+
+
+def _resolve_precision(precision):
+    try:
+        return _PRECISIONS[precision]
+    except KeyError:
+        raise ValueError(
+            "unknown fft precision {!r}: expected one of {}".format(
+                precision, sorted(_PRECISIONS)))
 
 
 @functools.lru_cache(maxsize=32)
@@ -77,42 +116,135 @@ def _split(n):
     return None
 
 
-def _transform(x, inverse, impl):
+def _use_matmul(impl):
     if impl not in ("auto", "matmul", "xla"):
         raise ValueError("unknown fft impl {!r}: expected 'auto', "
                          "'matmul' or 'xla'".format(impl))
-    use_matmul = (impl == "matmul"
-                  or (impl == "auto"
-                      and jax.default_backend() not in ("cpu",)))
+    return (impl == "matmul"
+            or (impl == "auto"
+                and jax.default_backend() not in ("cpu",)))
+
+
+def _transform(x, inverse, impl, precision="highest", head=None):
+    """Full transform, or (``head=m``) only its first ``m`` outputs.
+
+    The head trim is EXACT: the kept outputs are the same dot products
+    the full transform computes (dense path: a column slice of the DFT
+    matrix; four-step: a column slice of the row transform), so
+    ``_transform(x, head=m)`` equals ``_transform(x)[..., :m]`` per
+    impl.  The detector's despread discards correlation lags >=
+    corr_len (reference thrifty/soa_estimator.py:97-102 slices the
+    same way), which at the example geometry skips ~30% of the inverse
+    transform's output rows.
+    """
+    prec = _resolve_precision(precision)
     n = x.shape[-1]
-    if use_matmul:
+    m = n if head is None else min(int(head), n)
+    if _use_matmul(impl):
         if n <= _DFT_MAX:
-            f = jnp.asarray(_dft_matrix(n, inverse))
-            out = jnp.matmul(x, f, precision=_PRECISION)
+            f = jnp.asarray(_dft_matrix(n, inverse))[:, :m]
+            out = jnp.matmul(x, f, precision=prec)
             return out / n if inverse else out
         split = _split(n)
         if split is not None:
             n1, n2 = split
             f1, f2, tw = (jnp.asarray(c) for c in
                           _four_step_consts(n1, n2, inverse))
+            # Output index j = k2*n1 + k1: keeping j < m only needs
+            # row-transform columns k2 < ceil(m/n1).
+            k2_max = -(-m // n1)
             lead = x.shape[:-1]
             a = x.reshape((-1, n1, n2))
-            b = jnp.einsum("ij,bjk->bik", f1, a,
-                           precision=_PRECISION)
-            d = jnp.einsum("bik,kj->bij", b * tw, f2,
-                           precision=_PRECISION)
-            out = d.transpose(0, 2, 1).reshape(lead + (n,))
+            b = jnp.einsum("ij,bjk->bik", f1, a, precision=prec)
+            d = jnp.einsum("bik,kj->bij", b * tw, f2[:, :k2_max],
+                           precision=prec)
+            out = d.transpose(0, 2, 1).reshape(lead + (k2_max * n1,))
+            out = out[..., :m]
             return out / n if inverse else out
         # No supported factorization: matmul would need a dense
         # [n, n] constant beyond _DFT_MAX -- fall back.
-    return jnp.fft.ifft(x) if inverse else jnp.fft.fft(x)
+    full = jnp.fft.ifft(x) if inverse else jnp.fft.fft(x)
+    return full if head is None else full[..., :m]
 
 
-def fft(x, impl="auto"):
+@functools.lru_cache(maxsize=32)
+def _windowed_consts(n, sel, inverse):
+    """Constants for :func:`windowed_dft` at output bins ``sel``.
+
+    Factorized evaluation when the four-step split exists: with time
+    index t = j1*n2 + j2, X[k] = sum_j2 W_n^{j2 k} * b1[k mod n1, j2]
+    where b1 is the SAME [n1, n1] column transform the four-step FFT
+    runs -- so the windowed transform shares its two-level
+    accumulation accuracy.  Returns (f1, k1_idx, comb) for the
+    factorized path or (dense_cols, None, None) for small n.
+    """
+    sgn = 2j if inverse else -2j
+    sel_arr = np.asarray(sel, dtype=np.int64)
+    if n <= _DFT_MAX:
+        k = np.arange(n)
+        cols = np.exp(sgn * np.pi * np.outer(k, sel_arr) / n)
+        return cols.astype(np.complex64), None, None
+    split = _split(n)
+    if split is None:
+        return None, None, None
+    n1, n2 = split
+    f1 = np.exp(sgn * np.pi * np.outer(np.arange(n1), np.arange(n1))
+                / n1).astype(np.complex64)
+    k1_idx = (sel_arr % n1).astype(np.int32)
+    comb = np.exp(sgn * np.pi * np.outer(sel_arr, np.arange(n2))
+                  / n).astype(np.complex64)  # [W, n2]
+    return f1, k1_idx, comb
+
+
+def windowed_dft(x, sel, impl="auto", precision="highest"):
+    """DFT of ``x`` evaluated only at output bins ``sel``.
+
+    ``sel``: 1-D numpy int array (hashable tuple accepted) of FFT bin
+    indices in any order, e.g. a wrapped carrier window.  Returns
+    [..., len(sel)] -- ``fft(x)[..., sel]`` up to matmul accumulation
+    error.  Under the xla impl (or unfactorable n) this IS a take of
+    the full jnp.fft.  Cost on the matmul path: the four-step's column
+    transform plus a len(sel)-bin combine -- about half a full
+    four-step FFT for small windows, with no [.., n] spectrum ever
+    materialized.
+    """
+    prec = _resolve_precision(precision)
+    n = x.shape[-1]
+    sel_t = tuple(int(s) for s in np.asarray(sel).ravel())
+    if any(s < 0 or s >= n for s in sel_t):
+        raise ValueError("windowed_dft bins out of range for n=%d" % n)
+    if _use_matmul(impl):
+        cols, k1_idx, comb = _windowed_consts(n, sel_t, False)
+        if cols is not None and k1_idx is None:
+            return jnp.matmul(x, jnp.asarray(cols), precision=prec)
+        if cols is not None:
+            f1 = cols
+            n1 = f1.shape[0]
+            n2 = n // n1
+            lead = x.shape[:-1]
+            a = x.reshape((-1, n1, n2))
+            b1 = jnp.einsum("ij,bjk->bik", jnp.asarray(f1), a,
+                            precision=prec)
+            rows = jnp.take(b1, jnp.asarray(k1_idx), axis=1)  # [B,W,n2]
+            out = jnp.einsum("bwj,wj->bw", rows, jnp.asarray(comb),
+                             precision=prec)
+            return out.reshape(lead + (len(sel_t),))
+    full = jnp.fft.fft(x)
+    return jnp.take(full, jnp.asarray(np.asarray(sel_t)), axis=-1)
+
+
+def fft(x, impl="auto", precision="highest"):
     """Batched FFT along the last axis (see module docstring)."""
-    return _transform(x, False, impl)
+    return _transform(x, False, impl, precision)
 
 
-def ifft(x, impl="auto"):
+def ifft(x, impl="auto", precision="highest"):
     """Batched inverse FFT along the last axis."""
-    return _transform(x, True, impl)
+    return _transform(x, True, impl, precision)
+
+
+def ifft_head(x, m, impl="auto", precision="highest"):
+    """First ``m`` outputs of the inverse FFT -- exactly
+    ``ifft(x, impl)[..., :m]``, skipping the dot products for the
+    discarded tail on the matmul path (see :func:`_transform`)."""
+    return _transform(x, True, impl, precision, head=m)

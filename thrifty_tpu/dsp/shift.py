@@ -17,7 +17,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def fractional_shift_fft(blocks, shift, impl="auto"):
+def fractional_shift_fft(blocks, shift, impl="auto",
+                         precision="highest"):
     """FFT of blocks shifted by a (fractional) number of bins.
 
     ``blocks``: [..., N] complex time-domain samples.
@@ -32,7 +33,7 @@ def fractional_shift_fft(blocks, shift, impl="auto"):
     pos = jnp.arange(n, dtype=jnp.float32) / n - 0.5
     phase = 2.0 * jnp.pi * shift[..., None] * pos
     ramp = jnp.exp(1j * phase).astype(blocks.dtype)
-    return mxu_fft.fft(blocks * ramp, impl)
+    return mxu_fft.fft(blocks * ramp, impl, precision)
 
 
 def integer_roll_fft(fft, shift, max_start=None):

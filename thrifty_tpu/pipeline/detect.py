@@ -222,6 +222,12 @@ def _main(argv=None):
                         help="FFT implementation [default: auto = MXU "
                              "matmul transforms on TPU (1.7x the "
                              "butterfly lowering), jnp.fft elsewhere]")
+    parser.add_argument("--fft-precision", type=str, default="highest",
+                        choices=["highest", "high", "default"],
+                        help="matmul-FFT accumulation precision: "
+                             "'high' trades ~3e-4 relative energy "
+                             "error for ~MXU-pass-halved transforms "
+                             "[default: highest]")
     parser.add_argument("--peak-filter", type=int, default=0,
                         metavar="LEN",
                         help="Dirichlet matched filter length for the "
@@ -279,6 +285,7 @@ def _main(argv=None):
         peak_filter_len=args.peak_filter,
         use_pallas=args.pallas,
         fft_impl=args.fft_impl,
+        fft_precision=args.fft_precision,
     ))
 
     if args.rtlsdr is not None:
