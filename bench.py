@@ -830,6 +830,11 @@ def main(argv=None):
                              "(dsp/mxu_fft.py): 'high' = bf16x3 MXU "
                              "passes, a throughput-over-parity knob "
                              "[default: highest = f32-grade]")
+    parser.add_argument("--carrier-fast", type=str, default="auto",
+                        choices=["auto", "off"],
+                        help="windowed-carrier fast path (the A/B "
+                             "knob; 'off' = full-FFT carrier stage) "
+                             "[default: auto]")
     parser.add_argument("--program", type=str, default="batch",
                         choices=["batch", "stream", "serve", "e2e",
                                  "selfcheck"],
@@ -951,7 +956,8 @@ def main(argv=None):
 
     cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
                          use_pallas=args.pallas, fft_impl=args.fft_impl,
-                         fft_precision=args.fft_precision)
+                         fft_precision=args.fft_precision,
+                         carrier_fast=args.carrier_fast)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
 
@@ -1062,7 +1068,8 @@ def main(argv=None):
     diag = {"batch": args.batch, "iters": args.iters,
             "sync_mode": args.sync_mode, "pallas": args.pallas,
             "fft_impl": args.fft_impl,
-            "fft_precision": args.fft_precision, "input": args.input,
+            "fft_precision": args.fft_precision,
+            "carrier_fast": args.carrier_fast, "input": args.input,
             "program": args.program, "bank": args.bank}
     headline_batch = args.batch
     if args.profile:

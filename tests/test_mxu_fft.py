@@ -238,9 +238,18 @@ class TestWindowedCarrierFastPath:
                     dict(on, sync_mode="preshift"),
                     dict(on, carrier_window=None),
                     dict(on, peak_filter_len=5),
-                    dict(on, carrier_thresh=(0.0, 15.0, 1.0))):
+                    dict(on, carrier_thresh=(0.0, 15.0, 1.0)),
+                    dict(on, carrier_fast="off")):
             assert BatchDetector(
                 tpl, DetectorConfig(**off))._carrier_win is None, off
+
+    def test_bad_carrier_fast_rejected(self):
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        with pytest.raises(ValueError, match="unknown carrier_fast"):
+            BatchDetector(sim.make_template(),
+                          DetectorConfig(carrier_fast="on"))
 
     def test_wrapped_window(self):
         """A window spanning negative bins wraps through index 0."""

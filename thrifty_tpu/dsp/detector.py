@@ -92,6 +92,12 @@ class DetectorConfig:
     # 'default' (single-pass bf16, too lossy for sub-sample SoA).
     # Ignored by the xla FFT path.  See dsp/mxu_fft.py.
     fft_precision: str = "highest"
+    # Windowed-carrier fast path: 'auto' = on when eligible
+    # (fractional sync + carrier window + no peak filter/stddev term
+    # + matmul FFT impl -- see __init__), 'off' = always the full-FFT
+    # carrier stage (the A/B + fallback knob; measured +22% detect
+    # throughput on v5e when on, docs/performance.md round 5).
+    carrier_fast: str = "auto"
 
 
 class BatchDetector:
@@ -131,6 +137,10 @@ class BatchDetector:
             raise ValueError(
                 "unknown fft_precision {!r}: expected 'highest', "
                 "'high' or 'default'".format(config.fft_precision))
+        if config.carrier_fast not in ("auto", "off"):
+            raise ValueError(
+                "unknown carrier_fast {!r}: expected 'auto' or "
+                "'off'".format(config.carrier_fast))
         self.config = config
         template = np.asarray(template, dtype=np.float64)
         self.bank = template.ndim == 2
@@ -312,7 +322,8 @@ class BatchDetector:
         else:  # parabolic / gaussian / cosine: 3-point fits
             win_half = 1
         self._carrier_win = None
-        if (config.sync_mode == "fractional"
+        if (config.carrier_fast == "auto"
+                and config.sync_mode == "fractional"
                 and config.peak_filter_len == 0
                 and config.carrier_thresh[2] == 0
                 and config.carrier_window is not None

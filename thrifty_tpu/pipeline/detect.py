@@ -228,6 +228,11 @@ def _main(argv=None):
                              "'high' trades ~3e-4 relative energy "
                              "error for ~MXU-pass-halved transforms "
                              "[default: highest]")
+    parser.add_argument("--carrier-fast", type=str, default="auto",
+                        choices=["auto", "off"],
+                        help="windowed-carrier fast path: 'off' "
+                             "forces the full-FFT carrier stage "
+                             "[default: auto = on when eligible]")
     parser.add_argument("--peak-filter", type=int, default=0,
                         metavar="LEN",
                         help="Dirichlet matched filter length for the "
@@ -286,6 +291,7 @@ def _main(argv=None):
         use_pallas=args.pallas,
         fft_impl=args.fft_impl,
         fft_precision=args.fft_precision,
+        carrier_fast=args.carrier_fast,
     ))
 
     if args.rtlsdr is not None:
