@@ -617,6 +617,73 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
     return samples / elapsed, stats
 
 
+_RELATIVE_FIELDS = {"carrier_energy", "carrier_noise", "corr_energy",
+                    "corr_noise"}
+
+
+def _field_diffs(a, b):
+    """Per-field diffs of two detector output dicts, each reduced to
+    one f32 scalar ON DEVICE (scalars transfer through the tunnel;
+    full FFT-program outputs do not).  Bool/int fields: mismatch
+    count; float fields: max |a-b| (relative for energy/noise)."""
+    import jax.numpy as jnp
+
+    o = {}
+    for k in sorted(set(a) & set(b)):
+        x, y = a[k], b[k]
+        if jnp.issubdtype(x.dtype, jnp.bool_) or \
+                jnp.issubdtype(x.dtype, jnp.integer):
+            o[k] = jnp.sum(x != y).astype(jnp.float32)
+        elif k in _RELATIVE_FIELDS:
+            o[k] = jnp.max(jnp.abs(x - y)
+                           / jnp.maximum(jnp.abs(y), 1e-20))
+        else:
+            o[k] = jnp.max(jnp.abs(x - y))
+    return o
+
+
+def bench_abcheck(template, batch, base_cfg, overrides, float_tol=1e-3):
+    """On-device A/B of two detector configurations, tunnel-safe.
+
+    Runs the ``base_cfg`` detector and a ``dataclasses.replace(base_
+    cfg, **overrides)`` detector on the SAME on-device batch inside one
+    jitted program, reducing every output field's difference to an f32
+    scalar on device (same trick as the Pallas selfcheck).  This is
+    the evidence tool for config knobs whose numerics can only be
+    observed on the real chip -- e.g. ``fft_precision=high`` (bf16x3
+    MXU passes) or ``carrier_fast=off`` (full-FFT carrier stage).
+
+    ok criterion: decisions/indices identical, float surfaces within
+    ``float_tol`` (absolute for offsets, relative for energy/noise).
+    """
+    import dataclasses
+
+    import jax
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import iq as iq_mod
+    from thrifty_tpu.dsp.detector import BatchDetector
+
+    det_a = BatchDetector(template, base_cfg)
+    det_b = BatchDetector(template,
+                          dataclasses.replace(base_cfg, **overrides))
+    cap = sim.synth_capture(num_blocks=batch, bursts_every=4,
+                            template=template, seed=0, quantize=True)
+    raw = iq_mod.iq_to_raw(cap.blocks)
+
+    @jax.jit
+    def diffs(raw_in):
+        return _field_diffs(det_a._detect_batch_raw(raw_in),
+                            det_b._detect_batch_raw(raw_in))
+
+    out = {k: float(np.asarray(v)) for k, v in diffs(raw).items()}
+    int_fields = {"detected", "carrier_detect", "carrier_bin",
+                  "corr_sample", "template_idx"}
+    ok = all(v <= (0 if k in int_fields else float_tol)
+             for k, v in out.items())
+    return ok, out
+
+
 def bench_selfcheck(template, batch, sync_mode, wide=False):
     """On-device Pallas-vs-XLA path equivalence, tunnel-safe.
 
@@ -650,26 +717,7 @@ def bench_selfcheck(template, batch, sync_mode, wide=False):
                             template=template, seed=0, quantize=True)
     raw = iq_mod.iq_to_raw(cap.blocks)
 
-    relative = {"carrier_energy", "carrier_noise", "corr_energy",
-                "corr_noise"}
-
-    def field_diffs(a, b):
-        # Bool/int fields: mismatch count; float fields: max |a-b|
-        # (relative for the energy/noise surfaces) -- each reduced to
-        # one f32 scalar ON DEVICE (scalars transfer through the
-        # tunnel; full FFT-program outputs do not).
-        o = {}
-        for k in sorted(set(a) & set(b)):
-            x, y = a[k], b[k]
-            if jnp.issubdtype(x.dtype, jnp.bool_) or \
-                    jnp.issubdtype(x.dtype, jnp.integer):
-                o[k] = jnp.sum(x != y).astype(jnp.float32)
-            elif k in relative:
-                o[k] = jnp.max(jnp.abs(x - y)
-                               / jnp.maximum(jnp.abs(y), 1e-20))
-            else:
-                o[k] = jnp.max(jnp.abs(x - y))
-        return o
+    field_diffs = _field_diffs
 
     @jax.jit
     def diffs(raw_in):
@@ -835,9 +883,17 @@ def main(argv=None):
                         help="windowed-carrier fast path (the A/B "
                              "knob; 'off' = full-FFT carrier stage) "
                              "[default: auto]")
+    parser.add_argument("--ab", type=str, default=None,
+                        metavar="K=V[,K=V...]",
+                        help="program abcheck: DetectorConfig string-"
+                             "field overrides for the B side, e.g. "
+                             "fft_precision=high or carrier_fast=off")
+    parser.add_argument("--ab-tol", type=float, default=1e-3,
+                        help="abcheck float-surface tolerance "
+                             "[default: 1e-3]")
     parser.add_argument("--program", type=str, default="batch",
                         choices=["batch", "stream", "serve", "e2e",
-                                 "selfcheck"],
+                                 "selfcheck", "abcheck"],
                         help="'batch': pre-unfolded blocks; 'stream': the "
                              "sharded halo-exchange program over a device "
                              "mesh (uses all local devices); 'serve': "
@@ -939,6 +995,34 @@ def main(argv=None):
             11, tuple(range(args.bank)), 2.4e6 / 0.999707e6)
     else:
         template = sim.make_template()
+
+    if args.program == "abcheck":
+        if not args.ab:
+            parser.error("--program abcheck requires --ab K=V[,K=V...]")
+        overrides = {}
+        for kv in args.ab.split(","):
+            k, _, v = kv.partition("=")
+            if not _:
+                parser.error("--ab entries must be K=V, got " + kv)
+            overrides[k.strip()] = v.strip()
+        base = DetectorConfig(carrier_window=(7, 110),
+                              sync_mode=args.sync_mode,
+                              use_pallas=args.pallas,
+                              fft_impl=args.fft_impl,
+                              fft_precision=args.fft_precision,
+                              carrier_fast=args.carrier_fast)
+        ok, diffs = bench_abcheck(template, args.batch, base, overrides,
+                                  float_tol=args.ab_tol)
+        print(json.dumps({
+            "metric": "config_abcheck",
+            "value": 1.0 if ok else 0.0,
+            "unit": "pass",
+            "vs_baseline": 1.0 if ok else 0.0,
+            "batch": args.batch, "sync_mode": args.sync_mode,
+            "ab": overrides, "float_tol": args.ab_tol,
+            "field_diffs": diffs,
+        }))
+        return 0 if ok else 1
 
     if args.program == "selfcheck":
         ok, diffs = bench_selfcheck(template, args.batch, args.sync_mode,

@@ -270,3 +270,32 @@ class TestWindowedCarrierFastPath:
         np.testing.assert_array_equal(a["detected"], b["detected"])
         np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
         np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+
+    def test_carrier_fast_off_isolates_windowed_stage(self):
+        """carrier_fast='off' + matmul vs 'auto' + matmul differ ONLY
+        by the windowed carrier stage: identical decisions/indices,
+        float surfaces within the windowed transform's f32 error."""
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        cap = sim.synth_capture(num_blocks=10, bursts_every=3,
+                                template=tpl, seed=31, quantize=True)
+        outs = {}
+        for fast in ("auto", "off"):
+            det = BatchDetector(tpl, DetectorConfig(
+                carrier_window=(7, 110), fft_impl="matmul",
+                carrier_fast=fast))
+            assert (det._carrier_win is not None) == (fast == "auto")
+            outs[fast] = {k: np.asarray(v)
+                          for k, v in det(cap.blocks).items()}
+        a, b = outs["off"], outs["auto"]
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+        np.testing.assert_allclose(a["carrier_offset"],
+                                   b["carrier_offset"], atol=1e-4)
+        np.testing.assert_allclose(a["carrier_noise"],
+                                   b["carrier_noise"], rtol=1e-5)
+        np.testing.assert_allclose(a["corr_offset"], b["corr_offset"],
+                                   atol=1e-4)

@@ -301,8 +301,11 @@ class BatchDetector:
 
         # Windowed-carrier fast path (round 5): in fractional sync the
         # full carrier FFT is consumed ONLY as (a) the windowed argmax
-        # + peak neighborhood and (b) the total spectrum energy for
-        # the noise estimate.  (b) is Parseval on the time-domain
+        # + peak neighborhood (reference thrifty/carrier_detect.py:
+        # 61-96 searches just the window too -- it computes the full
+        # FFT because FFTW has no windowed transform) and (b) the
+        # total spectrum energy for the noise estimate
+        # (carrier_detect.py:99-107).  (b) is Parseval on the time-domain
         # block (sum|X|^2 = N*sum|x|^2 -- energy the corr noise stage
         # computes anyway), so the whole 16384-point carrier FFT
         # collapses to a windowed DFT over the ~100-bin carrier window
