@@ -299,3 +299,36 @@ class TestWindowedCarrierFastPath:
                                    b["carrier_noise"], rtol=1e-5)
         np.testing.assert_allclose(a["corr_offset"], b["corr_offset"],
                                    atol=1e-4)
+
+    @pytest.mark.parametrize("block_len,hist,win", [
+        (2048, 64, (4, 60)),      # small geometry
+        (2048, 64, (-30, 30)),    # window wrapping DC
+        (4096, 128, (-120, -4)),  # all-negative bins
+        (2048, 64, (1, 8)),       # window narrower than interp margin
+    ])
+    def test_odd_geometries(self, block_len, hist, win):
+        """Wrapped / edge / tiny windows across block sizes: windowed
+        path equals the full path on decisions and indices."""
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp import template as template_mod
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = template_mod.generate(5, 0, 2.0)  # 62-sample Gold code
+        cap = sim.synth_capture(num_blocks=8, bursts_every=3,
+                                template=tpl, block_len=block_len,
+                                history_len=hist,
+                                carrier_bin=(win[0] + win[1]) / 2,
+                                seed=3)
+        outs = {}
+        for impl in ("matmul", "xla"):
+            det = BatchDetector(tpl, DetectorConfig(
+                block_len=block_len, history_len=hist,
+                carrier_window=win, fft_impl=impl, gn_iters=4))
+            if impl == "matmul":
+                assert det._carrier_win is not None
+            outs[impl] = {k: np.asarray(v)
+                          for k, v in det(cap.blocks).items()}
+        a, b = outs["xla"], outs["matmul"]
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
