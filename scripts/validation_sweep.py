@@ -82,6 +82,10 @@ def sweep_detector(trials, rng):
             cbin = int(rng.integers(3, half - 1)) * \
                 (1 if rng.integers(2) else -1)
         sync = ("fractional", "integer")[int(rng.integers(2))]
+        # 'matmul' exercises the MXU transform paths on CPU, including
+        # the round-5 windowed carrier DFT (active for fractional
+        # trials without a peak filter) and the head-trimmed IFFT.
+        impl = ("xla", "matmul")[int(rng.integers(2))]
         flen = int(rng.choice([0, 0, 5, 7]))
         bursts, planted = [], []
         for b in range(1, nb - 1):
@@ -95,7 +99,7 @@ def sweep_detector(trials, rng):
         blocks = sim.stream_to_blocks(stream, block, hist)
         det = BatchDetector(tpl, DetectorConfig(
             block_len=block, history_len=hist, carrier_window=window,
-            sync_mode=sync, peak_filter_len=flen))
+            sync_mode=sync, peak_filter_len=flen, fft_impl=impl))
         out = {k: np.asarray(v) for k, v in det(blocks).items()}
         weights = dirichlet.dirichlet_weights(flen, block, tlen) \
             if flen else None
@@ -103,8 +107,8 @@ def sweep_detector(trials, rng):
             else FastdetOracleDetector
         oracle = ocls(tpl, block_len=block, history_len=hist,
                       carrier_window=window, peak_filter=weights)
-        geom = "t%d bits=%d blk=%d h=%d win=%s sync=%s flen=%d" % (
-            t, bits, block, hist, window, sync, flen)
+        geom = "t%d bits=%d blk=%d h=%d win=%s sync=%s flen=%d imp=%s" \
+            % (t, bits, block, hist, window, sync, flen, impl)
         for b, lag in planted:
             stats["blocks"] += 1
             try:
