@@ -868,7 +868,7 @@ def main(argv=None):
     parser.add_argument("--pallas", type=str, default="auto",
                         choices=["auto", "on", "off"])
     parser.add_argument("--fft-impl", type=str, default="auto",
-                        choices=["auto", "matmul", "xla"],
+                        choices=["auto", "matmul", "matmul3", "xla"],
                         help="FFT implementation (dsp/mxu_fft.py): "
                              "'auto' = MXU matmul transforms on TPU, "
                              "jnp.fft elsewhere")

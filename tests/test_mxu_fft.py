@@ -332,3 +332,44 @@ class TestWindowedCarrierFastPath:
         np.testing.assert_array_equal(a["detected"], b["detected"])
         np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
         np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+
+
+class TestMatmul3:
+    """impl='matmul3': Karatsuba 3-real-product complex contractions."""
+
+    @pytest.mark.parametrize("n", [256, 2048, 4096, 16384])
+    def test_fft_matches_numpy(self, n):
+        x = rand(3, n, seed=n + 5)
+        ref = np.fft.fft(x.astype(np.complex128))
+        got = np.asarray(mxu_fft.fft(x, impl="matmul3"))
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 2e-5
+
+    def test_ifft_head_and_windowed(self):
+        x = rand(2, 16384, seed=41)
+        refi = np.fft.ifft(x.astype(np.complex128))[:, :11471]
+        goti = np.asarray(mxu_fft.ifft_head(x, 11471, "matmul3"))
+        assert np.max(np.abs(goti - refi)) / np.max(np.abs(refi)) < 2e-5
+        sel = np.arange(4, 120)
+        refw = np.fft.fft(x.astype(np.complex128))[:, sel]
+        gotw = np.asarray(mxu_fft.windowed_dft(x, sel, "matmul3"))
+        assert np.max(np.abs(gotw - refw)) / np.max(np.abs(refw)) < 2e-5
+
+    def test_detector_equivalence(self):
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        cap = sim.synth_capture(num_blocks=8, bursts_every=3,
+                                template=tpl, seed=11, quantize=True)
+        outs = {}
+        for impl in ("xla", "matmul3"):
+            det = BatchDetector(tpl, DetectorConfig(
+                carrier_window=(7, 110), fft_impl=impl))
+            outs[impl] = {k: np.asarray(v)
+                          for k, v in det(cap.blocks).items()}
+        a, b = outs["xla"], outs["matmul3"]
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+        np.testing.assert_allclose(a["corr_offset"], b["corr_offset"],
+                                   atol=1e-3)

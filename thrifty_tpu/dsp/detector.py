@@ -129,10 +129,11 @@ class BatchDetector:
             raise ValueError(
                 "unknown use_pallas {!r}: expected 'auto', 'on' or "
                 "'off'".format(config.use_pallas))
-        if config.fft_impl not in ("auto", "matmul", "xla"):
+        if config.fft_impl not in ("auto", "matmul", "matmul3",
+                                   "xla"):
             raise ValueError(
-                "unknown fft_impl {!r}: expected 'auto', 'matmul' or "
-                "'xla'".format(config.fft_impl))
+                "unknown fft_impl {!r}: expected 'auto', 'matmul', "
+                "'matmul3' or 'xla'".format(config.fft_impl))
         if config.fft_precision not in ("highest", "high", "default"):
             raise ValueError(
                 "unknown fft_precision {!r}: expected 'highest', "

@@ -218,7 +218,7 @@ def _main(argv=None):
                              "[default: auto = off; XLA's fusion "
                              "measures faster -- docs/performance.md]")
     parser.add_argument("--fft-impl", type=str, default="auto",
-                        choices=["auto", "matmul", "xla"],
+                        choices=["auto", "matmul", "matmul3", "xla"],
                         help="FFT implementation [default: auto = MXU "
                              "matmul transforms on TPU (1.7x the "
                              "butterfly lowering), jnp.fft elsewhere]")
