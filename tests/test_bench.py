@@ -217,3 +217,24 @@ def test_selfcheck_wide_program():
                 "stddev"):
         assert d[cfg + ":detected"] == 0, cfg
         assert d[cfg + ":corr_sample"] == 0, cfg
+
+
+def test_abcheck_program():
+    """On-device config A/B program: carrier_fast off-vs-auto under
+    the matmul impl exercises the round-5 windowed carrier path."""
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--fft-impl", "matmul", "--ab", "carrier_fast=off"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "config_abcheck"
+    assert data["value"] == 1.0
+    assert data["ab"] == {"carrier_fast": "off"}
+    d = data["field_diffs"]
+    assert d["detected"] == 0 and d["corr_sample"] == 0
+
+
+def test_abcheck_requires_ab():
+    res = run_bench(["--program", "abcheck", "--batch", "16"])
+    assert res.returncode != 0
+    assert "--ab" in res.stderr

@@ -35,10 +35,10 @@ passes cost 5e-3 relative error -- too lossy for sub-sample SoA).
                above); the default.
   'high'    -- lax.Precision.HIGH (bf16x3 passes on TPU MXUs --
                roughly half the MXU passes of 'highest'); measured
-               round 5 on v5e: detect program 1.28 -> 1.07 ms/batch,
-               but carrier/corr energies move ~3e-4 relative (vs
-               3.5e-7), ~1000x the 'highest' error -- kept available
-               for throughput-over-parity deployments, not default.
+               round 5 on v5e ~10-30% faster at clean sweep points
+               (docs/performance.md); numerics certified on chip via
+               `bench.py --program abcheck --ab fft_precision=high`.
+               A throughput-over-parity knob, not the default.
   'default' -- single-pass bf16 (fast, ~5e-3 relative error -- too
                lossy for sub-sample SoA; exposed for experiments).
 
