@@ -684,6 +684,107 @@ def bench_abcheck(template, batch, base_cfg, overrides, float_tol=1e-3):
     return ok, out
 
 
+def bench_abcheck_knee(template, batch, base_cfg, overrides,
+                       band=1e-3, float_tol=1e-3):
+    """On-device config A/B AT THE DETECTION KNEE, tunnel-safe.
+
+    The standard abcheck runs production-amplitude bursts, where two
+    arithmetically different but correct programs agree exactly on
+    every decision.  The risk region for a numerics knob (e.g.
+    ``fft_precision=high``'s bf16x3 MXU passes) is the knee: blocks
+    whose deciding gate sits within arithmetic noise of its threshold
+    can flip between configs.  Same framing as the round-4
+    near-threshold campaign vs the compiled fastdet
+    (scripts/validation_sweep.py, docs/golden_validation.md): a flip
+    whose deciding-gate relative margin |energy/threshold - 1| is
+    within ``band`` is boundary physics; beyond it, a divergence.
+
+    Synthesizes burst amplitudes geometrically spanning the knee
+    (docs/performance.md: 100% detection at ~18 dB corr SNR falling
+    to 0% at ~14 dB -> amplitudes 0.006-0.04 at noise_std 0.05, plus
+    one pure-noise block per amplitude), runs both configs on the
+    same batch in one jitted program, and reduces ON DEVICE:
+    decision-flip count, the worst flipped block's deciding-gate
+    margin (min across gates and sides), and the worst SoA / offset
+    disagreement over blocks BOTH configs detect (per-field
+    comparisons on undetected blocks would be meaningless -- a noise
+    block's argmax location is arbitrary).
+
+    ok criterion: every flip in-band (margin <= band) and
+    both-detected SoA agreement within ``float_tol`` samples.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import iq as iq_mod
+    from thrifty_tpu.dsp.detector import BatchDetector
+
+    det_a = BatchDetector(template, base_cfg)
+    det_b = BatchDetector(template,
+                          dataclasses.replace(base_cfg, **overrides))
+    synth_tpl = template[0] if getattr(template, "ndim", 1) == 2 \
+        else template
+
+    n_amps = max(min(16, batch // 2), 1)
+    amps = np.geomspace(0.006, 0.04, n_amps)
+    per = max(batch // n_amps, 2)
+    blocks = np.concatenate([
+        sim.synth_capture(num_blocks=per, bursts_every=1,
+                          template=synth_tpl, amplitude=float(a),
+                          seed=1000 + i, quantize=True,
+                          frac_jitter=True).blocks
+        for i, a in enumerate(amps)])
+    raw = iq_mod.iq_to_raw(blocks)
+
+    cc, cs, _ = base_cfg.carrier_thresh
+    uc, us, _ = base_cfg.corr_thresh
+
+    def gate_margin(out):
+        # Deciding-gate distance to threshold, reconstructed from the
+        # output fields exactly as the detector computes them with no
+        # stddev term (carrier.noise_and_threshold_sq /
+        # xcorr.threshold): thresh = sqrt(c + s * noise^2).
+        ct = jnp.sqrt(cc + cs * jnp.square(out["carrier_noise"]))
+        ut = jnp.sqrt(uc + us * jnp.square(out["corr_noise"]))
+        mc = jnp.abs(out["carrier_energy"] / jnp.maximum(ct, 1e-30) - 1)
+        mu = jnp.abs(out["corr_energy"] / jnp.maximum(ut, 1e-30) - 1)
+        return jnp.minimum(mc, mu)
+
+    @jax.jit
+    def prog(raw_in):
+        a = det_a._detect_batch_raw(raw_in)
+        b = det_b._detect_batch_raw(raw_in)
+        flip = a["detected"] != b["detected"]
+        margin = jnp.minimum(gate_margin(a), gate_margin(b))
+        both = jnp.logical_and(a["detected"], b["detected"])
+        soa_a = a["corr_sample"].astype(jnp.float32) + a["corr_offset"]
+        soa_b = b["corr_sample"].astype(jnp.float32) + b["corr_offset"]
+        return {
+            "n_blocks": jnp.sum(jnp.ones_like(flip, jnp.float32)),
+            "detected_a": jnp.sum(a["detected"].astype(jnp.float32)),
+            "detected_b": jnp.sum(b["detected"].astype(jnp.float32)),
+            "n_both": jnp.sum(both.astype(jnp.float32)),
+            "n_flips": jnp.sum(flip.astype(jnp.float32)),
+            "max_flip_margin_rel": jnp.max(
+                jnp.where(flip, margin, 0.0)),
+            "max_soa_diff_both": jnp.max(
+                jnp.where(both, jnp.abs(soa_a - soa_b), 0.0)),
+            "max_carrier_off_diff_both": jnp.max(jnp.where(
+                both, jnp.abs(a["carrier_offset"]
+                              - b["carrier_offset"]), 0.0)),
+        }
+
+    out = {k: float(np.asarray(v)) for k, v in prog(raw).items()}
+    out["band"] = band
+    ok = (out["max_flip_margin_rel"] <= band
+          and out["max_soa_diff_both"] <= float_tol
+          and out["n_both"] > 0)
+    return ok, out
+
+
 def bench_selfcheck(template, batch, sync_mode, wide=False):
     """On-device Pallas-vs-XLA path equivalence, tunnel-safe.
 
@@ -888,6 +989,12 @@ def main(argv=None):
                         help="program abcheck: DetectorConfig string-"
                              "field overrides for the B side, e.g. "
                              "fft_precision=high or carrier_fast=off")
+    parser.add_argument("--ab-knee", action="store_true",
+                        help="program abcheck: sweep burst amplitudes "
+                             "through the detection knee and grade "
+                             "decision flips by their deciding-gate "
+                             "margin (in-band <= 1e-3 is boundary "
+                             "physics; see bench_abcheck_knee)")
     parser.add_argument("--ab-tol", type=float, default=1e-3,
                         help="abcheck float-surface tolerance "
                              "[default: 1e-3]")
@@ -1011,6 +1118,20 @@ def main(argv=None):
                               fft_impl=args.fft_impl,
                               fft_precision=args.fft_precision,
                               carrier_fast=args.carrier_fast)
+        if args.ab_knee:
+            ok, diffs = bench_abcheck_knee(
+                template, args.batch, base, overrides,
+                float_tol=args.ab_tol)
+            print(json.dumps({
+                "metric": "config_abcheck_knee",
+                "value": 1.0 if ok else 0.0,
+                "unit": "pass",
+                "vs_baseline": 1.0 if ok else 0.0,
+                "batch": args.batch, "sync_mode": args.sync_mode,
+                "ab": overrides, "float_tol": args.ab_tol,
+                "knee": diffs,
+            }))
+            return 0 if ok else 1
         ok, diffs = bench_abcheck(template, args.batch, base, overrides,
                                   float_tol=args.ab_tol)
         print(json.dumps({

@@ -74,7 +74,7 @@ def _compare_toad(got, ref, float_tols, tol_scale, report):
     return ok
 
 
-def check_python_chain(cli_main, d, tol_scale):
+def check_python_chain(cli_main, d, tol_scale, detect_extra=()):
     """Full detect -> identify -> match -> tdoa -> pos on the ambient
     backend (detect runs on device; later stages are host-side but
     consume the device detections), compared to the Python-reference
@@ -82,6 +82,7 @@ def check_python_chain(cli_main, d, tol_scale):
     the reference's fixes (tests/test_golden_reference.py uses 5 cm)."""
     common = ["--carrier-window", "7-110",
               "--template", os.path.join(INPUT, "template.npy")]
+    common += list(detect_extra)
     results = []
     toads = []
     for rxid in (0, 1, 2):
@@ -144,7 +145,22 @@ def main(argv=None):
     parser.add_argument("--tol-scale", type=float, default=10.0,
                         help="multiply the CPU-golden float tolerances "
                              "by this for the TPU FFT [10]")
+    parser.add_argument("--fft-impl", type=str, default=None,
+                        choices=["auto", "matmul", "matmul3", "xla"],
+                        help="forward to every detect invocation "
+                             "(certify an FFT implementation against "
+                             "the goldens on this backend)")
+    parser.add_argument("--fft-precision", type=str, default=None,
+                        choices=["highest", "high", "default"],
+                        help="forward to every detect invocation "
+                             "(certify an MXU accumulation mode "
+                             "against the goldens)")
     args = parser.parse_args(argv)
+    detect_extra = []
+    if args.fft_impl:
+        detect_extra += ["--fft-impl", args.fft_impl]
+    if args.fft_precision:
+        detect_extra += ["--fft-precision", args.fft_precision]
 
     import jax
 
@@ -167,7 +183,8 @@ def main(argv=None):
                 "detect", os.path.join(INPUT, "rx%d.card" % rxid),
                 "-o", out, "--rxid", str(rxid), "--quiet",
                 "--sync-mode", "integer", "--carrier-window", "7-110",
-                "--template", os.path.join(INPUT, "template.npy")])
+                "--template", os.path.join(INPUT, "template.npy")]
+                + detect_extra)
             report = {"stage": "detect-integer", "rx": rxid}
             if rc not in (0, None):
                 report.update(ok=False, error="detect rc=%s" % rc)
@@ -182,7 +199,8 @@ def main(argv=None):
             all_ok = all_ok and report["ok"]
 
         # Python-reference semantics, full chain through positions
-        for report in check_python_chain(cli_main, d, args.tol_scale):
+        for report in check_python_chain(cli_main, d, args.tol_scale,
+                                         detect_extra):
             print(json.dumps(report))
             all_ok = all_ok and report["ok"]
 
@@ -193,6 +211,8 @@ def main(argv=None):
         "vs_baseline": 1.0 if all_ok else 0.0,
         "backend": backend,
         "tol_scale": args.tol_scale,
+        "fft_impl": args.fft_impl or "auto",
+        "fft_precision": args.fft_precision or "highest",
     }))
     return 0 if all_ok else 1
 

@@ -243,6 +243,28 @@ def test_abcheck_program():
     assert d["detected"] == 0 and d["corr_sample"] == 0
 
 
+def test_abcheck_knee_program():
+    """Knee-sweep config A/B: burst amplitudes spanning the detection
+    knee, decision flips graded by deciding-gate margin.  matmul-vs-xla
+    on CPU must agree flip-free with SoAs equal on both-detected
+    blocks."""
+    res = run_bench(["--program", "abcheck", "--batch", "32",
+                     "--fft-impl", "matmul", "--ab", "fft_impl=xla",
+                     "--ab-knee"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "config_abcheck_knee"
+    assert data["value"] == 1.0
+    k = data["knee"]
+    assert k["n_blocks"] == 32
+    # The amplitude sweep must genuinely straddle the knee: some
+    # blocks detected, some not (otherwise the check is vacuous).
+    assert 0 < k["n_both"] < k["n_blocks"]
+    assert k["n_flips"] == 0 or k["max_flip_margin_rel"] <= k["band"]
+    assert k["max_soa_diff_both"] <= 1e-3
+
+
 def test_abcheck_requires_ab():
     res = run_bench(["--program", "abcheck", "--batch", "16"])
     assert res.returncode != 0

@@ -271,3 +271,31 @@ def test_tpu_golden_check_tolerances_match_tests():
         k: v for k, v in tgf.TOAD_TOLS.items() if k != 1}
     assert mod.PY_FLOAT_TOLS == {
         k: v for k, v in tgr.TOAD_TOLS.items() if k != 1}
+
+
+def test_tpu_ab_time_smoke(tmp_path):
+    """Interleaved config A/B timer runs on CPU and emits the paired
+    JSON contract (on TPU it is the sound same-session protocol for
+    any DetectorConfig knob -- docs/performance.md)."""
+    import json
+
+    res = run_script("tpu_ab_time.py",
+                     ["--cpu", "--batch", "8", "--scan-k", "2",
+                      "--rounds", "2", "--ab", "fft_impl=xla"],
+                     str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    data = json.loads(
+        [l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert data["metric"] == "config_ab_time"
+    assert data["verdict"] in ("a_faster", "b_faster", "parity")
+    assert data["b"] == {"fft_impl": "xla"} and data["a"] == {}
+    assert len(data["rounds"]) == 2
+    # Paired rounds each carry both sides and their ratio.
+    assert all({"a", "b", "ratio_b_over_a"} <= set(r)
+               for r in data["rounds"])
+
+
+def test_tpu_ab_time_rejects_bad_override(tmp_path):
+    res = run_script("tpu_ab_time.py",
+                     ["--cpu", "--ab", "nonsense"], str(tmp_path))
+    assert res.returncode != 0

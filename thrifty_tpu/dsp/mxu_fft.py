@@ -27,7 +27,16 @@ passes cost 5e-3 relative error -- too lossy for sub-sample SoA).
                Karatsuba's 3-real-multiplication identity instead of
                XLA's 4-product complex expansion (see _capply): 25%
                fewer MXU passes, error within ~1.3x of 'matmul'
-               (6.1e-7 vs 4.8e-7 max relative on [3, 16384]);
+               (6.1e-7 vs 4.8e-7 max relative on [3, 16384]).
+               Measured round 5 on v5e (interleaved same-session A/B,
+               scripts/tpu_ab_time.py): 3-13% SLOWER than 'matmul' in
+               every paired round at the default geometry -- the
+               three separate real einsums plus the xr+xi /
+               (t1-t2, t3-t1-t2) elementwise passes cost more than
+               the MXU passes they save (the program is not
+               MXU-bound; docs/performance.md "Where the time goes").
+               Kept as a documented negative result and an A/B knob;
+               'auto' resolves to the complex form;
   'xla'     -- force jnp.fft.
 
 ``precision`` selects the matmul accumulation algorithm:
