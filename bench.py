@@ -760,8 +760,10 @@ def bench_abcheck_knee(template, batch, base_cfg, overrides,
         flip = a["detected"] != b["detected"]
         margin = jnp.minimum(gate_margin(a), gate_margin(b))
         both = jnp.logical_and(a["detected"], b["detected"])
-        soa_a = a["corr_sample"].astype(jnp.float32) + a["corr_offset"]
-        soa_b = b["corr_sample"].astype(jnp.float32) + b["corr_offset"]
+        # Compare the SoA's integer and fractional parts SEPARATELY:
+        # summing corr_sample (~1e4) with the offset in f32 quantizes
+        # at ~1e-3 and would mask exactly the offset differences this
+        # check exists to bound.
         return {
             "n_blocks": jnp.sum(jnp.ones_like(flip, jnp.float32)),
             "detected_a": jnp.sum(a["detected"].astype(jnp.float32)),
@@ -770,8 +772,12 @@ def bench_abcheck_knee(template, batch, base_cfg, overrides,
             "n_flips": jnp.sum(flip.astype(jnp.float32)),
             "max_flip_margin_rel": jnp.max(
                 jnp.where(flip, margin, 0.0)),
-            "max_soa_diff_both": jnp.max(
-                jnp.where(both, jnp.abs(soa_a - soa_b), 0.0)),
+            "sample_mismatch_both": jnp.sum(jnp.where(
+                both, (a["corr_sample"]
+                       != b["corr_sample"]).astype(jnp.float32), 0.0)),
+            "max_corr_off_diff_both": jnp.max(
+                jnp.where(both, jnp.abs(a["corr_offset"]
+                                        - b["corr_offset"]), 0.0)),
             "max_carrier_off_diff_both": jnp.max(jnp.where(
                 both, jnp.abs(a["carrier_offset"]
                               - b["carrier_offset"]), 0.0)),
@@ -780,7 +786,8 @@ def bench_abcheck_knee(template, batch, base_cfg, overrides,
     out = {k: float(np.asarray(v)) for k, v in prog(raw).items()}
     out["band"] = band
     ok = (out["max_flip_margin_rel"] <= band
-          and out["max_soa_diff_both"] <= float_tol
+          and out["sample_mismatch_both"] == 0
+          and out["max_corr_off_diff_both"] <= float_tol
           and out["n_both"] > 0)
     return ok, out
 

@@ -262,7 +262,11 @@ def test_abcheck_knee_program():
     # blocks detected, some not (otherwise the check is vacuous).
     assert 0 < k["n_both"] < k["n_blocks"]
     assert k["n_flips"] == 0 or k["max_flip_margin_rel"] <= k["band"]
-    assert k["max_soa_diff_both"] <= 1e-3
+    # Integer and fractional SoA parts compared separately (an f32 sum
+    # corr_sample + offset quantizes at ~1e-3 and would hide offset
+    # drift); sample indices must agree exactly on both-detected blocks.
+    assert k["sample_mismatch_both"] == 0
+    assert k["max_corr_off_diff_both"] <= 1e-3
 
 
 def test_abcheck_requires_ab():
