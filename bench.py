@@ -991,11 +991,23 @@ def main(argv=None):
                         help="windowed-carrier fast path (the A/B "
                              "knob; 'off' = full-FFT carrier stage) "
                              "[default: auto]")
+    parser.add_argument("--gate", type=int, default=0, metavar="C",
+                        help="carrier-gated correlation compaction "
+                             "capacity at the headline batch "
+                             "(DetectorConfig.gate_capacity; exact, "
+                             "in-program overflow fallback).  Sweep "
+                             "sizes scale C proportionally so every "
+                             "point runs the same relative capacity. "
+                             "The bench mix is bursts_every=4 (25%% "
+                             "duty); C=batch/2 leaves 2x margin "
+                             "[default: 0 = off]")
     parser.add_argument("--ab", type=str, default=None,
                         metavar="K=V[,K=V...]",
-                        help="program abcheck: DetectorConfig string-"
-                             "field overrides for the B side, e.g. "
-                             "fft_precision=high or carrier_fast=off")
+                        help="program abcheck: DetectorConfig field "
+                             "overrides for the B side, e.g. "
+                             "fft_precision=high, carrier_fast=off "
+                             "or gate_capacity=128 (int fields "
+                             "coerced by the default's type)")
     parser.add_argument("--ab-knee", action="store_true",
                         help="program abcheck: sweep burst amplitudes "
                              "through the detection knee and grade "
@@ -1113,12 +1125,24 @@ def main(argv=None):
     if args.program == "abcheck":
         if not args.ab:
             parser.error("--program abcheck requires --ab K=V[,K=V...]")
+        import dataclasses as _dc
+        defaults = {f.name: f.default for f in _dc.fields(DetectorConfig)}
         overrides = {}
         for kv in args.ab.split(","):
             k, _, v = kv.partition("=")
             if not _:
                 parser.error("--ab entries must be K=V, got " + kv)
-            overrides[k.strip()] = v.strip()
+            k, v = k.strip(), v.strip()
+            # Coerce numeric fields by the default's type so e.g.
+            # gate_capacity=128 reaches dataclasses.replace as an int.
+            d = defaults.get(k)
+            if isinstance(d, bool):
+                v = v.lower() in ("1", "true", "on", "yes")
+            elif isinstance(d, int):
+                v = int(v)
+            elif isinstance(d, float):
+                v = float(v)
+            overrides[k] = v
         base = DetectorConfig(carrier_window=(7, 110),
                               sync_mode=args.sync_mode,
                               use_pallas=args.pallas,
@@ -1169,7 +1193,8 @@ def main(argv=None):
     cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
                          use_pallas=args.pallas, fft_impl=args.fft_impl,
                          fft_precision=args.fft_precision,
-                         carrier_fast=args.carrier_fast)
+                         carrier_fast=args.carrier_fast,
+                         gate_capacity=args.gate)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
 
@@ -1268,8 +1293,19 @@ def main(argv=None):
             # small batches would otherwise put millisecond-scale
             # differences against the relay's jitter.
             k = args.scan_k * max(1, args.batch // size)
+            det = detector
+            if args.gate and size != args.batch:
+                # Scale the gate capacity with the sweep size so every
+                # point runs the same relative capacity (C/B); a fixed
+                # absolute C would silently un-gate the small sizes
+                # (cap >= batch disables compaction) and fake
+                # super-linear scaling.
+                import dataclasses as _dc
+                det = BatchDetector(template, _dc.replace(
+                    cfg, gate_capacity=max(
+                        1, args.gate * size // args.batch)))
             slopes, t_k, t_2k = time_tpu_slope(
-                detector, sliced(size), k, raw_input,
+                det, sliced(size), k, raw_input,
                 args.repeats)
             scan_info[size] = {
                 "t_k_s": [round(t, 5) for t in t_k],
@@ -1282,7 +1318,8 @@ def main(argv=None):
             "fft_impl": args.fft_impl,
             "fft_precision": args.fft_precision,
             "carrier_fast": args.carrier_fast, "input": args.input,
-            "program": args.program, "bank": args.bank}
+            "program": args.program, "bank": args.bank,
+            "gate": args.gate}
     headline_batch = args.batch
     if args.profile:
         with jax.profiler.trace(args.profile):

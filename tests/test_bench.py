@@ -269,6 +269,33 @@ def test_abcheck_knee_program():
     assert k["max_corr_off_diff_both"] <= 1e-3
 
 
+def test_abcheck_knee_gate():
+    """Gate A/B through the knee program: gated-vs-ungated must agree
+    flip-free with SoAs equal on both-detected blocks.  (The knee
+    comparison restricts field checks to both-detected rows, which is
+    exactly the gate's contract -- carrier-negative rows report zeros
+    by design, so the plain abcheck's all-rows field diff does not
+    apply to this knob.)"""
+    res = run_bench(["--program", "abcheck", "--batch", "32",
+                     "--ab", "gate_capacity=16", "--ab-knee"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "config_abcheck_knee"
+    assert data["value"] == 1.0
+    assert data["ab"] == {"gate_capacity": 16}
+
+
+def test_gate_batch_program():
+    """--gate wires into the timed batch program and its sweep."""
+    res = run_bench(["--batch", "16", "--iters", "2", "--repeats", "1",
+                     "--scan-k", "2", "--sweep", "8,16", "--gate", "8",
+                     "--skip-baseline"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    data = check_contract(res.stdout)
+    assert data["gate"] == 8
+
+
 def test_abcheck_requires_ab():
     res = run_bench(["--program", "abcheck", "--batch", "16"])
     assert res.returncode != 0

@@ -233,6 +233,18 @@ def _main(argv=None):
                         help="windowed-carrier fast path: 'off' "
                              "forces the full-FFT carrier stage "
                              "[default: auto = on when eligible]")
+    parser.add_argument("--gate-capacity", type=int, default=0,
+                        metavar="C",
+                        help="carrier-gated correlation compaction: "
+                             "run the correlation stages on at most C "
+                             "carrier-positive blocks per batch "
+                             "(exact; in-program full-batch fallback "
+                             "on overflow -- the reference's own "
+                             "carrier-conditional dataflow, "
+                             "thrifty/detect.py:64-71).  Size C above "
+                             "the expected carrier blocks per batch, "
+                             "e.g. batch/2 at <=25%% duty "
+                             "[default: 0 = off]")
     parser.add_argument("--peak-filter", type=int, default=0,
                         metavar="LEN",
                         help="Dirichlet matched filter length for the "
@@ -292,6 +304,7 @@ def _main(argv=None):
         fft_impl=args.fft_impl,
         fft_precision=args.fft_precision,
         carrier_fast=args.carrier_fast,
+        gate_capacity=args.gate_capacity,
     ))
 
     if args.rtlsdr is not None:
