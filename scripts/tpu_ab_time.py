@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_overrides(text):
+    import dataclasses
+
+    from thrifty_tpu.dsp.detector import DetectorConfig
+
+    defaults = {f.name: f.default
+                for f in dataclasses.fields(DetectorConfig)}
     out = {}
     if not text:
         return out
@@ -39,7 +45,17 @@ def parse_overrides(text):
         k, sep, v = kv.partition("=")
         if not sep:
             raise SystemExit("override entries must be K=V, got " + kv)
-        out[k.strip()] = v.strip()
+        k, v = k.strip(), v.strip()
+        # Coerce numeric fields by the default's type (same contract
+        # as bench --ab), so e.g. gate_capacity=128 works.
+        d = defaults.get(k)
+        if isinstance(d, bool):
+            v = v.lower() in ("1", "true", "on", "yes")
+        elif isinstance(d, int):
+            v = int(v)
+        elif isinstance(d, float):
+            v = float(v)
+        out[k] = v
     return out
 
 

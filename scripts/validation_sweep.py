@@ -87,6 +87,13 @@ def sweep_detector(trials, rng):
         # trials without a peak filter) and the head-trimmed IFFT.
         impl = ("xla", "matmul")[int(rng.integers(2))]
         flen = int(rng.choice([0, 0, 5, 7]))
+        # Carrier-gated compaction (round 5): capacity nb-1 keeps the
+        # gated branch active (planted carriers = nb-2 <= cap < nb
+        # blocks); a noise false alarm just triggers the exact
+        # full-batch fallback, so either way the oracle comparison
+        # below stands.  Planted blocks are carrier-positive, hence
+        # always gathered and fully comparable.
+        gate = int(rng.choice([0, 0, nb - 1]))
         bursts, planted = [], []
         for b in range(1, nb - 1):
             lag = int(rng.integers(wstart, wstop))
@@ -99,7 +106,8 @@ def sweep_detector(trials, rng):
         blocks = sim.stream_to_blocks(stream, block, hist)
         det = BatchDetector(tpl, DetectorConfig(
             block_len=block, history_len=hist, carrier_window=window,
-            sync_mode=sync, peak_filter_len=flen, fft_impl=impl))
+            sync_mode=sync, peak_filter_len=flen, fft_impl=impl,
+            gate_capacity=gate))
         out = {k: np.asarray(v) for k, v in det(blocks).items()}
         weights = dirichlet.dirichlet_weights(flen, block, tlen) \
             if flen else None
@@ -107,8 +115,9 @@ def sweep_detector(trials, rng):
             else FastdetOracleDetector
         oracle = ocls(tpl, block_len=block, history_len=hist,
                       carrier_window=window, peak_filter=weights)
-        geom = "t%d bits=%d blk=%d h=%d win=%s sync=%s flen=%d imp=%s" \
-            % (t, bits, block, hist, window, sync, flen, impl)
+        geom = ("t%d bits=%d blk=%d h=%d win=%s sync=%s flen=%d imp=%s"
+                " gate=%d") % (t, bits, block, hist, window, sync, flen,
+                               impl, gate)
         for b, lag in planted:
             stats["blocks"] += 1
             try:
