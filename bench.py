@@ -991,6 +991,11 @@ def main(argv=None):
                         help="windowed-carrier fast path (the A/B "
                              "knob; 'off' = full-FFT carrier stage) "
                              "[default: auto]")
+    parser.add_argument("--ramp-fast", type=str, default="auto",
+                        choices=["auto", "off"],
+                        help="separable fractional-sync ramp (the A/B "
+                             "knob; 'off' = explicit full-ramp "
+                             "product) [default: auto]")
     parser.add_argument("--gate", type=int, default=0, metavar="C",
                         help="carrier-gated correlation compaction "
                              "capacity at the headline batch "
@@ -1148,7 +1153,8 @@ def main(argv=None):
                               use_pallas=args.pallas,
                               fft_impl=args.fft_impl,
                               fft_precision=args.fft_precision,
-                              carrier_fast=args.carrier_fast)
+                              carrier_fast=args.carrier_fast,
+                              ramp_fast=args.ramp_fast)
         if args.ab_knee:
             ok, diffs = bench_abcheck_knee(
                 template, args.batch, base, overrides,
@@ -1194,6 +1200,7 @@ def main(argv=None):
                          use_pallas=args.pallas, fft_impl=args.fft_impl,
                          fft_precision=args.fft_precision,
                          carrier_fast=args.carrier_fast,
+                         ramp_fast=args.ramp_fast,
                          gate_capacity=args.gate)
     detector = BatchDetector(template, cfg)
     new_len = detector.new_len  # stream samples consumed per block
@@ -1317,7 +1324,8 @@ def main(argv=None):
             "sync_mode": args.sync_mode, "pallas": args.pallas,
             "fft_impl": args.fft_impl,
             "fft_precision": args.fft_precision,
-            "carrier_fast": args.carrier_fast, "input": args.input,
+            "carrier_fast": args.carrier_fast,
+            "ramp_fast": args.ramp_fast, "input": args.input,
             "program": args.program, "bank": args.bank,
             "gate": args.gate}
     headline_batch = args.batch

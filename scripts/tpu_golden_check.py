@@ -155,8 +155,15 @@ def main(argv=None):
                         help="forward to every detect invocation "
                              "(certify an MXU accumulation mode "
                              "against the goldens)")
+    parser.add_argument("--detect-arg", action="append", default=[],
+                        metavar="ARG",
+                        help="extra flag forwarded verbatim to every "
+                             "detect invocation (repeatable), e.g. "
+                             "--detect-arg=--gate-capacity "
+                             "--detect-arg=8 to certify the "
+                             "carrier-gated path against the goldens")
     args = parser.parse_args(argv)
-    detect_extra = []
+    detect_extra = list(args.detect_arg)
     if args.fft_impl:
         detect_extra += ["--fft-impl", args.fft_impl]
     if args.fft_precision:

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from thrifty_tpu.dsp import mxu_fft
 
@@ -373,3 +374,103 @@ class TestMatmul3:
         np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
         np.testing.assert_allclose(a["corr_offset"], b["corr_offset"],
                                    atol=1e-3)
+
+
+class TestSeparableRamp:
+    """fft_ramped: the fractional-sync ramp factored over the
+    four-step split (round 5).  The wrapped form (integer shift part
+    reduced mod n1 exactly) must beat the full f32 ramp's accuracy
+    against the float64 oracle, not just match it."""
+
+    @staticmethod
+    def _oracle(x, s):
+        n = x.shape[-1]
+        pos = np.arange(n) / n - 0.5
+        return np.fft.fft(
+            x.astype(np.complex128)
+            * np.exp(2j * np.pi * s.astype(np.float64)[:, None] * pos),
+            axis=-1)
+
+    def test_matches_f64_oracle(self):
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((4, 16384))
+             + 1j * rng.standard_normal((4, 16384))
+             ).astype(np.complex64)
+        s = rng.uniform(-110, 110, 4).astype(np.float32)
+        ref = self._oracle(x, s)
+        scale = np.abs(ref).max()
+        got = np.asarray(mxu_fft.fft_ramped(jnp.asarray(x),
+                                            jnp.asarray(s), "matmul"))
+        sep_err = np.abs(got - ref).max() / scale
+        assert sep_err < 2e-6, sep_err
+        # ...and strictly better than the full f32 ramp through the
+        # same transform (large unwrapped phases cost it ~1e-5).
+        from thrifty_tpu.dsp import shift as shift_mod
+        full = np.asarray(shift_mod.fractional_shift_fft(
+            jnp.asarray(x), jnp.asarray(s), impl="matmul", ramp="full"))
+        full_err = np.abs(full - ref).max() / scale
+        assert sep_err < full_err, (sep_err, full_err)
+
+    def test_edge_shifts(self):
+        """Half-integer rounding boundaries, zero, negatives."""
+        rng = np.random.default_rng(6)
+        s = np.array([0.0, -0.5, 0.5, 109.5, -109.5, 37.25,
+                      -0.49999, 3.0], np.float32)
+        x = (rng.standard_normal((8, 16384))
+             + 1j * rng.standard_normal((8, 16384))
+             ).astype(np.complex64)
+        ref = self._oracle(x, s)
+        got = np.asarray(mxu_fft.fft_ramped(jnp.asarray(x),
+                                            jnp.asarray(s), "matmul"))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+
+    def test_fallback_paths(self):
+        """xla impl and non-four-step sizes take the full-ramp path."""
+        rng = np.random.default_rng(7)
+        for n, impl in ((1024, "matmul"), (16384, "xla")):
+            x = (rng.standard_normal((3, n))
+                 + 1j * rng.standard_normal((3, n))
+                 ).astype(np.complex64)
+            s = rng.uniform(-20, 20, 3).astype(np.float32)
+            ref = self._oracle(x, s)
+            got = np.asarray(mxu_fft.fft_ramped(jnp.asarray(x),
+                                                jnp.asarray(s), impl))
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_matmul3(self):
+        rng = np.random.default_rng(8)
+        x = (rng.standard_normal((3, 16384))
+             + 1j * rng.standard_normal((3, 16384))
+             ).astype(np.complex64)
+        s = rng.uniform(-110, 110, 3).astype(np.float32)
+        ref = self._oracle(x, s)
+        got = np.asarray(mxu_fft.fft_ramped(jnp.asarray(x),
+                                            jnp.asarray(s), "matmul3"))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 4e-6
+
+    def test_detector_equivalence(self):
+        """ramp_fast auto-vs-off under the matmul impl: decisions and
+        integer fields equal, offsets within interpolation tolerance."""
+        import dataclasses
+
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        cap = sim.synth_capture(num_blocks=12, bursts_every=3,
+                                template=tpl, seed=13, quantize=True)
+        base = DetectorConfig(carrier_window=(7, 110), fft_impl="matmul")
+        outs = {}
+        for mode in ("auto", "off"):
+            det = BatchDetector(tpl, dataclasses.replace(
+                base, ramp_fast=mode))
+            outs[mode] = {k: np.asarray(v)
+                          for k, v in det(cap.blocks).items()}
+        a, b = outs["auto"], outs["off"]
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+        np.testing.assert_allclose(a["corr_offset"], b["corr_offset"],
+                                   atol=1e-3)
+        np.testing.assert_allclose(a["corr_energy"], b["corr_energy"],
+                                   rtol=1e-4)

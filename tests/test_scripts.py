@@ -253,6 +253,25 @@ def test_tpu_golden_check_script(tmp_path):
     assert summary["backend"] == "cpu"
 
 
+def test_tpu_golden_check_gated(tmp_path):
+    """--detect-arg passthrough: the carrier-gated detect path must
+    reproduce the reference goldens through the full chain too (a
+    golden capture dense in carriers exercises the cond fallback; a
+    sparse one exercises the compacted branch -- both must match)."""
+    import json
+
+    env = dict(os.environ)
+    env["THRIFTY_TPU_PLATFORM"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "tpu_golden_check.py"),
+         "--detect-arg=--gate-capacity", "--detect-arg=8"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["value"] == 1.0
+
+
 def test_tpu_golden_check_tolerances_match_tests():
     """The on-chip script's duplicated column maps / tolerances must
     not drift from the golden tests' (they can't share a module since

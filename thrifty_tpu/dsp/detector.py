@@ -98,6 +98,16 @@ class DetectorConfig:
     # carrier stage (the A/B + fallback knob; measured +22% detect
     # throughput on v5e when on, docs/performance.md round 5).
     carrier_fast: str = "auto"
+    # Separable fractional-sync ramp (round 5): 'auto' = evaluate the
+    # carrier-compensation phase ramp in factored form fused into the
+    # four-step transform whenever the matmul FFT impl is active
+    # (mxu_fft.fft_ramped -- exp(2*pi*i*shift*(t/N-0.5)) splits
+    # exactly over t = j1*n2 + j2: 128x fewer transcendental
+    # evaluations and no materialized [B, N] ramp array); 'off' =
+    # always the explicit full-ramp product (the A/B + fallback knob;
+    # bit-exact with the reference formula under the xla FFT impl
+    # either way, since 'auto' only fires on the matmul path).
+    ramp_fast: str = "auto"
     # Carrier-gated correlation compaction (round 5): 0 = off; C > 0
     # runs the expensive correlation stages (carrier removal +
     # despread FFTs + peak/threshold) on at most C batch rows -- the
@@ -162,6 +172,10 @@ class BatchDetector:
             raise ValueError(
                 "unknown carrier_fast {!r}: expected 'auto' or "
                 "'off'".format(config.carrier_fast))
+        if config.ramp_fast not in ("auto", "off"):
+            raise ValueError(
+                "unknown ramp_fast {!r}: expected 'auto' or "
+                "'off'".format(config.ramp_fast))
         if config.gate_capacity < 0:
             raise ValueError(
                 "gate_capacity must be >= 0 (got {})".format(
@@ -603,9 +617,10 @@ class BatchDetector:
             n = cfg.block_len
             signed = ((c_idx + n // 2) % n) - n // 2
             shift_bins = -(signed.astype(jnp.float32) + c_off)
+            ramp = "separable" if cfg.ramp_fast == "auto" else "full"
             shifted = shift.fractional_shift_fft(
                 blocks, shift_bins, impl=cfg.fft_impl,
-                precision=cfg.fft_precision)
+                precision=cfg.fft_precision, ramp=ramp)
             spec = xcorr.despread_spec(shifted, self._tmpl_fft_conj)
         elif cfg.sync_mode == "integer":
             shifted = shift.integer_roll_fft(

@@ -165,6 +165,28 @@ def _capply(x, cnp, op, kara):
     return jax.lax.complex(t1 - t2, t3 - t1 - t2)
 
 
+def _four_step(a, inverse, prec, kara, m):
+    """Four-step transform core on ``a`` [..., n1, n2] (time index
+    t = j1*n2 + j2); returns [..., m] (the first m output bins)."""
+    n1, n2 = a.shape[-2], a.shape[-1]
+    n = n1 * n2
+    f1, f2, tw = _four_step_consts(n1, n2, inverse)
+    # Output index j = k2*n1 + k1: keeping j < m only needs
+    # row-transform columns k2 < ceil(m/n1).
+    k2_max = -(-m // n1)
+    lead = a.shape[:-2]
+    a = a.reshape((-1, n1, n2))
+    b = _capply(a, f1,
+                lambda u, c: jnp.einsum("ij,bjk->bik", c, u,
+                                        precision=prec), kara)
+    d = _capply(b * jnp.asarray(tw), f2[:, :k2_max],
+                lambda u, c: jnp.einsum("bik,kj->bij", u, c,
+                                        precision=prec), kara)
+    out = d.transpose(0, 2, 1).reshape(lead + (k2_max * n1,))
+    out = out[..., :m]
+    return out / n if inverse else out
+
+
 def _transform(x, inverse, impl, precision="highest", head=None):
     """Full transform, or (``head=m``) only its first ``m`` outputs.
 
@@ -191,25 +213,75 @@ def _transform(x, inverse, impl, precision="highest", head=None):
         split = _split(n)
         if split is not None:
             n1, n2 = split
-            f1, f2, tw = _four_step_consts(n1, n2, inverse)
-            # Output index j = k2*n1 + k1: keeping j < m only needs
-            # row-transform columns k2 < ceil(m/n1).
-            k2_max = -(-m // n1)
-            lead = x.shape[:-1]
-            a = x.reshape((-1, n1, n2))
-            b = _capply(a, f1,
-                        lambda u, c: jnp.einsum("ij,bjk->bik", c, u,
-                                                precision=prec), kara)
-            d = _capply(b * jnp.asarray(tw), f2[:, :k2_max],
-                        lambda u, c: jnp.einsum("bik,kj->bij", u, c,
-                                                precision=prec), kara)
-            out = d.transpose(0, 2, 1).reshape(lead + (k2_max * n1,))
-            out = out[..., :m]
-            return out / n if inverse else out
+            return _four_step(x.reshape(x.shape[:-1] + (n1, n2)),
+                              inverse, prec, kara, m)
         # No supported factorization: matmul would need a dense
         # [n, n] constant beyond _DFT_MAX -- fall back.
     full = jnp.fft.ifft(x) if inverse else jnp.fft.fft(x)
     return full if head is None else full[..., :m]
+
+
+def fft_ramped(x, shift, impl="auto", precision="highest"):
+    """FFT of ``x * exp(2j*pi*shift*(t/n - 0.5))`` with the ramp in
+    SEPARABLE form on the four-step path.
+
+    The fractional carrier shift multiplies every sample by a
+    unit-modulus ramp before the transform (reference
+    thrifty/carrier_sync.py:60-75).  Over the four-step's index split
+    t = j1*n2 + j2 the exponent factors exactly:
+
+        shift*(t/n - 0.5) = shift*j1/n1 + shift*(j2/n - 0.5)
+
+    so the [..., n] transcendental ramp (n exp evaluations + a full
+    read/write pass per block) collapses to two [..., n1] / [..., n2]
+    factors -- n1+n2 exps instead of n (128x fewer at 16384) -- whose
+    broadcast product XLA fuses straight into the column transform's
+    operand load, never materializing a ramp array.  Numerics: the
+    two-factor product rounds differently from the single exp by ~1
+    ULP of phase; the matmul transform family is already certified
+    against the jnp.fft path at the f32 grade (tests/test_mxu_fft.py,
+    bench --program abcheck), and this variant is covered the same
+    way.  Falls back to the explicit full ramp off the four-step path
+    (dense/xla impls keep bit-exact reference numerics).
+    """
+    prec = _resolve_precision(precision)
+    kara = impl == "matmul3"
+    n = x.shape[-1]
+    split = _split(n)
+    if _use_matmul(impl) and split is not None:
+        n1, n2 = split
+        two_pi = jnp.float32(2.0 * np.pi)
+        # Split shift = si + sf (integer + fraction in [-0.5, 0.5]) so
+        # every evaluated phase stays <= 2*pi: the integer part wraps
+        # EXACTLY as (si*j1) mod n1 (integer arithmetic; si*j1 is far
+        # below 2^31), and exp(-i*pi*si) is the exact sign (-1)^si.
+        # The naive factored phases reach 2*pi*|shift| ~ 700 rad where
+        # f32 rounding costs ~1e-5 relative error; wrapped, the
+        # separable form matches the full-ramp path's f32 grade (both
+        # certified against the float64 oracle in tests).
+        si = jnp.round(shift)
+        sf = shift - si
+        sii = si.astype(jnp.int32)
+        j1i = jnp.arange(n1, dtype=jnp.int32)
+        ph1 = two_pi * (
+            ((sii[..., None] * j1i) % n1).astype(jnp.float32) / n1
+            + sf[..., None] * (jnp.arange(n1, dtype=jnp.float32) / n1))
+        # shift*(j2/n - 0.5) = shift*j2/n - si/2 - sf/2; j2 < n2 keeps
+        # shift*j2/n below ~2*pi/n1 per unit shift (tiny), and the
+        # -shift/2 constant folds into r2 as (-1)^si * exp(-i*pi*sf).
+        ph2 = two_pi * shift[..., None] * (
+            jnp.arange(n2, dtype=jnp.float32) / n) \
+            - jnp.float32(np.pi) * sf[..., None]
+        sign = (1 - 2 * (sii % 2)).astype(jnp.float32)
+        r1 = jnp.exp(1j * ph1).astype(x.dtype)              # [..., n1]
+        r2 = (jnp.exp(1j * ph2)
+              * sign[..., None]).astype(x.dtype)            # [..., n2]
+        a = x.reshape(x.shape[:-1] + (n1, n2)) \
+            * r1[..., :, None] * r2[..., None, :]
+        return _four_step(a, False, prec, kara, n)
+    pos = jnp.arange(n, dtype=jnp.float32) / n - 0.5
+    ramp = jnp.exp(1j * (2.0 * np.pi) * shift[..., None] * pos)
+    return _transform(x * ramp.astype(x.dtype), False, impl, precision)
 
 
 @functools.lru_cache(maxsize=32)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def fractional_shift_fft(blocks, shift, impl="auto",
-                         precision="highest"):
+                         precision="highest", ramp="full"):
     """FFT of blocks shifted by a (fractional) number of bins.
 
     ``blocks``: [..., N] complex time-domain samples.
@@ -26,14 +26,20 @@ def fractional_shift_fft(blocks, shift, impl="auto",
     energy to higher bins).  Uses ramp exp(2j*pi*shift*(n/N - 0.5)); the
     -0.5 term only contributes a constant phase and keeps parity with the
     reference formula.  ``impl``: FFT implementation (dsp.mxu_fft).
+    ``ramp='separable'`` evaluates the ramp in factored form fused
+    into the four-step transform (mxu_fft.fft_ramped: 128x fewer exp
+    evaluations, no materialized [..., N] ramp array); 'full' is the
+    explicit reference-shaped product.
     """
     from thrifty_tpu.dsp import mxu_fft
 
+    if ramp == "separable":
+        return mxu_fft.fft_ramped(blocks, shift, impl, precision)
     n = blocks.shape[-1]
     pos = jnp.arange(n, dtype=jnp.float32) / n - 0.5
     phase = 2.0 * jnp.pi * shift[..., None] * pos
-    ramp = jnp.exp(1j * phase).astype(blocks.dtype)
-    return mxu_fft.fft(blocks * ramp, impl, precision)
+    ramp_arr = jnp.exp(1j * phase).astype(blocks.dtype)
+    return mxu_fft.fft(blocks * ramp_arr, impl, precision)
 
 
 def integer_roll_fft(fft, shift, max_start=None):

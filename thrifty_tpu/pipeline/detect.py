@@ -233,6 +233,12 @@ def _main(argv=None):
                         help="windowed-carrier fast path: 'off' "
                              "forces the full-FFT carrier stage "
                              "[default: auto = on when eligible]")
+    parser.add_argument("--ramp-fast", type=str, default="auto",
+                        choices=["auto", "off"],
+                        help="separable fractional-sync ramp fused "
+                             "into the matmul FFT: 'off' forces the "
+                             "explicit full-ramp product [default: "
+                             "auto = on under the matmul impl]")
     parser.add_argument("--gate-capacity", type=int, default=0,
                         metavar="C",
                         help="carrier-gated correlation compaction: "
@@ -304,6 +310,7 @@ def _main(argv=None):
         fft_impl=args.fft_impl,
         fft_precision=args.fft_precision,
         carrier_fast=args.carrier_fast,
+        ramp_fast=args.ramp_fast,
         gate_capacity=args.gate_capacity,
     ))
 
