@@ -347,37 +347,61 @@ def bench_ingest_feeds(detector, template, batch, target_bytes, feeds,
 
 
 def scaling_verdict(sec_by_batch):
-    """Linearity verdict over a batch-size sweep of chained timings.
+    """Scaling verdict over a batch-size sweep of chained timings.
 
-    A real per-batch execution time is proportional to the batch size;
-    a dispatch/tunnel floor is flat (measured floor ratios on this
-    tunnel: 1.12-1.21 per doubling).  Walking the sizes in order, a
-    step from a to b counts as linear when the measured ratio reaches
-    at least 70% of the ideal b/a -- headroom for both the +-25%
-    run-to-run spread (docs/performance.md) and genuine
-    economy-of-scale at small batches (larger batches utilize the
-    hardware better, so sub-proportional-but-growing is benign).  The
-    largest size reached through linear steps is the largest batch
-    whose throughput figure is physically meaningful; sizes beyond it
-    sit on the floor and overstate throughput.
+    Two-zone classification per doubling step, because the two
+    failure/benign modes are physically distinct:
+
+    - **floor** (ratio <= 1.25): time did not grow with batch -- the
+      measurement sits on a dispatch/tunnel floor (measured floor
+      ratios on this tunnel: 1.12-1.21 per doubling) and the larger
+      size's throughput figure is meaningless.  Sizes beyond the
+      first floor step are cut from the headline.
+    - **growth** (ratio > 1.25): time genuinely grew with batch, so
+      the larger figure is real on-device time.  Within growth,
+      a step reaching >= 70% of the ideal b/a counts as *linear*;
+      below that it is *scale economy* -- the program carries a fixed
+      per-program cost that larger batches amortize (increasingly
+      visible as the variable part shrank across rounds: the gated
+      round-5 program fits t ~= c + m*B with c ~ 0.2 ms).  Economy
+      steps keep the headline (throughput at the larger batch is
+      real AND higher); only the verdict label distinguishes them,
+      and the affine fit (fixed_cost_s / slope_s_per_block, least
+      squares over the sweep) is reported so the artifact shows the
+      decomposition explicitly.
     """
     sizes = sorted(sec_by_batch)
     ratios = {}
     linear_up_to = sizes[0]
+    all_linear = True
     ok = True
     for a, b in zip(sizes, sizes[1:]):
         r = sec_by_batch[b] / sec_by_batch[a]
         ratios["{}->{}".format(a, b)] = round(r, 3)
-        if ok and r >= 0.70 * (b / a):
+        if ok and r > 1.25:
             linear_up_to = b
+            if r < 0.70 * (b / a):
+                all_linear = False
         else:
             ok = False
-    return {
+    if linear_up_to == sizes[-1]:
+        verdict = "linear" if all_linear else "scale_economy"
+    else:
+        verdict = "floor_limited_above_{}".format(linear_up_to)
+    # Affine diagnostic over the non-floor sizes: t(B) = c + m*B.
+    kept = [s for s in sizes if s <= linear_up_to]
+    out = {
         "ratios": ratios,
         "linear_up_to": linear_up_to,
-        "verdict": "linear" if linear_up_to == sizes[-1]
-        else "floor_limited_above_{}".format(linear_up_to),
+        "verdict": verdict,
     }
+    if len(kept) >= 2:
+        xs = np.asarray(kept, dtype=np.float64)
+        ys = np.asarray([sec_by_batch[s] for s in kept])
+        m, c = np.polyfit(xs, ys, 1)
+        out["fixed_cost_s"] = round(float(c), 7)
+        out["slope_s_per_block"] = round(float(m), 10)
+    return out
 
 
 def _lastgood_path():
@@ -996,16 +1020,23 @@ def main(argv=None):
                         help="separable fractional-sync ramp (the A/B "
                              "knob; 'off' = explicit full-ramp "
                              "product) [default: auto]")
-    parser.add_argument("--gate", type=int, default=0, metavar="C",
+    parser.add_argument("--gate", type=int, default=-1, metavar="C",
                         help="carrier-gated correlation compaction "
                              "capacity at the headline batch "
                              "(DetectorConfig.gate_capacity; exact, "
-                             "in-program overflow fallback).  Sweep "
+                             "in-program overflow fallback -- an "
+                             "undersized gate shows up as a SLOWER "
+                             "number, never a wrong one).  Sweep "
                              "sizes scale C proportionally so every "
                              "point runs the same relative capacity. "
-                             "The bench mix is bursts_every=4 (25%% "
-                             "duty); C=batch/2 leaves 2x margin "
-                             "[default: 0 = off]")
+                             "The bench mix is bursts_every=4, which "
+                             "is 50%% carrier-POSITIVE blocks (each "
+                             "burst straddles two overlap-save "
+                             "blocks), and the float64 baseline "
+                             "oracle gates identically -- see "
+                             "docs/performance.md round 5 "
+                             "[default: -1 = auto = batch//2, the "
+                             "mix's exact carrier count; 0 = off]")
     parser.add_argument("--ab", type=str, default=None,
                         metavar="K=V[,K=V...]",
                         help="program abcheck: DetectorConfig field "
@@ -1196,6 +1227,11 @@ def main(argv=None):
         }))
         return 0 if ok else 1
 
+    if args.gate < 0:
+        # auto: the bench mix's exact carrier-positive count (see the
+        # --gate help).  use_pallas='on' has no compacted form --
+        # auto-gate defers to the explicitly requested kernel path.
+        args.gate = args.batch // 2 if args.pallas != "on" else 0
     cfg = DetectorConfig(carrier_window=(7, 110), sync_mode=args.sync_mode,
                          use_pallas=args.pallas, fft_impl=args.fft_impl,
                          fft_precision=args.fft_precision,

@@ -87,8 +87,8 @@ def test_bench_batch_sweep_scaling():
     # to pin the verdict itself (the unit test below covers the verdict
     # logic on exact inputs); assert the CONTRACT: the verdict names
     # the linear boundary, and the headline figure is taken from it.
-    assert sc["verdict"] == "linear" or sc["verdict"].startswith(
-        "floor_limited_above_"), sc
+    assert sc["verdict"] in ("linear", "scale_economy") \
+        or sc["verdict"].startswith("floor_limited_above_"), sc
     assert sc["linear_up_to"] in (2, 4, 8)
     assert data["headline_batch"] == min(8, sc["linear_up_to"])
     assert set(sc["ratios"]) == {"2->4", "4->8"}
@@ -122,6 +122,19 @@ def test_scaling_verdict_unit():
     # regime (monotone prefix semantics).
     v = bench.scaling_verdict({64: 1.0, 128: 1.0, 256: 2.0})
     assert v["linear_up_to"] == 64
+    # Sub-proportional but genuinely growing steps (a fixed
+    # per-program cost amortizing -- the gated round-5 program's
+    # regime) keep the headline at the largest size but are labelled
+    # scale_economy, with the affine decomposition reported.
+    v = bench.scaling_verdict({64: 0.329, 128: 0.460, 256: 0.718,
+                               512: 1.690})
+    assert v["verdict"] == "scale_economy"
+    assert v["linear_up_to"] == 512
+    assert v["fixed_cost_s"] > 0
+    assert v["slope_s_per_block"] > 0
+    # Flat-ish 1.25x steps are still the floor, not economy.
+    v = bench.scaling_verdict({64: 1.0, 128: 1.2, 256: 1.44})
+    assert v["verdict"] == "floor_limited_above_64"
 
 
 def test_bench_c64_and_modes():
