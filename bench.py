@@ -1020,6 +1020,11 @@ def main(argv=None):
                         help="separable fractional-sync ramp (the A/B "
                              "knob; 'off' = explicit full-ramp "
                              "product) [default: auto]")
+    parser.add_argument("--carrier-precision", type=str, default="auto",
+                        choices=["auto", "highest", "high", "default"],
+                        help="MXU accumulation for the carrier "
+                             "transform only [default: auto = follow "
+                             "--fft-precision]")
     parser.add_argument("--gate", type=int, default=-1, metavar="C",
                         help="carrier-gated correlation compaction "
                              "capacity at the headline batch "
@@ -1185,6 +1190,7 @@ def main(argv=None):
                               fft_impl=args.fft_impl,
                               fft_precision=args.fft_precision,
                               carrier_fast=args.carrier_fast,
+                              carrier_precision=args.carrier_precision,
                               ramp_fast=args.ramp_fast)
         if args.ab_knee:
             ok, diffs = bench_abcheck_knee(
@@ -1236,6 +1242,7 @@ def main(argv=None):
                          use_pallas=args.pallas, fft_impl=args.fft_impl,
                          fft_precision=args.fft_precision,
                          carrier_fast=args.carrier_fast,
+                         carrier_precision=args.carrier_precision,
                          ramp_fast=args.ramp_fast,
                          gate_capacity=args.gate)
     detector = BatchDetector(template, cfg)
@@ -1361,6 +1368,7 @@ def main(argv=None):
             "fft_impl": args.fft_impl,
             "fft_precision": args.fft_precision,
             "carrier_fast": args.carrier_fast,
+            "carrier_precision": args.carrier_precision,
             "ramp_fast": args.ramp_fast, "input": args.input,
             "program": args.program, "bank": args.bank,
             "gate": args.gate}

@@ -220,6 +220,7 @@ def main(argv=None):
         "tol_scale": args.tol_scale,
         "fft_impl": args.fft_impl or "auto",
         "fft_precision": args.fft_precision or "highest",
+        "detect_args": args.detect_arg,
     }))
     return 0 if all_ok else 1
 

@@ -187,6 +187,35 @@ def test_validation():
     assert int(np.asarray(out["detected"]).sum()) >= 1
 
 
+def test_gspmd_gate(capture):
+    """The gate under the GSPMD formulation: the argsort/cond run on
+    the GLOBAL batch (XLA partitions the compaction gather across
+    shards), unlike shard_map's per-shard gate -- both must reproduce
+    the unsharded decisions."""
+    import jax
+    from jax.sharding import Mesh
+    from thrifty_tpu.parallel import sharded
+
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, (sharded.AXIS_RX, sharded.AXIS_TIME))
+    cfg = dataclasses.replace(BASE, gate_capacity=16)
+    det_g = BatchDetector(capture.template, cfg)
+    det_f = BatchDetector(capture.template, BASE)
+    stream = np.concatenate([
+        b[BASE.history_len:] for b in capture.blocks])[None, :]
+    f_g = sharded.make_stream_detector_gspmd(det_g, 24, mesh)
+    f_f = sharded.make_stream_detector_gspmd(det_f, 24, mesh)
+    with mesh:
+        a = {k: np.asarray(v) for k, v in f_f(stream).items()}
+        b = {k: np.asarray(v) for k, v in f_g(stream).items()}
+    np.testing.assert_array_equal(a["detected"], b["detected"])
+    m = a["carrier_detect"]
+    np.testing.assert_array_equal(a["corr_sample"][m],
+                                  b["corr_sample"][m])
+    np.testing.assert_allclose(a["corr_offset"][m], b["corr_offset"][m],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_gate(capture):
     """The gate composes with the sharded streaming detector (the gate
     then applies per shard-local batch)."""

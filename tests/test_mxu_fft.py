@@ -474,3 +474,53 @@ class TestSeparableRamp:
                                    atol=1e-3)
         np.testing.assert_allclose(a["corr_energy"], b["corr_energy"],
                                    rtol=1e-4)
+
+
+class TestCarrierPrecision:
+    """carrier_precision: MXU accumulation override for the carrier
+    transform only (round 5)."""
+
+    def _run(self, **over):
+        import dataclasses
+
+        from thrifty_tpu import sim
+        from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
+
+        tpl = sim.make_template()
+        cap = sim.synth_capture(num_blocks=12, bursts_every=3,
+                                template=tpl, seed=17, quantize=True)
+        cfg = dataclasses.replace(
+            DetectorConfig(carrier_window=(7, 110), fft_impl="matmul"),
+            **over)
+        det = BatchDetector(tpl, cfg)
+        return {k: np.asarray(v) for k, v in det(cap.blocks).items()}
+
+    def test_high_carrier_equivalent_at_clear_snr(self):
+        a = self._run()
+        b = self._run(carrier_precision="high")
+        np.testing.assert_array_equal(a["detected"], b["detected"])
+        np.testing.assert_array_equal(a["carrier_bin"], b["carrier_bin"])
+        np.testing.assert_array_equal(a["corr_sample"], b["corr_sample"])
+        # Carrier magnitudes at bf16x3 grade; corr numerics unchanged
+        # up to the carrier-offset feedthrough into the sync ramp.
+        m = a["detected"]
+        np.testing.assert_allclose(a["carrier_energy"][m],
+                                   b["carrier_energy"][m], rtol=2e-3)
+        np.testing.assert_allclose(a["carrier_offset"][m],
+                                   b["carrier_offset"][m], atol=5e-3)
+        np.testing.assert_allclose(a["corr_offset"][m],
+                                   b["corr_offset"][m], atol=1e-3)
+
+    def test_shared_fft_modes_ignore_it(self):
+        """integer sync shares one FFT between carrier and corr: the
+        override must not alter ANY output bit (it is ignored)."""
+        a = self._run(sync_mode="integer")
+        b = self._run(sync_mode="integer", carrier_precision="high")
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="carrier_precision"):
+            self._run(carrier_precision="hi")

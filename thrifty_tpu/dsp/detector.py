@@ -98,6 +98,21 @@ class DetectorConfig:
     # carrier stage (the A/B + fallback knob; measured +22% detect
     # throughput on v5e when on, docs/performance.md round 5).
     carrier_fast: str = "auto"
+    # Carrier-stage MXU accumulation precision: 'auto' (default) =
+    # follow fft_precision; 'highest'/'high'/'default' override it
+    # for the CARRIER transform only (the windowed DFT / carrier FFT).
+    # Rationale: the carrier stage's outputs are an argmax (robust to
+    # ~3e-4 relative magnitude error), threshold decisions (graded on
+    # chip by the knee abcheck), and a sub-bin offset whose ~1e-3-bin
+    # perturbation at 'high' is far below the documented
+    # mode-independence of SoA on carrier alignment
+    # (docs/performance.md accuracy section) -- so 'high' here is the
+    # safest place to spend the bf16x3 speedup without touching the
+    # correlation numerics that set sub-sample SoA.  Applied only
+    # where the carrier transform is NOT shared with correlation:
+    # integer/preshift sync and the Pallas path reuse one FFT for
+    # both stages and therefore keep fft_precision.
+    carrier_precision: str = "auto"
     # Separable fractional-sync ramp (round 5): 'auto' = evaluate the
     # carrier-compensation phase ramp in factored form fused into the
     # four-step transform whenever the matmul FFT impl is active
@@ -172,6 +187,12 @@ class BatchDetector:
             raise ValueError(
                 "unknown carrier_fast {!r}: expected 'auto' or "
                 "'off'".format(config.carrier_fast))
+        if config.carrier_precision not in ("auto", "highest", "high",
+                                            "default"):
+            raise ValueError(
+                "unknown carrier_precision {!r}: expected 'auto', "
+                "'highest', 'high' or 'default'".format(
+                    config.carrier_precision))
         if config.ramp_fast not in ("auto", "off"):
             raise ValueError(
                 "unknown ramp_fast {!r}: expected 'auto' or "
@@ -427,11 +448,20 @@ class BatchDetector:
         n = cfg.block_len
         signal_energy = self._signal_energy(blocks)
 
+        # Carrier-stage accumulation precision: only applied where the
+        # carrier transform is NOT shared with correlation (the
+        # windowed DFT, and the full carrier FFT in fractional sync --
+        # integer/preshift reuse that FFT for the roll/despread, so
+        # they keep fft_precision).
+        c_prec = cfg.carrier_precision \
+            if cfg.carrier_precision != "auto" else cfg.fft_precision
+        if cfg.sync_mode != "fractional":
+            c_prec = cfg.fft_precision
         if self._carrier_win is not None:
             # Stage 1+2 fast path: windowed carrier DFT (see __init__).
             sel, ext, half = self._carrier_win
             spec_w = mxu_fft.windowed_dft(blocks, ext, cfg.fft_impl,
-                                          cfg.fft_precision)
+                                          c_prec)
             mag_w = jnp.abs(spec_w)
             core = mag_w[..., half:half + len(sel)] if half else mag_w
             rel = jnp.argmax(core, axis=-1).astype(jnp.int32)
@@ -454,7 +484,7 @@ class BatchDetector:
             fft = None  # unused by fractional-mode despread
         else:
             # Stage 1: carrier detection on |FFT|.
-            fft = mxu_fft.fft(blocks, cfg.fft_impl, cfg.fft_precision)
+            fft = mxu_fft.fft(blocks, cfg.fft_impl, c_prec)
             mag = jnp.abs(fft)
             c_det, c_idx, c_mag, c_noise = carrier.detect(
                 mag, self._carrier_mask, cfg.carrier_thresh,

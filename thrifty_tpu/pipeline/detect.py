@@ -233,6 +233,14 @@ def _main(argv=None):
                         help="windowed-carrier fast path: 'off' "
                              "forces the full-FFT carrier stage "
                              "[default: auto = on when eligible]")
+    parser.add_argument("--carrier-precision", type=str, default="auto",
+                        choices=["auto", "highest", "high", "default"],
+                        help="MXU accumulation for the CARRIER "
+                             "transform only (fractional sync; "
+                             "'high' = bf16x3 passes -- the safest "
+                             "place for the throughput-over-parity "
+                             "trade) [default: auto = follow "
+                             "--fft-precision]")
     parser.add_argument("--ramp-fast", type=str, default="auto",
                         choices=["auto", "off"],
                         help="separable fractional-sync ramp fused "
@@ -310,6 +318,7 @@ def _main(argv=None):
         fft_impl=args.fft_impl,
         fft_precision=args.fft_precision,
         carrier_fast=args.carrier_fast,
+        carrier_precision=args.carrier_precision,
         ramp_fast=args.ramp_fast,
         gate_capacity=args.gate_capacity,
     ))
