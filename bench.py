@@ -352,12 +352,14 @@ def scaling_verdict(sec_by_batch):
     Two-zone classification per doubling step, because the two
     failure/benign modes are physically distinct:
 
-    - **floor** (ratio <= 1.25): time did not grow with batch -- the
+    - **floor** (ratio <= 1.30): time did not grow with batch -- the
       measurement sits on a dispatch/tunnel floor (measured floor
-      ratios on this tunnel: 1.12-1.21 per doubling) and the larger
-      size's throughput figure is meaningless.  Sizes beyond the
-      first floor step are cut from the headline.
-    - **growth** (ratio > 1.25): time genuinely grew with batch, so
+      ratios on this tunnel: 1.12-1.21 per doubling; the cutoff adds
+      the ~2% in-session spread plus margin so a jittery floor step
+      cannot classify as growth) and the larger size's throughput
+      figure is meaningless.  Sizes beyond the first floor step are
+      cut from the headline.
+    - **growth** (ratio > 1.30): time genuinely grew with batch, so
       the larger figure is real on-device time.  Within growth,
       a step reaching >= 70% of the ideal b/a counts as *linear*;
       below that it is *scale economy* -- the program carries a fixed
@@ -378,7 +380,7 @@ def scaling_verdict(sec_by_batch):
     for a, b in zip(sizes, sizes[1:]):
         r = sec_by_batch[b] / sec_by_batch[a]
         ratios["{}->{}".format(a, b)] = round(r, 3)
-        if ok and r > 1.25:
+        if ok and r > 1.30:
             linear_up_to = b
             if r < 0.70 * (b / a):
                 all_linear = False
@@ -1046,9 +1048,12 @@ def main(argv=None):
                         metavar="K=V[,K=V...]",
                         help="program abcheck: DetectorConfig field "
                              "overrides for the B side, e.g. "
-                             "fft_precision=high, carrier_fast=off "
-                             "or gate_capacity=128 (int fields "
-                             "coerced by the default's type)")
+                             "fft_precision=high or carrier_fast=off "
+                             "(numeric fields coerced by the "
+                             "default's type; gate_capacity=N is "
+                             "valid only with --ab-knee, whose "
+                             "both-detected comparison matches the "
+                             "gate's output contract)")
     parser.add_argument("--ab-knee", action="store_true",
                         help="program abcheck: sweep burst amplitudes "
                              "through the detection knee and grade "
@@ -1174,16 +1179,37 @@ def main(argv=None):
             if not _:
                 parser.error("--ab entries must be K=V, got " + kv)
             k, v = k.strip(), v.strip()
+            if k not in defaults:
+                parser.error("--ab: unknown DetectorConfig field {!r} "
+                             "(valid: {})".format(
+                                 k, ", ".join(sorted(defaults))))
             # Coerce numeric fields by the default's type so e.g.
             # gate_capacity=128 reaches dataclasses.replace as an int.
-            d = defaults.get(k)
-            if isinstance(d, bool):
-                v = v.lower() in ("1", "true", "on", "yes")
-            elif isinstance(d, int):
-                v = int(v)
-            elif isinstance(d, float):
-                v = float(v)
+            d = defaults[k]
+            try:
+                if isinstance(d, bool):
+                    v = v.lower() in ("1", "true", "on", "yes")
+                elif isinstance(d, int):
+                    v = int(v)
+                elif isinstance(d, float):
+                    v = float(v)
+                elif not isinstance(d, str):
+                    parser.error(
+                        "--ab: field {!r} (default {!r}) is not "
+                        "overridable from the command line".format(k, d))
+            except ValueError:
+                parser.error("--ab: {!r} is not a valid value for "
+                             "{} (default {!r})".format(v, k, d))
             overrides[k] = v
+        if "gate_capacity" in overrides and not args.ab_knee:
+            # The plain abcheck diffs EVERY field on EVERY row; the
+            # gate's carrier-negative rows report zeros by design, so
+            # only the knee program's both-detected comparison is a
+            # valid certificate for this knob.
+            parser.error("--ab gate_capacity requires --ab-knee (the "
+                         "plain all-rows field diff does not apply to "
+                         "carrier-gated outputs; see "
+                         "DetectorConfig.gate_capacity)")
         base = DetectorConfig(carrier_window=(7, 110),
                               sync_mode=args.sync_mode,
                               use_pallas=args.pallas,

@@ -46,15 +46,27 @@ def parse_overrides(text):
         if not sep:
             raise SystemExit("override entries must be K=V, got " + kv)
         k, v = k.strip(), v.strip()
+        if k not in defaults:
+            raise SystemExit(
+                "unknown DetectorConfig field {!r} (valid: {})".format(
+                    k, ", ".join(sorted(defaults))))
         # Coerce numeric fields by the default's type (same contract
         # as bench --ab), so e.g. gate_capacity=128 works.
-        d = defaults.get(k)
-        if isinstance(d, bool):
-            v = v.lower() in ("1", "true", "on", "yes")
-        elif isinstance(d, int):
-            v = int(v)
-        elif isinstance(d, float):
-            v = float(v)
+        d = defaults[k]
+        try:
+            if isinstance(d, bool):
+                v = v.lower() in ("1", "true", "on", "yes")
+            elif isinstance(d, int):
+                v = int(v)
+            elif isinstance(d, float):
+                v = float(v)
+            elif not isinstance(d, str):
+                raise SystemExit(
+                    "field {!r} (default {!r}) is not overridable "
+                    "from the command line".format(k, d))
+        except ValueError:
+            raise SystemExit("{!r} is not a valid value for {} "
+                             "(default {!r})".format(v, k, d))
         out[k] = v
     return out
 
@@ -118,18 +130,45 @@ def main(argv=None):
     for det in (det_a, det_b):
         bench.time_tpu_slope(det, inputs, 1, raw_input, repeats=1)
 
-    rounds = []
+    def slope_once(det):
+        slopes, _, _ = bench.time_tpu_slope(
+            det, inputs, args.scan_k, raw_input, repeats=1)
+        return slopes[0]
+
+    rounds, invalid = [], 0
     for i in range(max(args.rounds, 1)):
         pair = {}
         for tag, det in (("a", det_a), ("b", det_b)):
-            slopes, t_k, t_2k = bench.time_tpu_slope(
-                det, inputs, args.scan_k, raw_input, repeats=1)
-            pair[tag] = slopes[0]
+            s = slope_once(det)
+            if s <= 0:
+                # Host-load jitter can make T(2K) < T(K) (the exact
+                # failure mode bench.py flags as slope_unresolved);
+                # one in-round retry, else the whole round is
+                # discarded -- a negative slope would silently poison
+                # the ratios, medians AND the paired verdict.
+                s = slope_once(det)
+            pair[tag] = s
+        if pair["a"] <= 0 or pair["b"] <= 0:
+            invalid += 1
+            print("round {}: DISCARDED (non-positive slope a={:.6f} "
+                  "b={:.6f})".format(i, pair["a"], pair["b"]),
+                  file=sys.stderr)
+            continue
         pair["ratio_b_over_a"] = pair["b"] / pair["a"]
         rounds.append(pair)
         print("round {}: a={:.6f}s b={:.6f}s b/a={:.3f}".format(
             i, pair["a"], pair["b"], pair["ratio_b_over_a"]),
             file=sys.stderr)
+
+    if len(rounds) < 2:
+        print(json.dumps({
+            "metric": "config_ab_time", "value": 0.0,
+            "unit": "sec_b_over_sec_a", "vs_baseline": 0.0,
+            "verdict": "unresolved",
+            "invalid_rounds": invalid,
+            "a": base_over, "b": b_over,
+        }))
+        return 1
 
     a_med = statistics.median(r["a"] for r in rounds)
     b_med = statistics.median(r["b"] for r in rounds)
@@ -159,6 +198,7 @@ def main(argv=None):
         "b_sec_per_batch_median": round(b_med, 7),
         "a_samples_per_s": round(args.batch * new_len / a_med, 1),
         "b_samples_per_s": round(args.batch * new_len / b_med, 1),
+        "invalid_rounds": invalid,
         "rounds": [{k: (round(v, 7) if k != "ratio_b_over_a"
                         else round(v, 4))
                     for k, v in r.items()} for r in rounds],

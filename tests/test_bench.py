@@ -313,3 +313,25 @@ def test_abcheck_requires_ab():
     res = run_bench(["--program", "abcheck", "--batch", "16"])
     assert res.returncode != 0
     assert "--ab" in res.stderr
+
+
+def test_ab_validation_errors():
+    """--ab must fail fast with a usage error (not a traceback) on
+    unknown fields, bad values, and gate_capacity without --ab-knee
+    (the plain all-rows diff does not apply to gated outputs)."""
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--ab", "gate_capacity=8"])
+    assert res.returncode != 0
+    assert "ab-knee" in res.stderr
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--ab", "fft_precison=high"])  # typo
+    assert res.returncode != 0
+    assert "unknown DetectorConfig field" in res.stderr
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--ab", "gate_capacity=lots", "--ab-knee"])
+    assert res.returncode != 0
+    assert "not a valid value" in res.stderr
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--ab", "carrier_thresh=0"])
+    assert res.returncode != 0
+    assert "not overridable" in res.stderr

@@ -79,11 +79,13 @@ def test_boundary_capacities(capture, full_out):
         BASE, gate_capacity=n_carrier))
     out = {k: np.asarray(v) for k, v in at(capture.blocks).items()}
     assert_gate_equivalent(full_out, out)
-    # Gated (not fallback): some carrier-negative row must carry the
-    # zero defaults, which the full program never produces on this
-    # capture (noise rows still get a real corr_energy > 0).
+    # Gated (not fallback): EVERY carrier-negative row -- including
+    # capacity-filler rows that were gathered -- must carry the zero
+    # defaults (uniform contract, independent of batch composition);
+    # the full program never produces zeros there on this capture.
     neg = ~full_out["carrier_detect"]
-    assert (out["corr_energy"][neg] == 0.0).any()
+    assert (out["corr_energy"][neg] == 0.0).all()
+    assert not out["detected"][neg].any()
     assert (full_out["corr_energy"][neg] > 0.0).all()
 
     below = BatchDetector(capture.template, dataclasses.replace(

@@ -137,9 +137,11 @@ class DetectorConfig:
     # more carrier detections than C, a lax.cond inside the SAME
     # compiled program falls back to full-batch correlation -- no
     # host round trip, no dropped blocks, bit-equal decisions either
-    # way.  Rows never gathered report corr fields as zeros /
+    # way.  Every carrier-NEGATIVE row reports corr fields as zeros /
     # detected=False (the reference computes nothing for them at
-    # all).  Sizing: C should comfortably exceed the expected
+    # all) -- uniformly, including capacity-filler rows, so a noise
+    # block's outputs never depend on its batch's composition.
+    # Sizing: C should comfortably exceed the expected
     # carrier blocks per batch (e.g. batch/2 at <=25% duty); the
     # false-alarm rate adds ~nothing (measured < 1.6e-3/block).
     gate_capacity: int = 0
@@ -569,8 +571,19 @@ class BatchDetector:
             outs = self._corr_stage(take(blocks), take(fft),
                                     take(c_idx), take(c_off),
                                     take(signal_energy))
-            return tuple(d.at[sel].set(o) for d, o in
-                         zip(self._corr_defaults(batch), outs))
+            # Capacity FILLER rows (carrier-negative rows gathered
+            # only because fewer than cap carriers exist) are masked
+            # back to the defaults before the scatter: otherwise a
+            # noise block's reported corr fields would depend on how
+            # many carriers its batch happened to hold -- the
+            # carrier-negative contract must be uniform (zeros /
+            # not-detected), not batch-composition-dependent.
+            keep = jnp.take(c_det, sel, axis=0)
+            if self.bank:
+                keep = keep[:, None]
+            return tuple(
+                d.at[sel].set(jnp.where(keep, o, jnp.zeros_like(o)))
+                for d, o in zip(self._corr_defaults(batch), outs))
 
         def full(_):
             return self._corr_stage(blocks, fft, c_idx, c_off,

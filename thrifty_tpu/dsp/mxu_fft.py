@@ -221,9 +221,13 @@ def _transform(x, inverse, impl, precision="highest", head=None):
     return full if head is None else full[..., :m]
 
 
-def fft_ramped(x, shift, impl="auto", precision="highest"):
-    """FFT of ``x * exp(2j*pi*shift*(t/n - 0.5))`` with the ramp in
-    SEPARABLE form on the four-step path.
+def fft_ramped(x, shift, impl="auto", precision="highest",
+               separable=True):
+    """FFT of ``x * exp(2j*pi*shift*(t/n - 0.5))`` -- the reference's
+    fractional carrier shift -- with the ramp in SEPARABLE form on the
+    four-step path (``separable=False`` forces the explicit full-ramp
+    product; this function is the ONE home of the ramp formula, which
+    the full branch also serves as the non-four-step fallback).
 
     The fractional carrier shift multiplies every sample by a
     unit-modulus ramp before the transform (reference
@@ -248,7 +252,7 @@ def fft_ramped(x, shift, impl="auto", precision="highest"):
     kara = impl == "matmul3"
     n = x.shape[-1]
     split = _split(n)
-    if _use_matmul(impl) and split is not None:
+    if separable and _use_matmul(impl) and split is not None:
         n1, n2 = split
         two_pi = jnp.float32(2.0 * np.pi)
         # Split shift = si + sf (integer + fraction in [-0.5, 0.5]) so

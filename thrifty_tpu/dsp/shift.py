@@ -33,13 +33,11 @@ def fractional_shift_fft(blocks, shift, impl="auto",
     """
     from thrifty_tpu.dsp import mxu_fft
 
-    if ramp == "separable":
-        return mxu_fft.fft_ramped(blocks, shift, impl, precision)
-    n = blocks.shape[-1]
-    pos = jnp.arange(n, dtype=jnp.float32) / n - 0.5
-    phase = 2.0 * jnp.pi * shift[..., None] * pos
-    ramp_arr = jnp.exp(1j * phase).astype(blocks.dtype)
-    return mxu_fft.fft(blocks * ramp_arr, impl, precision)
+    # Both forms live in mxu_fft.fft_ramped -- ONE implementation of
+    # the parity-critical reference ramp formula (its full-ramp branch
+    # is also the separable path's non-four-step fallback).
+    return mxu_fft.fft_ramped(blocks, shift, impl, precision,
+                              separable=(ramp == "separable"))
 
 
 def integer_roll_fft(fft, shift, max_start=None):
