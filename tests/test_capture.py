@@ -379,3 +379,42 @@ def test_carrier_gate_keeps_ultra_strong_block():
     assert bool(det[0])
     assert int(idx[0]) == 40
     assert np.isfinite(float(thr[0]))
+
+
+def test_gate_windowed_fast_path_equivalent():
+    """CarrierGate's windowed-DFT fast path (fft_impl='matmul') must
+    reproduce the full-FFT gate: identical verdicts and peak bins,
+    magnitudes/noise/threshold to matmul accumulation tolerance, on a
+    mix of burst and pure-noise blocks."""
+    import numpy as np
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.pipeline import capture
+
+    tpl = sim.make_template()
+    cap = sim.synth_capture(num_blocks=12, bursts_every=3,
+                            template=tpl, seed=23)
+    from thrifty_tpu.dsp import iq
+    raw = iq.iq_to_raw(cap.blocks)
+
+    full = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 0.0),
+                               fft_impl="xla")
+    fast = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 0.0),
+                               fft_impl="matmul")
+    assert fast._win_sel is not None and full._win_sel is None
+    a = [np.asarray(x) for x in full(raw)]
+    b = [np.asarray(x) for x in fast(raw)]
+    np.testing.assert_array_equal(a[0], b[0])  # verdicts
+    np.testing.assert_array_equal(a[1], b[1])  # peak bins
+    for i in (2, 3, 4):  # magnitude, noise, threshold
+        np.testing.assert_allclose(a[i], b[i], rtol=2e-5)
+
+
+def test_gate_windowed_stddev_term_ineligible():
+    """A stddev threshold term needs every bin's magnitude: the
+    windowed path must not engage."""
+    from thrifty_tpu.pipeline import capture
+
+    g = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 2.0),
+                            fft_impl="matmul")
+    assert g._win_sel is None

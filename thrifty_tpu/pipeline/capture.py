@@ -43,15 +43,33 @@ class CarrierGate:
     """
 
     def __init__(self, block_len, carrier_window, carrier_thresh,
-                 history_len=None):
+                 history_len=None, fft_impl="auto",
+                 fft_precision="highest"):
         import jax
 
-        from thrifty_tpu.dsp import carrier
+        from thrifty_tpu.dsp import carrier, mxu_fft
 
         self.block_len = block_len
         self.history_len = history_len  # needed for gate_stream only
         self._mask = carrier.window_mask(carrier_window, block_len)
         self._thresh = tuple(carrier_thresh)
+        self._fft_impl = fft_impl
+        self._fft_precision = fft_precision
+        # Windowed-DFT fast path (round 5, shares the detector's
+        # eligibility rules): the gate consumes ONLY the windowed
+        # argmax and the total spectrum energy (Parseval on the time
+        # block), so the full FFT + [B, N] magnitude array collapse
+        # to half a four-step transform.  Gated to the matmul impl
+        # (CPU keeps bit-exact jnp.fft numerics for the golden
+        # archives) and off under a stddev threshold term (needs
+        # every bin's magnitude).
+        self._win_sel = None
+        if (carrier_window is not None and self._thresh[2] == 0
+                and mxu_fft._use_matmul(fft_impl)):
+            sel = carrier.fft_window_indices(
+                carrier_window[0], carrier_window[1], block_len)
+            if len(sel) <= block_len // 8:
+                self._win_sel = sel.astype(np.int64)
         self._jit = jax.jit(self._program)
         self._stream_carry = None
 
@@ -60,7 +78,28 @@ class CarrierGate:
 
         from thrifty_tpu.dsp import carrier, mxu_fft
 
-        mag = jnp.abs(mxu_fft.fft(blocks))
+        if self._win_sel is not None:
+            spec_w = mxu_fft.windowed_dft(
+                blocks, self._win_sel, self._fft_impl,
+                self._fft_precision)
+            mag_w = jnp.abs(spec_w)
+            rel = jnp.argmax(mag_w, axis=-1).astype(jnp.int32)
+            peak_mag = jnp.take_along_axis(mag_w, rel[..., None],
+                                           axis=-1)[..., 0]
+            idx = jnp.asarray(self._win_sel.astype("int32"))[rel]
+            # Parseval: sum|FFT|^2 = N * sum|x|^2.
+            energy = self.block_len * jnp.sum(
+                jnp.square(blocks.real) + jnp.square(blocks.imag),
+                axis=-1)
+            noise, thresh_sq = carrier.noise_and_threshold_sq(
+                energy, jnp.square(peak_mag), self.block_len,
+                self._thresh)
+            det = peak_mag > jnp.sqrt(jnp.maximum(thresh_sq, 0.0))
+            return det, idx, peak_mag, noise, jnp.sqrt(
+                jnp.maximum(thresh_sq, 0.0))
+
+        mag = jnp.abs(mxu_fft.fft(blocks, self._fft_impl,
+                                  self._fft_precision))
         det, idx, peak_mag, noise = carrier.detect(
             mag, self._mask, self._thresh)
         # Report the DECISION threshold, rebuilt with the same
@@ -278,7 +317,8 @@ def _record_main(config, args):
     window = normalize_freq_range(
         config.carrier_window, config.sample_rate / config.block_size)
     gate = CarrierGate(config.block_size, window, config.carrier_threshold,
-                       history_len=config.block_history)
+                       history_len=config.block_history,
+                       fft_impl=args.fft_impl)
     device_unfold = bool(getattr(args, "device_unfold", False))
 
     sdr = False
@@ -433,6 +473,12 @@ def _main(argv=None):
                         help="with --rtl-tcp: survive server restarts, "
                              "retrying up to N times with exponential "
                              "backoff [default: 0 = exit on disconnect]")
+    parser.add_argument("--fft-impl", type=str, default="auto",
+                        choices=["auto", "matmul", "matmul3", "xla"],
+                        help="FFT implementation for the carrier gate "
+                             "(dsp/mxu_fft.py; 'auto' = MXU matmul on "
+                             "TPU with the windowed-DFT gate, jnp.fft "
+                             "elsewhere) [default: auto]")
     parser.add_argument("--capture-cmd", type=str, default="fastcard",
                         help="capture binary to spawn [default: fastcard]")
     keys = ["sample_rate", "tuner_freq", "tuner_gain", "block_size",
