@@ -794,6 +794,13 @@ def bench_abcheck_knee(template, batch, base_cfg, overrides,
             "n_blocks": jnp.sum(jnp.ones_like(flip, jnp.float32)),
             "detected_a": jnp.sum(a["detected"].astype(jnp.float32)),
             "detected_b": jnp.sum(b["detected"].astype(jnp.float32)),
+            # Carrier counts make a gate_capacity A/B self-evident:
+            # carrier_b <= capacity means the COMPACTED branch ran;
+            # above it, the lax.cond fallback did.
+            "carrier_a": jnp.sum(
+                a["carrier_detect"].astype(jnp.float32)),
+            "carrier_b": jnp.sum(
+                b["carrier_detect"].astype(jnp.float32)),
             "n_both": jnp.sum(both.astype(jnp.float32)),
             "n_flips": jnp.sum(flip.astype(jnp.float32)),
             "max_flip_margin_rel": jnp.max(
