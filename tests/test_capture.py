@@ -401,7 +401,7 @@ def test_gate_windowed_fast_path_equivalent():
                                fft_impl="xla")
     fast = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 0.0),
                                fft_impl="matmul")
-    assert fast._win_sel is not None and full._win_sel is None
+    assert fast._win is not None and full._win is None
     a = [np.asarray(x) for x in full(raw)]
     b = [np.asarray(x) for x in fast(raw)]
     np.testing.assert_array_equal(a[0], b[0])  # verdicts
@@ -417,4 +417,4 @@ def test_gate_windowed_stddev_term_ineligible():
 
     g = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 2.0),
                             fft_impl="matmul")
-    assert g._win_sel is None
+    assert g._win is None

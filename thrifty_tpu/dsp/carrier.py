@@ -193,3 +193,68 @@ def noise_and_threshold_sq(energy, peak_power, n, thresh_coeffs):
     thresh_sq = c + s * jnp.where(
         noise_var < 0.0, noise_var, jnp.square(noise_rms))
     return noise_rms, thresh_sq
+
+
+def windowed_selection(carrier_window, thresh_coeffs, n, fft_impl,
+                       margin=0):
+    """Eligibility + index sets for the windowed-DFT carrier fast path.
+
+    Returns ``(sel_i32, ext_i64)`` when the fast path applies -- an
+    explicit carrier window, no stddev threshold term (it needs every
+    bin's magnitude), the matmul FFT impl active, and the window plus
+    ``margin`` wrapped neighbor bins per side small against ``n`` --
+    else ``None``.  ``sel`` are the window's FFT bin indices in window
+    order; ``ext`` additionally carries the interpolation margin.
+    Shared by the detector's carrier stage and the capture node's
+    CarrierGate so their eligibility and numerics can never drift.
+    """
+    from thrifty_tpu.dsp import mxu_fft
+
+    if carrier_window is None or thresh_coeffs[2]:
+        return None
+    if not mxu_fft._use_matmul(fft_impl):
+        return None
+    sel = fft_window_indices(carrier_window[0], carrier_window[1], n)
+    if len(sel) + 2 * margin > n // 8:
+        return None
+    ext = (int(sel[0]) - margin
+           + np.arange(len(sel) + 2 * margin)) % n
+    return sel.astype(np.int32), ext.astype(np.int64)
+
+
+def detect_windowed(blocks, sel, ext, margin, thresh_coeffs,
+                    fft_impl="auto", fft_precision="highest"):
+    """Carrier detection via a windowed DFT (the round-5 fast path).
+
+    The carrier stage consumes only (a) the windowed argmax plus an
+    interpolation neighborhood and (b) the total spectrum energy --
+    and (b) is Parseval on the time-domain block -- so the full
+    [B, N] FFT and magnitude arrays never materialize; cost is about
+    half a four-step transform (mxu_fft.windowed_dft).  ``sel``/
+    ``ext``/``margin`` come from :func:`windowed_selection`.
+
+    Returns ``(det, idx, peak_mag, noise, thresh_sq, mag_ext, rel)``:
+    the detection verdict, peak FFT bin, peak magnitude, noise RMS and
+    squared decision threshold (shared
+    :func:`noise_and_threshold_sq` semantics, including the
+    ultra-strong-carrier signed variance), plus the extended-window
+    magnitudes and the peak's position within the core window for the
+    caller's sub-bin interpolator.
+    """
+    from thrifty_tpu.dsp import mxu_fft
+
+    n = blocks.shape[-1]
+    spec_w = mxu_fft.windowed_dft(blocks, ext, fft_impl, fft_precision)
+    mag_w = jnp.abs(spec_w)
+    core = mag_w[..., margin:margin + len(sel)] if margin else mag_w
+    rel = jnp.argmax(core, axis=-1).astype(jnp.int32)
+    peak_mag = jnp.take_along_axis(core, rel[..., None], axis=-1)[..., 0]
+    idx = jnp.asarray(sel)[rel]
+    # Parseval: sum|FFT|^2 = N * sum|x|^2 (exact identity; f32
+    # rounding differs from the spectral sum by ~1e-6 rel).
+    energy = n * jnp.sum(
+        jnp.square(blocks.real) + jnp.square(blocks.imag), axis=-1)
+    noise, thresh_sq = noise_and_threshold_sq(
+        energy, jnp.square(peak_mag), n, thresh_coeffs)
+    det = peak_mag > jnp.sqrt(jnp.maximum(thresh_sq, 0.0))
+    return det, idx, peak_mag, noise, thresh_sq, mag_w, rel

@@ -386,7 +386,6 @@ class BatchDetector:
         # numerics; inactive with a carrier peak filter (its FIR runs
         # over the window ORDER with a start-up transient) or a
         # stddev threshold term (needs every bin's magnitude).
-        from thrifty_tpu.dsp import mxu_fft as _mxu
         if carrier_interp in ("dirichlet", "polyfit"):
             win_half = config.interp_width // 2
         elif carrier_interp == "none":
@@ -396,17 +395,17 @@ class BatchDetector:
         self._carrier_win = None
         if (config.carrier_fast == "auto"
                 and config.sync_mode == "fractional"
-                and config.peak_filter_len == 0
-                and config.carrier_thresh[2] == 0
-                and config.carrier_window is not None
-                and _mxu._use_matmul(config.fft_impl)):
-            w = config.carrier_window
-            sel = carrier.fft_window_indices(w[0], w[1], n)
-            if len(sel) + 2 * win_half <= n // 8:
-                ext = (int(sel[0]) - win_half
-                       + np.arange(len(sel) + 2 * win_half)) % n
-                self._carrier_win = (sel.astype(np.int32),
-                                     ext.astype(np.int64), win_half)
+                and config.peak_filter_len == 0):
+            # Eligibility + index sets shared with the capture node's
+            # CarrierGate (dsp.carrier.windowed_selection), plus the
+            # detector-only conditions above (fractional sync: the
+            # full FFT would otherwise be reused by the roll; no
+            # magnitude-domain peak filter).
+            win = carrier.windowed_selection(
+                config.carrier_window, config.carrier_thresh, n,
+                config.fft_impl, margin=win_half)
+            if win is not None:
+                self._carrier_win = (win[0], win[1], win_half)
 
         self._detect_jit = jax.jit(self._detect_batch)
 
@@ -460,22 +459,13 @@ class BatchDetector:
         if cfg.sync_mode != "fractional":
             c_prec = cfg.fft_precision
         if self._carrier_win is not None:
-            # Stage 1+2 fast path: windowed carrier DFT (see __init__).
+            # Stage 1+2 fast path: windowed carrier DFT (shared core
+            # with the capture node -- dsp.carrier.detect_windowed).
             sel, ext, half = self._carrier_win
-            spec_w = mxu_fft.windowed_dft(blocks, ext, cfg.fft_impl,
-                                          c_prec)
-            mag_w = jnp.abs(spec_w)
-            core = mag_w[..., half:half + len(sel)] if half else mag_w
-            rel = jnp.argmax(core, axis=-1).astype(jnp.int32)
-            c_mag = jnp.take_along_axis(core, rel[..., None],
-                                        axis=-1)[..., 0]
-            c_idx = jnp.asarray(sel)[rel]
-            # Parseval: sum|FFT|^2 = N * sum|x|^2 (exact identity; f32
-            # rounding differs from the spectral sum by ~1e-6 rel).
-            c_noise, c_thresh_sq = carrier.noise_and_threshold_sq(
-                n * signal_energy, jnp.square(c_mag), n,
-                cfg.carrier_thresh)
-            c_det = c_mag > jnp.sqrt(jnp.maximum(c_thresh_sq, 0.0))
+            c_det, c_idx, c_mag, c_noise, _, mag_w, rel = \
+                carrier.detect_windowed(
+                    blocks, sel, ext, half, cfg.carrier_thresh,
+                    cfg.fft_impl, c_prec)
             if half:
                 nidx = (rel + half)[..., None] + jnp.arange(-half,
                                                             half + 1)

@@ -55,21 +55,16 @@ class CarrierGate:
         self._thresh = tuple(carrier_thresh)
         self._fft_impl = fft_impl
         self._fft_precision = fft_precision
-        # Windowed-DFT fast path (round 5, shares the detector's
-        # eligibility rules): the gate consumes ONLY the windowed
-        # argmax and the total spectrum energy (Parseval on the time
-        # block), so the full FFT + [B, N] magnitude array collapse
-        # to half a four-step transform.  Gated to the matmul impl
-        # (CPU keeps bit-exact jnp.fft numerics for the golden
-        # archives) and off under a stddev threshold term (needs
-        # every bin's magnitude).
-        self._win_sel = None
-        if (carrier_window is not None and self._thresh[2] == 0
-                and mxu_fft._use_matmul(fft_impl)):
-            sel = carrier.fft_window_indices(
-                carrier_window[0], carrier_window[1], block_len)
-            if len(sel) <= block_len // 8:
-                self._win_sel = sel.astype(np.int64)
+        # Windowed-DFT fast path (round 5): eligibility and numerics
+        # shared with the detector's carrier stage through
+        # dsp.carrier.windowed_selection/detect_windowed -- the gate
+        # consumes only the windowed argmax and the Parseval energy,
+        # so the full FFT + [B, N] magnitude array collapse to half a
+        # four-step transform.  Off on the jnp.fft path (CPU keeps
+        # bit-exact numerics for the golden archives) and under a
+        # stddev threshold term (needs every bin's magnitude).
+        self._win = carrier.windowed_selection(
+            carrier_window, self._thresh, block_len, fft_impl)
         self._jit = jax.jit(self._program)
         self._stream_carry = None
 
@@ -78,23 +73,12 @@ class CarrierGate:
 
         from thrifty_tpu.dsp import carrier, mxu_fft
 
-        if self._win_sel is not None:
-            spec_w = mxu_fft.windowed_dft(
-                blocks, self._win_sel, self._fft_impl,
-                self._fft_precision)
-            mag_w = jnp.abs(spec_w)
-            rel = jnp.argmax(mag_w, axis=-1).astype(jnp.int32)
-            peak_mag = jnp.take_along_axis(mag_w, rel[..., None],
-                                           axis=-1)[..., 0]
-            idx = jnp.asarray(self._win_sel.astype("int32"))[rel]
-            # Parseval: sum|FFT|^2 = N * sum|x|^2.
-            energy = self.block_len * jnp.sum(
-                jnp.square(blocks.real) + jnp.square(blocks.imag),
-                axis=-1)
-            noise, thresh_sq = carrier.noise_and_threshold_sq(
-                energy, jnp.square(peak_mag), self.block_len,
-                self._thresh)
-            det = peak_mag > jnp.sqrt(jnp.maximum(thresh_sq, 0.0))
+        if self._win is not None:
+            sel, ext = self._win
+            det, idx, peak_mag, noise, thresh_sq, _, _ = \
+                carrier.detect_windowed(
+                    blocks, sel, ext, 0, self._thresh,
+                    self._fft_impl, self._fft_precision)
             return det, idx, peak_mag, noise, jnp.sqrt(
                 jnp.maximum(thresh_sq, 0.0))
 
