@@ -1029,6 +1029,17 @@ def main(argv=None):
                         help="separable fractional-sync ramp (the A/B "
                              "knob; 'off' = explicit full-ramp "
                              "product) [default: auto]")
+    parser.add_argument("--bursts-every", type=int, default=4,
+                        metavar="K",
+                        help="batch/stream programs: plant a burst "
+                             "every K-th block in the synthetic mix "
+                             "(carrier-positive fraction ~= 2/K: each "
+                             "burst straddles two overlap-save "
+                             "blocks).  The official mix is 4; larger "
+                             "K measures the gated program's "
+                             "duty-cycle scaling toward deployment "
+                             "rates -- size --gate accordingly "
+                             "[default: 4]")
     parser.add_argument("--carrier-precision", type=str, default="auto",
                         choices=["auto", "highest", "high", "default"],
                         help="MXU accumulation for the carrier "
@@ -1337,7 +1348,8 @@ def main(argv=None):
     synth_tpl = template[0] if getattr(template, "ndim", 1) == 2 \
         else template
     caps = [
-        sim.synth_capture(num_blocks=max(sweep_sizes), bursts_every=4,
+        sim.synth_capture(num_blocks=max(sweep_sizes),
+                          bursts_every=args.bursts_every,
                           template=synth_tpl, seed=s, quantize=False)
         for s in (0, 1)
     ]
@@ -1402,7 +1414,8 @@ def main(argv=None):
             "fft_precision": args.fft_precision,
             "carrier_fast": args.carrier_fast,
             "carrier_precision": args.carrier_precision,
-            "ramp_fast": args.ramp_fast, "input": args.input,
+            "ramp_fast": args.ramp_fast,
+            "bursts_every": args.bursts_every, "input": args.input,
             "program": args.program, "bank": args.bank,
             "gate": args.gate}
     headline_batch = args.batch
