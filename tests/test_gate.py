@@ -244,3 +244,25 @@ def test_sharded_gate(capture):
     for k in ("corr_offset", "corr_energy", "carrier_offset"):
         np.testing.assert_allclose(a[k][m], b[k][m], rtol=1e-5,
                                    atol=1e-6, err_msg=k)
+
+
+def test_bench_mix_carrier_count_fits_auto_gate():
+    """The official bench mix (bursts_every=4, seeds 0/1, quantize
+    off) must keep its carrier-positive count <= batch//2 -- the
+    bench's auto gate capacity.  If sim or the seeds ever change this,
+    the headline would silently measure the lax.cond fallback instead
+    of the gated program (still correct, but a perf artifact); this
+    test turns that into a visible failure."""
+    import dataclasses
+
+    tpl = sim.make_template()
+    det = BatchDetector(tpl, BASE)
+    for seed in (0, 1):
+        cap = sim.synth_capture(num_blocks=64, bursts_every=4,
+                                template=tpl, seed=seed, quantize=False)
+        n_carrier = int(np.asarray(
+            det(cap.blocks)["carrier_detect"]).sum())
+        assert n_carrier <= 32, (seed, n_carrier)
+        # ...and the mix is genuinely dense enough to exercise the
+        # corr stage (not a degenerate all-noise batch).
+        assert n_carrier >= 16, (seed, n_carrier)
