@@ -300,18 +300,25 @@ def test_tpu_ab_time_smoke(tmp_path):
 
     res = run_script("tpu_ab_time.py",
                      ["--cpu", "--batch", "8", "--scan-k", "2",
-                      "--rounds", "2", "--ab", "fft_impl=xla"],
+                      "--rounds", "3", "--ab", "fft_impl=xla"],
                      str(tmp_path))
-    assert res.returncode == 0, res.stderr[-2000:]
     data = json.loads(
         [l for l in res.stdout.splitlines() if l.startswith("{")][-1])
     assert data["metric"] == "config_ab_time"
-    assert data["verdict"] in ("a_faster", "b_faster", "parity")
     assert data["b"] == {"fft_impl": "xla"} and data["a"] == {}
-    assert len(data["rounds"]) == 2
+    if res.returncode != 0:
+        # Host-load jitter on this shared machine can produce
+        # non-positive scan slopes at scan-k=2; the script must then
+        # DISCARD those rounds and declare itself unresolved rather
+        # than report poisoned ratios (the round-5 guard).
+        assert data["verdict"] == "unresolved", data
+        return
+    assert data["verdict"] in ("a_faster", "b_faster", "parity")
+    assert 2 <= len(data["rounds"]) <= 3
     # Paired rounds each carry both sides and their ratio.
     assert all({"a", "b", "ratio_b_over_a"} <= set(r)
                for r in data["rounds"])
+    assert data["invalid_rounds"] + len(data["rounds"]) == 3
 
 
 def test_tpu_ab_time_rejects_bad_override(tmp_path):

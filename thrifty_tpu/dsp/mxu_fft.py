@@ -288,20 +288,33 @@ def fft_ramped(x, shift, impl="auto", precision="highest",
     return _transform(x * ramp.astype(x.dtype), False, impl, precision)
 
 
+# Dense windowed-DFT heuristic: evaluate X[sel] as ONE [n, W] matmul
+# (no [B, n1, n2] column-transform intermediate materialized in HBM)
+# whenever the constant matrix stays below this element count.  At the
+# example geometry (n=16384, W~114) the dense constant is ~15 MB c64
+# -- template-bank scale -- and the saved b1 write+read passes are
+# worth more than the (comparable) MXU work.  Module-level so the A/B
+# harness can pin either form; both are certified against the same
+# oracle tolerances.
+WINDOWED_DENSE_MAX_ELEMS = 8 * 1024 * 1024
+
+
 @functools.lru_cache(maxsize=32)
-def _windowed_consts(n, sel, inverse):
+def _windowed_consts(n, sel, inverse, dense):
     """Constants for :func:`windowed_dft` at output bins ``sel``.
 
-    Factorized evaluation when the four-step split exists: with time
-    index t = j1*n2 + j2, X[k] = sum_j2 W_n^{j2 k} * b1[k mod n1, j2]
-    where b1 is the SAME [n1, n1] column transform the four-step FFT
-    runs -- so the windowed transform shares its two-level
-    accumulation accuracy.  Returns (f1, k1_idx, comb) for the
-    factorized path or (dense_cols, None, None) for small n.
+    ``dense``: one [n, W] matrix product (X[k] = sum_t x[t] W_n^{tk},
+    single-level accumulation over the full n-length contraction).
+    Factorized evaluation otherwise, when the four-step split exists:
+    with time index t = j1*n2 + j2, X[k] = sum_j2 W_n^{j2 k} *
+    b1[k mod n1, j2] where b1 is the SAME [n1, n1] column transform
+    the four-step FFT runs -- so the windowed transform shares its
+    two-level accumulation accuracy.  Returns (cols, None, None) for
+    the dense path or (f1, k1_idx, comb) for the factorized one.
     """
     sgn = 2j if inverse else -2j
     sel_arr = np.asarray(sel, dtype=np.int64)
-    if n <= _DFT_MAX:
+    if n <= _DFT_MAX or dense:
         k = np.arange(n)
         cols = np.exp(sgn * np.pi * np.outer(k, sel_arr) / n)
         return cols.astype(np.complex64), None, None
@@ -336,7 +349,8 @@ def windowed_dft(x, sel, impl="auto", precision="highest"):
     if any(s < 0 or s >= n for s in sel_t):
         raise ValueError("windowed_dft bins out of range for n=%d" % n)
     if _use_matmul(impl):
-        cols, k1_idx, comb = _windowed_consts(n, sel_t, False)
+        dense = n * len(sel_t) <= WINDOWED_DENSE_MAX_ELEMS
+        cols, k1_idx, comb = _windowed_consts(n, sel_t, False, dense)
         if cols is not None and k1_idx is None:
             return _capply(x, cols,
                            lambda a, c: jnp.matmul(a, c,
