@@ -418,3 +418,28 @@ def test_gate_windowed_stddev_term_ineligible():
     g = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 2.0),
                             fft_impl="matmul")
     assert g._win is None
+
+
+def test_gate_stream_windowed_equivalent():
+    """gate_stream (device-side overlap-save) under the windowed-DFT
+    fast path must match the full-FFT gate stream."""
+    import numpy as np
+
+    from thrifty_tpu import sim
+    from thrifty_tpu.dsp import iq
+    from thrifty_tpu.pipeline import capture
+
+    tpl = sim.make_template()
+    cap = sim.synth_capture(num_blocks=8, bursts_every=2,
+                            template=tpl, seed=29)
+    new = iq.iq_to_raw(cap.blocks[:, HISTORY:]).reshape(-1)
+    outs = {}
+    for impl in ("xla", "matmul"):
+        g = capture.CarrierGate(16384, (7, 110), (0.0, 15.0, 0.0),
+                                history_len=HISTORY, fft_impl=impl)
+        outs[impl] = [np.asarray(x) for x in g.gate_stream(new)]
+    a, b = outs["xla"], outs["matmul"]
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    for i in (2, 3, 4):
+        np.testing.assert_allclose(a[i], b[i], rtol=2e-5)
