@@ -349,10 +349,12 @@ def bench_ingest_feeds(detector, template, batch, target_bytes, feeds,
 def scaling_verdict(sec_by_batch):
     """Scaling verdict over a batch-size sweep of chained timings.
 
-    Two-zone classification per doubling step, because the two
-    failure/benign modes are physically distinct:
+    Two-zone classification per sweep step (cutoffs are quoted per
+    doubling and compound as 1.30**log2(b/a) for non-doubling steps),
+    because the two failure/benign modes are physically distinct:
 
-    - **floor** (ratio <= 1.30): time did not grow with batch -- the
+    - **floor** (ratio <= 1.30 per doubling): time did not grow with
+      batch -- the
       measurement sits on a dispatch/tunnel floor (measured floor
       ratios on this tunnel: 1.12-1.21 per doubling; the cutoff adds
       the ~2% in-session spread plus margin so a jittery floor step
@@ -380,7 +382,14 @@ def scaling_verdict(sec_by_batch):
     for a, b in zip(sizes, sizes[1:]):
         r = sec_by_batch[b] / sec_by_batch[a]
         ratios["{}->{}".format(a, b)] = round(r, 3)
-        if ok and r > 1.30:
+        # Thresholds scale with the step size (not every step is a
+        # doubling): a floor step measures ~1.12-1.21 PER DOUBLING, so
+        # the growth cutoff compounds as 1.30^log2(b/a) -- a sparse
+        # sweep's stacked 64->256 floor (1.18^2 ~ 1.39) still
+        # classifies as floor, and a genuine near-unit step (e.g.
+        # 256->300, ideal 1.17) isn't asked to exceed 1.30.
+        step = np.log2(b / a)
+        if ok and r > 1.30 ** step:
             linear_up_to = b
             if r < 0.70 * (b / a):
                 all_linear = False
@@ -641,6 +650,56 @@ def bench_e2e(detector, template, batch, target_bytes, input_kind,
             input_kind, blocks_done, file_bytes / 1e6, elapsed, stats),
             file=sys.stderr)
     return samples / elapsed, stats
+
+
+def parse_config_overrides(text, error=None):
+    """Parse ``K=V[,K=V...]`` DetectorConfig overrides with coercion.
+
+    The single source of truth for the ``--ab``/``--base`` override
+    contract shared by ``bench --program abcheck`` and
+    ``scripts/tpu_ab_time.py``: unknown fields and un-coercible values
+    are usage errors, and numeric values are coerced by the field
+    default's type so e.g. ``gate_capacity=128`` reaches
+    ``dataclasses.replace`` as an int.  ``error`` is the
+    usage-error callback (``parser.error`` style); defaults to
+    ``SystemExit``.
+    """
+    import dataclasses
+
+    from thrifty_tpu.dsp.detector import DetectorConfig
+
+    if error is None:
+        def error(msg):
+            raise SystemExit(msg)
+    defaults = {f.name: f.default
+                for f in dataclasses.fields(DetectorConfig)}
+    out = {}
+    if not text:
+        return out
+    for kv in text.split(","):
+        k, sep, v = kv.partition("=")
+        if not sep:
+            error("override entries must be K=V, got " + kv)
+        k, v = k.strip(), v.strip()
+        if k not in defaults:
+            error("unknown DetectorConfig field {!r} (valid: {})".format(
+                k, ", ".join(sorted(defaults))))
+        d = defaults[k]
+        try:
+            if isinstance(d, bool):
+                v = v.lower() in ("1", "true", "on", "yes")
+            elif isinstance(d, int):
+                v = int(v)
+            elif isinstance(d, float):
+                v = float(v)
+            elif not isinstance(d, str):
+                error("field {!r} (default {!r}) is not overridable "
+                      "from the command line".format(k, d))
+        except ValueError:
+            error("{!r} is not a valid value for {} (default "
+                  "{!r})".format(v, k, d))
+        out[k] = v
+    return out
 
 
 _RELATIVE_FIELDS = {"carrier_energy", "carrier_noise", "corr_energy",
@@ -1189,36 +1248,8 @@ def main(argv=None):
     if args.program == "abcheck":
         if not args.ab:
             parser.error("--program abcheck requires --ab K=V[,K=V...]")
-        import dataclasses as _dc
-        defaults = {f.name: f.default for f in _dc.fields(DetectorConfig)}
-        overrides = {}
-        for kv in args.ab.split(","):
-            k, _, v = kv.partition("=")
-            if not _:
-                parser.error("--ab entries must be K=V, got " + kv)
-            k, v = k.strip(), v.strip()
-            if k not in defaults:
-                parser.error("--ab: unknown DetectorConfig field {!r} "
-                             "(valid: {})".format(
-                                 k, ", ".join(sorted(defaults))))
-            # Coerce numeric fields by the default's type so e.g.
-            # gate_capacity=128 reaches dataclasses.replace as an int.
-            d = defaults[k]
-            try:
-                if isinstance(d, bool):
-                    v = v.lower() in ("1", "true", "on", "yes")
-                elif isinstance(d, int):
-                    v = int(v)
-                elif isinstance(d, float):
-                    v = float(v)
-                elif not isinstance(d, str):
-                    parser.error(
-                        "--ab: field {!r} (default {!r}) is not "
-                        "overridable from the command line".format(k, d))
-            except ValueError:
-                parser.error("--ab: {!r} is not a valid value for "
-                             "{} (default {!r})".format(v, k, d))
-            overrides[k] = v
+        overrides = parse_config_overrides(
+            args.ab, lambda m: parser.error("--ab: " + m))
         if "gate_capacity" in overrides and not args.ab_knee:
             # The plain abcheck diffs EVERY field on EVERY row; the
             # gate's carrier-negative rows report zeros by design, so
@@ -1235,7 +1266,13 @@ def main(argv=None):
                               fft_precision=args.fft_precision,
                               carrier_fast=args.carrier_fast,
                               carrier_precision=args.carrier_precision,
-                              ramp_fast=args.ramp_fast)
+                              ramp_fast=args.ramp_fast,
+                              # An explicit --gate grades the knob under
+                              # the gated dataflow on BOTH sides (auto
+                              # -1 stays ungated here: the certificate's
+                              # row-by-row diff wants the widest
+                              # comparable surface by default).
+                              gate_capacity=max(args.gate, 0))
         if args.ab_knee:
             ok, diffs = bench_abcheck_knee(
                 template, args.batch, base, overrides,

@@ -31,46 +31,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_overrides(text):
-    import dataclasses
-
-    from thrifty_tpu.dsp.detector import DetectorConfig
-
-    defaults = {f.name: f.default
-                for f in dataclasses.fields(DetectorConfig)}
-    out = {}
-    if not text:
-        return out
-    for kv in text.split(","):
-        k, sep, v = kv.partition("=")
-        if not sep:
-            raise SystemExit("override entries must be K=V, got " + kv)
-        k, v = k.strip(), v.strip()
-        if k not in defaults:
-            raise SystemExit(
-                "unknown DetectorConfig field {!r} (valid: {})".format(
-                    k, ", ".join(sorted(defaults))))
-        # Coerce numeric fields by the default's type (same contract
-        # as bench --ab), so e.g. gate_capacity=128 works.
-        d = defaults[k]
-        try:
-            if isinstance(d, bool):
-                v = v.lower() in ("1", "true", "on", "yes")
-            elif isinstance(d, int):
-                v = int(v)
-            elif isinstance(d, float):
-                v = float(v)
-            elif not isinstance(d, str):
-                raise SystemExit(
-                    "field {!r} (default {!r}) is not overridable "
-                    "from the command line".format(k, d))
-        except ValueError:
-            raise SystemExit("{!r} is not a valid value for {} "
-                             "(default {!r})".format(v, k, d))
-        out[k] = v
-    return out
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--batch", type=int, default=256)
@@ -95,19 +55,26 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    import dataclasses
+
     import bench
     bench._enable_compile_cache()
 
     from thrifty_tpu import sim
     from thrifty_tpu.dsp.detector import BatchDetector, DetectorConfig
 
-    base_over = parse_overrides(args.base)
+    # Same override contract (and code) as bench --ab.
+    base_over = bench.parse_config_overrides(args.base)
     b_over = dict(base_over)
-    b_over.update(parse_overrides(args.ab))
+    b_over.update(bench.parse_config_overrides(args.ab))
 
     def make_detector(overrides):
+        # replace() lets an override target ANY overridable field --
+        # including sync_mode, which would collide as a duplicate
+        # keyword if overrides were splatted into the constructor.
         cfg = DetectorConfig(carrier_window=(7, 110),
-                             sync_mode=args.sync_mode, **overrides)
+                             sync_mode=args.sync_mode)
+        cfg = dataclasses.replace(cfg, **overrides)
         return BatchDetector(sim.make_template(), cfg)
 
     det_a = make_detector(base_over)
@@ -206,4 +173,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -135,6 +135,18 @@ def test_scaling_verdict_unit():
     # Flat-ish 1.25x steps are still the floor, not economy.
     v = bench.scaling_verdict({64: 1.0, 128: 1.2, 256: 1.44})
     assert v["verdict"] == "floor_limited_above_64"
+    # Step-size-aware thresholds: a genuine NON-doubling step (e.g. a
+    # --batch 300 merged into the sweep; ideal ratio 300/256 = 1.17
+    # can never clear a fixed 1.30 doubling cutoff) must not demote a
+    # perfectly linear sweep ...
+    v = bench.scaling_verdict({64: 64e-5, 128: 128e-5, 256: 256e-5,
+                               300: 300e-5, 512: 512e-5})
+    assert v["verdict"] == "linear" and v["linear_up_to"] == 512
+    # ... and a sparse sweep's stacked floor step (two tunnel-floor
+    # doublings, 1.18^2 = 1.39 across 64->256) must still classify as
+    # floor, not sneak past the fixed cutoff as growth.
+    v = bench.scaling_verdict({64: 1.0, 256: 1.39})
+    assert v["verdict"] == "floor_limited_above_64"
 
 
 def test_bench_c64_and_modes():

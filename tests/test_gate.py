@@ -35,19 +35,26 @@ def full_out(capture):
     return {k: np.asarray(v) for k, v in det(capture.blocks).items()}
 
 
-def assert_gate_equivalent(a, b, exact=False):
-    """Decisions equal everywhere; all fields equal on carrier rows.
+CORR_FIELDS = ("corr_sample", "corr_offset", "corr_energy",
+               "corr_noise")
 
-    Gathered rows re-run the identical row-wise program; float fields
-    may differ by XLA refusion ULPs between batch shapes (``exact``
-    asserts bitwise equality instead -- the overflow-fallback
-    contract, where both sides run the same full-batch code).
+
+def assert_gate_equivalent(a, b, exact=False):
+    """``a`` ungated reference output, ``b`` gated output.
+
+    Decisions equal everywhere; all fields equal on carrier-positive
+    rows (gathered rows re-run the identical row-wise program; float
+    fields may differ by XLA refusion ULPs between batch shapes --
+    ``exact`` asserts bitwise equality instead, the overflow-fallback
+    contract where both sides run the same full-batch code); carrier
+    fields bitwise everywhere (the carrier stage precedes the gate);
+    and the UNIFORM carrier-negative contract: corr fields of ``b``
+    are zeros on every carrier-negative row, from either branch.
     """
     np.testing.assert_array_equal(a["detected"], b["detected"])
     np.testing.assert_array_equal(a["carrier_detect"],
                                   b["carrier_detect"])
-    mask = a["carrier_detect"] if not exact \
-        else np.ones_like(a["carrier_detect"])
+    mask = a["carrier_detect"]
     for k in a:
         x, y = a[k][mask], b[k][mask]
         if exact or x.dtype.kind in "ib":
@@ -55,6 +62,12 @@ def assert_gate_equivalent(a, b, exact=False):
         else:
             np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6,
                                        err_msg=k)
+    neg = ~mask
+    for k in ("carrier_bin", "carrier_offset", "carrier_energy",
+              "carrier_noise"):
+        np.testing.assert_array_equal(a[k][neg], b[k][neg], err_msg=k)
+    for k in CORR_FIELDS:
+        assert (b[k][neg] == 0).all(), k
 
 
 @pytest.mark.parametrize("cap", [8, 12, 23])

@@ -325,3 +325,19 @@ def test_tpu_ab_time_rejects_bad_override(tmp_path):
     res = run_script("tpu_ab_time.py",
                      ["--cpu", "--ab", "nonsense"], str(tmp_path))
     assert res.returncode != 0
+
+
+def test_tpu_ab_time_sync_mode_override(tmp_path):
+    """sync_mode is a valid str field: overriding it via --ab must
+    build B with the overridden mode (dataclasses.replace), not crash
+    with a duplicate-keyword TypeError against the --sync-mode flag."""
+    import json
+
+    res = run_script("tpu_ab_time.py",
+                     ["--cpu", "--batch", "8", "--scan-k", "2",
+                      "--rounds", "2", "--sync-mode", "fractional",
+                      "--ab", "sync_mode=integer"], str(tmp_path))
+    assert "TypeError" not in res.stderr
+    data = json.loads(
+        [l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert data["b"] == {"sync_mode": "integer"}

@@ -576,8 +576,17 @@ class BatchDetector:
                 for d, o in zip(self._corr_defaults(batch), outs))
 
         def full(_):
-            return self._corr_stage(blocks, fft, c_idx, c_off,
+            outs = self._corr_stage(blocks, fft, c_idx, c_off,
                                     signal_energy)
+            # Same carrier-negative masking as the gated branch: the
+            # uniform contract (zeros / not-detected on every
+            # carrier-negative row) must hold regardless of WHICH
+            # branch executed, or a noise block's outputs would depend
+            # on its batch's composition.  Rows the reference computes
+            # are untouched -- detected rows are carrier-positive.
+            keep = c_det[:, None] if self.bank else c_det
+            return tuple(jnp.where(keep, o, jnp.zeros_like(o))
+                         for o in outs)
 
         overflow = jnp.sum(c_det.astype(jnp.int32)) > cap
         return jax.lax.cond(overflow, full, gated, None)
