@@ -1283,6 +1283,7 @@ def main(argv=None):
                 "unit": "pass",
                 "vs_baseline": 1.0 if ok else 0.0,
                 "batch": args.batch, "sync_mode": args.sync_mode,
+                "gate": base.gate_capacity,
                 "ab": overrides, "float_tol": args.ab_tol,
                 "knee": diffs,
             }))
@@ -1295,6 +1296,7 @@ def main(argv=None):
             "unit": "pass",
             "vs_baseline": 1.0 if ok else 0.0,
             "batch": args.batch, "sync_mode": args.sync_mode,
+            "gate": base.gate_capacity,
             "ab": overrides, "float_tol": args.ab_tol,
             "field_diffs": diffs,
         }))

@@ -311,6 +311,25 @@ def test_abcheck_knee_gate():
     assert data["ab"] == {"gate_capacity": 16}
 
 
+def test_abcheck_gate_wired():
+    """An explicit --gate reaches the abcheck base config (both sides
+    gated) and is recorded in the certificate JSON; without it the
+    base stays ungated (gate 0)."""
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--gate", "8", "--fft-impl", "matmul",
+                     "--ab", "carrier_fast=off"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["value"] == 1.0
+    assert data["gate"] == 8
+    res = run_bench(["--program", "abcheck", "--batch", "16",
+                     "--fft-impl", "matmul", "--ab", "carrier_fast=off"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["gate"] == 0
+
+
 def test_gate_batch_program():
     """--gate wires into the timed batch program and its sweep."""
     res = run_bench(["--batch", "16", "--iters", "2", "--repeats", "1",
